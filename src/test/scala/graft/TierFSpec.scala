@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator unit tests for Tier F (SURVEY.md §5.2) at sf0.001.
+  * The DuckDB hash-match is the primary gate (driver-run); these specs pin
+  * structural invariants cheaply and run in CI via `sbt test`. */
+class TierFSpec extends SparkSpec {
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every declared query has an oracle or a documented omission") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // streaming-only ops are the single allowed omission class
+    assert(noOracle.forall(_.contains("stream")), s"missing oracles: $noOracle")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("f_scan_project projects and prunes") {
+    val df = q("f_scan_project")
+    assert(df.columns.toSeq == Seq("order_key", "line_no", "qty", "price", "flag"))
+    assert(df.count() == 6000)
+    // column pruning must reach the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_shipdate"))
+  }
+
+  test("f_filter_clean rewrites only the targeted value") {
+    val vals = q("f_filter_clean").select("n_name_clean")
+      .collect().map(_.getString(0)).toSet
+    assert(vals.contains("NATION_ZERO") && !vals.contains("NATION_0"))
+    assert(vals.contains("NATION_1"))
+  }
+
+  test("f_surrogate_key ids are dense 0-based") {
+    val ids = q("f_surrogate_key").select("priority_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (0L until ids.length).toSeq)
+  }
+
+  test("f_union_dedup has no duplicate rows") {
+    val df = q("f_union_dedup")
+    assert(df.count() == df.dropDuplicates().count())
+  }
+
+  test("f_star_build join keys resolve for every fact row") {
+    val df = q("f_star_build")
+    assert(df.count() == 6000)
+    assert(df.filter(col("rf_id").isNull || col("ls_id").isNull).count() == 0)
+  }
+
+  test("f_star_join broadcasts the small dims") {
+    val plan = q("f_star_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("f_star_join preserves fact cardinality (no fan-out)") {
+    assert(q("f_star_join").count() == 6000)
+  }
+
+  test("f_explode_json extracts nested ints above threshold") {
+    val df = q("f_explode_json")
+    assert(df.filter(col("k") <= 50).count() == 0)
+    assert(df.count() > 0)
+  }
+}
