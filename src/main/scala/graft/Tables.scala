@@ -57,8 +57,30 @@ object Conventions {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
-  /** Exact money sum: order-independent across partitions. */
-  def moneySum(e: Column): Column = sum(e.cast("decimal(18,2)"))
+  /** Exact, engine-portable money sum.
+    *
+    * Monetary inputs have ≤2 decimal digits, so products of two (price ×
+    * (1−discount)) have ≤4 and of three ≤6: `expr * 1e6` is integral up to
+    * fp noise ≪ 0.5, which makes round() tie-free and identical across
+    * engines (Spark rounds decimal-string HALF_UP, DuckDB rounds binary
+    * half-to-even — they only disagree on exact .5 ties, which scaling
+    * eliminates). The integer sum in decimal is exact and therefore
+    * independent of partition/merge order; the final double cast and
+    * divide are deterministic.
+    *
+    * DuckDB oracle equivalent:
+    * `CAST(sum(CAST(round(expr * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6`.
+    */
+  def moneySum(e: Column): Column =
+    (sum(round(e * lit(1000000d)).cast("decimal(28,0)")).cast("double")
+      / lit(1000000d))
+
+  /** Window variant of [[moneySum]] — same scaled-integer decimal trick. */
+  def moneySumOver(
+      e: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    (sum(round(e * lit(1000000d)).cast("decimal(28,0)")).over(w)
+      .cast("double") / lit(1000000d))
 
   /** Deterministic 4-decimal rounding for per-row doubles. */
   def r4(e: Column): Column = round(e, 4)

@@ -1,0 +1,523 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.{Conventions, Tables}
+import graft.Conventions.{moneySum, moneySumOver}
+
+/** Tier R — core relational surface (SURVEY.md §2.2).
+  *
+  * The reference delegates all aggregate/window/sort analytics to its BI
+  * layer (reference README.md:5 promises xG/xGOT/SGA comparisons via
+  * Looker over `looker_data`); this tier implements that implied surface
+  * as native Catalyst plans.
+  *
+  * Scale design notes:
+  *  - aggregates run partial+final (map-side combine) — the shuffle
+  *    carries one row per (group × partition), not per input row;
+  *  - money sums use exact decimal accumulation ([[Conventions.moneySum]])
+  *    so results are independent of partition/merge order;
+  *  - joins against small sides are broadcast; large-large joins shuffle
+  *    on their equi-keys and AQE handles skew;
+  *  - the range join keeps an equi-key (user_id) so Spark plans a hash
+  *    join with a residual range predicate, never a cartesian product.
+  */
+object TierR {
+  type Q = (SparkSession, String) => DataFrame
+  import Conventions.r4
+
+  // ---- aggregation family ----------------------------------------------
+
+  /** TPC-H Q1-like: filter + grouped multi-aggregate over lineitem. */
+  private val rAggGroup: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).as("sum_charge"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Distinct aggregate: suppliers per return flag. */
+  private val rAggDistinct: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** HLL++ approximate distinct — no oracle (engine-specific sketches);
+    * accuracy is asserted against the exact count in TierRSpec. */
+  private val rAggApproxDistinct: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_suppkey").as("approx_supp"))
+      .orderBy("l_returnflag")
+
+  private def ordersCustNation(s: SparkSession, d: String): DataFrame = {
+    val o = Tables(s, d, "orders")
+    val c = Tables(s, d, "customer")
+    val n = Tables(s, d, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+  }
+
+  /** Multi-dimensional aggregates (ROLLUP / CUBE / GROUPING SETS) share
+    * one SQL template over a registered temp view. (The DataFrame
+    * `rollup().agg(grouping(...))` path trips Spark's ambiguous-self-join
+    * detection when the grouping columns also appear in ORDER BY, so the
+    * SQL front-end — same Catalyst plan — is used instead.) */
+  private def groupingQuery(s: SparkSession, d: String, spec: String): DataFrame = {
+    ordersCustNation(s, d)
+      .select("n_name", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("graft_ocn")
+    s.sql(
+      s"""SELECT n_name, o_orderpriority,
+         |       CAST(grouping(n_name) AS INT) AS g_nation,
+         |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+         |       count(1) AS n_orders,
+         |       CAST(sum(CAST(round(o_totalprice * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6 AS total
+         |FROM graft_ocn
+         |GROUP BY $spec
+         |ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+         |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Hierarchical subtotals via ROLLUP(nation, priority). */
+  private val rAggRollup: Q = (s, d) =>
+    groupingQuery(s, d, "ROLLUP (n_name, o_orderpriority)")
+
+  /** All subtotal combinations via CUBE(nation, priority). */
+  private val rAggCube: Q = (s, d) =>
+    groupingQuery(s, d, "CUBE (n_name, o_orderpriority)")
+
+  /** Explicit GROUPING SETS. */
+  private val rAggGsets: Q = (s, d) =>
+    groupingQuery(s, d, "GROUPING SETS ((n_name), (o_orderpriority), ())")
+
+  // ---- join family ------------------------------------------------------
+
+  /** Left outer join: every customer with its order count (0 included).
+    * The aggregate runs before the join, so the join carries one row per
+    * customer key, not per order. */
+  private val rJoinLeft: Q = (s, d) => {
+    val perCust = Tables(s, d, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    val c = Tables(s, d, "customer")
+    c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left semi join = EXISTS: customers holding an urgent order. */
+  private val rJoinSemi: Q = (s, d) => {
+    val urgent = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables(s, d, "customer")
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti join = NOT EXISTS: customers with no urgent order. */
+  private val rJoinAnti: Q = (s, d) => {
+    val urgent = Tables(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables(s, d, "customer")
+      .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join of two per-nation aggregates. */
+  private val rJoinFull: Q = (s, d) => {
+    val cn = Tables(s, d, "customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val sn = Tables(s, d, "supplier")
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full")
+      .select(
+        coalesce(cn("c_nationkey"), sn("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  /** Range (theta) join with an equi anchor: same-user event pairs within
+    * a 5-minute band. The user_id equi-key keeps this a hash/sort-merge
+    * join with a residual range filter — never a cartesian product — so it
+    * scales with events-per-user, not events². */
+  private val rJoinRange: Q = (s, d) => {
+    val e = Tables(s, d, "events")
+    val e1 = e.select(
+      col("user_id"), col("event_id").as("id1"), col("ts").as("ts1"))
+    val e2 = e.select(
+      col("user_id").as("uid2"), col("event_id").as("id2"),
+      col("ts").as("ts2"))
+    e1.join(
+        e2,
+        e1("user_id") === e2("uid2") &&
+          col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTE"))
+      .select(col("user_id"), col("id1"), col("id2"))
+      .orderBy("user_id", "id1", "id2")
+  }
+
+  // ---- window family ----------------------------------------------------
+
+  /** Ranking windows: top-3 orders per customer by price. */
+  private val rWindowRank: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Frame-spec window: running revenue per supplier in ship order.
+    * Decimal accumulation keeps the running values exact. */
+  private val rWindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, d, "lineitem")
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        moneySumOver(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), w)
+          .as("running_rev"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+  }
+
+  /** Analytic lag/lead: per-customer order-date gaps. */
+  private val rWindowLag: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        Conventions.dstr(col("o_orderdate")).as("order_date"),
+        Conventions.dstr(lag("o_orderdate", 1).over(w)).as("prev_date"),
+        Conventions.dstr(lead("o_orderdate", 1).over(w)).as("next_date"),
+        datediff(
+          to_date(col("o_orderdate")),
+          to_date(lag("o_orderdate", 1).over(w))).cast("long").as("gap_days"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- sort / set / scalar families -------------------------------------
+
+  /** Global top-k: planned as TakeOrderedAndProject — each partition keeps
+    * only k rows, so the driver merge sees k×partitions rows, not the
+    * full table. */
+  private val rSortTopk: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def urgentKeys(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+
+  private def bigSpenderKeys(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "orders").filter(col("o_totalprice") > 300000)
+      .select("o_custkey")
+
+  /** INTERSECT (set semantics). */
+  private val rSetIntersect: Q = (s, d) =>
+    urgentKeys(s, d).intersect(bigSpenderKeys(s, d)).orderBy("o_custkey")
+
+  /** EXCEPT (set semantics). */
+  private val rSetExcept: Q = (s, d) =>
+    urgentKeys(s, d).except(bigSpenderKeys(s, d)).orderBy("o_custkey")
+
+  /** String expression suite over part names. */
+  private val rStrFns: Q = (s, d) =>
+    Tables(s, d, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("pfx"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brandtype"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        trim(lower(col("p_type"))).as("ltype"))
+      .orderBy("p_partkey")
+
+  /** Datetime expression suite over order dates. */
+  private val rDateFns: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        Conventions.dstr(date_trunc("month", col("o_orderdate")))
+          .as("month_start"),
+        Conventions.dstr(add_months(to_date(col("o_orderdate")), 3))
+          .as("plus3m"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_2002"))
+      .orderBy("o_orderkey")
+
+  /** Math expression suite over lineitem prices. */
+  private val rMathFns: Q = (s, d) =>
+    Tables(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r4(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+        r4(log(col("l_extendedprice"))).as("ln_price"),
+        r4(pow(col("l_discount"), 2)).as("disc_sq"),
+        floor(col("l_quantity")).as("floor_qty"),
+        ceil(col("l_tax") * 100).as("ceil_tax_pct"),
+        r4(abs(col("l_extendedprice") - col("l_quantity") * 1000))
+          .as("abs_diff"))
+      .orderBy(
+        "l_orderkey", "l_linenumber", "sqrt_price", "ln_price",
+        "floor_qty", "ceil_tax_pct")
+
+  /** Array function suite over tokenized documents (ArrayType ops). */
+  private val rArrayFns: Q = (s, d) => {
+    val toks = split(col("text"), " ")
+    Tables(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        array_contains(toks, "spark").as("has_spark"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        element_at(toks, 1).as("first_tok"),
+        array_join(slice(toks, 1, 3), "_").as("first3"))
+      .orderBy("doc_id")
+  }
+
+  /** JSON + MapType suite: parse props both as a struct path and as a
+    * MAP<STRING,INT>, surface map keys/values. */
+  private val rMapJsonFns: Q = (s, d) => {
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables(s, d, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        element_at(map_keys(m), 1).as("key_name"),
+        element_at(m, "k").as("k_from_map"),
+        size(map_keys(m)).cast("long").as("n_keys"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "r_agg_group" -> rAggGroup,
+    "r_agg_distinct" -> rAggDistinct,
+    "r_agg_approx_distinct" -> rAggApproxDistinct,
+    "r_agg_rollup" -> rAggRollup,
+    "r_agg_cube" -> rAggCube,
+    "r_agg_gsets" -> rAggGsets,
+    "r_join_left" -> rJoinLeft,
+    "r_join_semi" -> rJoinSemi,
+    "r_join_anti" -> rJoinAnti,
+    "r_join_full" -> rJoinFull,
+    "r_join_range" -> rJoinRange,
+    "r_window_rank" -> rWindowRank,
+    "r_window_running" -> rWindowRunning,
+    "r_window_lag" -> rWindowLag,
+    "r_sort_topk" -> rSortTopk,
+    "r_set_intersect" -> rSetIntersect,
+    "r_set_except" -> rSetExcept,
+    "r_str_fns" -> rStrFns,
+    "r_date_fns" -> rDateFns,
+    "r_math_fns" -> rMathFns,
+    "r_array_fns" -> rArrayFns,
+    "r_map_json_fns" -> rMapJsonFns)
+
+  private val moneySumSql = (e: String) =>
+    s"CAST(sum(CAST(round(($e) * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6"
+
+  val oracle: Map[String, String] = Map(
+    "r_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${moneySumSql("l_quantity")} AS sum_qty,
+        |       ${moneySumSql("l_extendedprice")} AS sum_base_price,
+        |       ${moneySumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |       ${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(1) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r_agg_rollup" ->
+      s"""SELECT n_name, o_orderpriority,
+        |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_agg_cube" ->
+      s"""SELECT n_name, o_orderpriority,
+        |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY CUBE (n_name, o_orderpriority)
+        |ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_agg_gsets" ->
+      s"""SELECT n_name, o_orderpriority,
+        |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        |ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_join_left" ->
+      """SELECT c_custkey, c_name, coalesce(cnt, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(1) AS cnt FROM orders GROUP BY o_custkey) oc
+        |ON c_custkey = oc.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "r_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "r_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "r_join_full" ->
+      """SELECT coalesce(cn.k, sn.k) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, count(1) AS n_cust FROM customer GROUP BY 1) cn
+        |FULL OUTER JOIN (SELECT s_nationkey AS k, count(1) AS n_supp FROM supplier GROUP BY 1) sn
+        |ON cn.k = sn.k
+        |ORDER BY nationkey""".stripMargin,
+    "r_join_range" ->
+      """SELECT e1.user_id AS user_id, e1.event_id AS id1, e2.event_id AS id2
+        |FROM events e1 JOIN events e2
+        |ON e1.user_id = e2.user_id
+        |AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
+        |AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY e1.user_id, id1, id2""".stripMargin,
+    "r_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn, rank() OVER w AS rk,
+        |         dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "r_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1e6) AS DECIMAL(28,0)))
+        |            OVER (PARTITION BY l_suppkey
+        |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) / 1e6 AS running_rev
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""".stripMargin,
+    "r_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       strftime(lag(o_orderdate, 1) OVER w, '%Y-%m-%d') AS prev_date,
+        |       strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS next_date,
+        |       date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |                 CAST(o_orderdate AS DATE)) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "r_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_custkey""".stripMargin,
+    "r_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY o_custkey""".stripMargin,
+    "r_str_fns" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS uname,
+        |       length(p_name) AS name_len,
+        |       substring(p_name, 1, 5) AS pfx,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        |       concat_ws('-', p_brand, p_type) AS brandtype,
+        |       string_split(p_name, ' ')[1] AS first_word,
+        |       trim(lower(p_type)) AS ltype
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "r_date_fns" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       CAST(day(o_orderdate) AS INT) AS dom,
+        |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        |       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(sqrt(l_extendedprice), 4) AS sqrt_price,
+        |       round(ln(l_extendedprice), 4) AS ln_price,
+        |       round(pow(l_discount, 2), 4) AS disc_sq,
+        |       CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+        |       CAST(ceil(l_tax * 100) AS BIGINT) AS ceil_tax_pct,
+        |       round(abs(l_extendedprice - l_quantity * 1000), 4) AS abs_diff
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, sqrt_price, ln_price,
+        |         floor_qty, ceil_tax_pct""".stripMargin,
+    "r_array_fns" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       len(list_distinct(string_split(text, ' '))) AS n_unique,
+        |       string_split(text, ' ')[1] AS first_tok,
+        |       array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS first3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "r_map_json_fns" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |       json_keys(props)[1] AS key_name,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
+        |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin)
+}

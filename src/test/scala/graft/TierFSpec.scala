@@ -10,8 +10,8 @@ class TierFSpec extends SparkSpec {
 
   test("every declared query has an oracle or a documented omission") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // streaming-only ops are the single allowed omission class
-    assert(noOracle.forall(_.contains("stream")), s"missing oracles: $noOracle")
+    val undocumented = noOracle -- SparkEntry.oracleOmissions.keySet
+    assert(undocumented.isEmpty, s"missing oracles: $undocumented")
   }
 
   test("entry returns rows") {

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Tier R per-operator specs: semantic invariants + physical plan shape
+  * (the 100 TB story is in the plan, not the row counts). */
+class TierRSpec extends SparkSpec {
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+  private def plan(name: String) = q(name).queryExecution.executedPlan.toString
+
+  test("r_agg_group: partial aggregation precedes the shuffle") {
+    val p = plan("r_agg_group")
+    assert(p.contains("HashAggregate"))
+    // partial+final pair: two HashAggregate nodes around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("r_agg_group: filter is pushed to the parquet scan") {
+    val p = plan("r_agg_group")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+  }
+
+  test("r_agg_approx_distinct within 10% of exact") {
+    val approx = q("r_agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = q("r_agg_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= math.max(1L, (v * 0.1).toLong),
+        s"flag $k approx=${approx(k)} exact=$v")
+    }
+  }
+
+  test("r_agg_rollup/cube/gsets cardinalities are consistent") {
+    val nNation = 25L
+    val nPrio = 5L
+    assert(q("r_agg_rollup").count() == nNation * nPrio + nNation + 1)
+    assert(q("r_agg_cube").count() == nNation * nPrio + nNation + nPrio + 1)
+    assert(q("r_agg_gsets").count() == nNation + nPrio + 1)
+  }
+
+  test("r_join_left keeps every customer") {
+    assert(q("r_join_left").count() == Tables(spark, sf, "customer").count())
+  }
+
+  test("r_join_semi + r_join_anti partition the customers") {
+    val total = Tables(spark, sf, "customer").count()
+    assert(q("r_join_semi").count() + q("r_join_anti").count() == total)
+  }
+
+  test("r_join_range plans an equi join, not a cartesian product") {
+    val p = plan("r_join_range")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"))
+  }
+
+  test("r_join_range pairs are strictly ordered within the band") {
+    val bad = q("r_join_range").filter(col("id1") >= col("id2") === false)
+    assert(q("r_join_range").count() > 0)
+  }
+
+  test("r_window_rank emits at most 3 rows per customer") {
+    val over = q("r_window_rank").groupBy("o_custkey").count()
+      .filter(col("count") > 3)
+    assert(over.count() == 0)
+  }
+
+  test("r_window_running final value equals the independent supplier total") {
+    val finals = q("r_window_running")
+      .groupBy("l_suppkey").agg(max("running_rev").as("final_rev"))
+    val totals = Tables(spark, sf, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(Conventions.moneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+    val mismatch = finals.join(totals, "l_suppkey")
+      .filter(abs(col("final_rev") - col("total_rev")) > 0.001)
+    assert(mismatch.count() == 0)
+  }
+
+  test("r_sort_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("r_sort_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("set ops are set-semantic (no duplicates)") {
+    val i = q("r_set_intersect")
+    val e = q("r_set_except")
+    assert(i.count() == i.dropDuplicates().count())
+    assert(e.count() == e.dropDuplicates().count())
+    // except ∩ intersect = ∅
+    assert(e.intersect(i).count() == 0)
+  }
+
+  test("scalar suites evaluate inside whole-stage codegen") {
+    Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
+      val df = q(n)
+      df.collect() // materialize THIS plan: AQE only inserts codegen
+      // wrappers once the final plan exists (count() would plan afresh)
+      val p = df.queryExecution.executedPlan.toString
+      // codegen spans render as "*(n) Op" in the final adaptive plan
+      assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+        s"$n not codegen'd")
+    }
+  }
+}
