@@ -21,18 +21,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TierF.queries ++ TierR.queries
+    TierF.queries ++ TierR.queries ++ TierX.queries ++ TierS.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for ops that are not
     * batch-SQL-expressible (driver records a rows-only check); see
     * [[oracleOmissions]]. */
   def oracleSql: Map[String, String] =
-    TierF.oracle ++ TierR.oracle
+    TierF.oracle ++ TierR.oracle ++ TierX.oracle ++ TierS.oracle
 
   /** Queries intentionally shipped without a DuckDB oracle, with the
     * reason — the driver records a rows-only check for these. */
   def oracleOmissions: Map[String, String] = Map(
     "r_agg_approx_distinct" ->
-      "HLL++ sketch values are engine-specific; accuracy asserted vs exact count in TierRSpec")
+      "HLL++ sketch values are engine-specific; accuracy asserted vs exact count in TierRSpec",
+    "x_stream_latedata" ->
+      "watermark eviction is streaming-only (not batch-SQL expressible); semantics pinned by StreamingSpec MemoryStream test")
 }

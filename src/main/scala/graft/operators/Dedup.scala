@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Document deduplication operators for large-corpus pipelines.
+  *
+  * Four families, in increasing tolerance to variation:
+  *
+  *  1. [[exact]] — hash-groupBy on normalized text. One shuffle on the
+  *     256-bit digest; at 100 TB the shuffle carries (digest, doc_id)
+  *     pairs only, never the text.
+  *  2. [[nearDupJaccard]] — word-k-gram (shingle) Jaccard with an
+  *     inverted-index candidate join: docs sharing ≥1 shingle are
+  *     candidates (full recall for any Jaccard > 0), then exact
+  *     verification. Scales with shingle collision count, not docs².
+  *  3. [[nearDupMinHash]] — MinHash signatures + banded LSH: candidate
+  *     generation cost is O(docs × bands); recall is probabilistic
+  *     (tuned by bands×rows), verification is exact.
+  *  4. [[simHash]] — 32-bit SimHash per doc + Hamming-distance pairing
+  *     blocked on the upper half of the fingerprint.
+  *
+  * All hashing uses the engine-portable [[Hashing.hash32]] so buckets and
+  * signatures are reproducible outside Spark (and by the DuckDB oracle).
+  */
+object Dedup {
+
+  /** Word shingles (k consecutive tokens joined by space), deduplicated.
+    * Requires a column `w` holding the token array. */
+  private def shingleExpr(k: Int): Column =
+    when(size(col("w")) >= k,
+      array_distinct(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $k)))")))
+      .otherwise(array(concat_ws(" ", col("w"))))
+
+  /** (doc_id, shingles array) for a documents table. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), shingleExpr(k).as("shingles"))
+
+  /** Exact dedup on whitespace-normalized lowercase text: one row per
+    * distinct content hash, keeping the smallest doc_id as canonical. */
+  def exact(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    docs.select(sha2(norm, 256).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Candidate pairs (d1 < d2) sharing at least one shingle — the
+    * inverted-index join. Exact recall for any positive Jaccard. */
+  private def invertedIndexCandidates(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    ex.as("a").join(ex.as("b"), "s")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs, thresholded. */
+  private def verifyJaccard(
+      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sa = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val sb = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    cand.join(sa, "d1").join(sb, "d2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jac",
+        col("inter") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** n-gram Jaccard near-dup: inverted-index candidates + exact verify.
+    * Output: (d1, d2, jac) for all pairs with Jaccard ≥ threshold. */
+  def nearDupJaccard(
+      docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, k)
+    verifyJaccard(invertedIndexCandidates(sh), sh, threshold)
+  }
+
+  /** MinHash + banded LSH near-dup.
+    *
+    * numHashes independent hash32 families; signature = per-family min
+    * over the doc's shingles; bands of `rowsPerBand` signature values are
+    * concatenated into bucket keys; docs colliding in any band become
+    * candidates, then exact Jaccard verifies. With 16 hashes in 4 bands
+    * of 4, P[candidate] = 1-(1-j^4)^4 — ≈0.98 at j=0.8. */
+  def nearDupMinHash(
+      docs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingles(docs, k)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sigCols =
+      (0 until numHashes).map(j => min(Hashing.hash32(col("s"), j)).as(s"mh$j"))
+    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("_",
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+          .as("key"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** 32-bit SimHash per document from the token stream (with
+    * multiplicity): bit b is set iff the ±1-weighted sum of token-hash
+    * bit b is ≥ 0. */
+  def simHashes(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), Hashing.hash32(col("t")).as("h"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"w$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 32)
+      .map(b => when(col(s"w$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: blocked on the upper 16 bits (docs must
+    * agree there), then full 32-bit Hamming distance ≤ maxHamming.
+    * Output: (d1, d2, hamming). */
+  def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val hs = simHashes(docs)
+    val a = hs.select(
+      col("doc_id").as("d1"), col("simhash").as("sh1"),
+      shiftright(col("simhash"), 16).as("block"))
+    val b = hs.select(
+      col("doc_id").as("d2"), col("simhash").as("sh2"),
+      shiftright(col("simhash"), 16).as("block"))
+    a.join(b, "block")
+      .filter(col("d1") < col("d2"))
+      .withColumn("hamming",
+        expr("bit_count(sh1 ^ sh2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+
+/** Approximate & exact nearest-neighbor search over embedding columns
+  * (`ArrayType(FloatType)`).
+  *
+  * Two paths:
+  *  - [[bruteTopK]] — exact: broadcast the (small) query set against the
+  *    corpus, cosine per pair, per-query top-k via window. Scales
+  *    linearly in |corpus| × |queries|; the corpus is never shuffled.
+  *  - [[lshTopK]] — random-hyperplane LSH: bucket every vector by the
+  *    sign pattern of its dot products with a fixed probe set, search
+  *    only within the query's bucket. At scale this turns a full scan
+  *    into a bucket-local scan (expected |corpus| / 2^probes candidates);
+  *    buckets are a plain column, so the bucket join shuffles on a
+  *    short string key.
+  *
+  * Probes here are drawn deterministically from the corpus itself (the
+  * lowest vec_ids) so results are reproducible across engines without a
+  * shared RNG. A production deployment would use fixed random
+  * hyperplanes; the plumbing is identical.
+  *
+  * [[cosinePairs]] is the embedding-space near-dup operator (all pairs
+  * above a cosine threshold).
+  */
+object SimilaritySearch {
+
+  /** Exact top-k neighbors for each query vector (queries = vec_id <
+    * nQueries), excluding self. Output: (q_id, vec_id, rank, cos). */
+  def bruteTopK(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val queries = vecs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    vecs.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw", Similarity.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"), col("vec_id"), col("rank"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** Embedding near-dup: all pairs (v1 < v2) with cosine ≥ threshold. */
+  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    a.crossJoin(b)
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos_raw", Similarity.cosine(col("e1"), col("e2")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** Sign-pattern bucket id for every vector: bit p = 1 iff
+    * dot(vec, probe_p) ≥ 0, probes = the nProbes lowest vec_ids. */
+  def lshBuckets(vecs: DataFrame, nProbes: Int = 4): DataFrame = {
+    val probes = vecs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
+    val bits = vecs.crossJoin(broadcast(probes))
+      .select(
+        col("vec_id"), col("p_id"),
+        when(Similarity.dot(col("embedding"), col("p_vec")) >= 0, lit("1"))
+          .otherwise(lit("0")).as("bit"))
+    // one agg column per probe keeps the concat order deterministic
+    // (collect_list order is not)
+    val bitCols = (0 until nProbes)
+      .map(p => max(when(col("p_id") === p, col("bit"))).as(s"b$p"))
+    bits.groupBy("vec_id")
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(
+        col("vec_id"),
+        concat((0 until nProbes).map(p => col(s"b$p")): _*).as("bucket"))
+  }
+
+  /** LSH-bucketed top-k: like [[bruteTopK]] but candidates are only the
+    * vectors in the query's own bucket. */
+  def lshTopK(
+      vecs: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nProbes: Int = 4): DataFrame = {
+    val withBuckets = vecs.join(lshBuckets(vecs, nProbes), "vec_id")
+    val queries = withBuckets.filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    withBuckets.join(broadcast(queries), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw", Similarity.cosine(col("embedding"), col("q_vec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"), col("vec_id"), col("bucket"), col("rank"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+}

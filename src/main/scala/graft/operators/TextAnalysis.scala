@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Text-analysis operators for corpus curation pipelines: language ID,
+  * quality scoring, token counting, and content fingerprinting.
+  *
+  * Everything is integer/deterministic arithmetic over token streams so
+  * results are exactly reproducible across engines. All operators are
+  * single-pass over the documents table with one aggregate shuffle at
+  * most — no driver-side loops anywhere.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  /** Per-language corpus statistics (doc counts, token totals, type
+    * counts, average doc length). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_types"),
+        round(count(lit(1)).cast("double") / countDistinct("doc_id"), 4)
+          .as("avg_doc_tokens"))
+
+  /** N-gram-profile language ID.
+    *
+    * Profiles are derived from the corpus itself: the top `profileSize`
+    * tokens per language by frequency (ties broken by token asc). Each
+    * document is scored per language by how many of its distinct tokens
+    * appear in that language's profile; the argmax (ties: lang asc) is
+    * the prediction. Profiles are tiny (langs × profileSize rows) and
+    * broadcast; the document side never shuffles its text. */
+  def langId(docs: DataFrame, profileSize: Int = 10): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val wProfile = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("tok"))
+    val profile = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(wProfile))
+      .filter(col("r") <= profileSize)
+      .select(col("lang").as("p_lang"), col("tok"))
+    val docToks = toks.select(col("doc_id"), col("tok")).distinct()
+    val scores = docToks.join(broadcast(profile), "tok")
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
+    // full (doc × lang) grid so zero-score languages still compete
+    val langs = docs.select(col("lang").as("p_lang")).distinct()
+    val grid = docs.select("doc_id", "lang").crossJoin(broadcast(langs))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("p_lang"))
+    grid.join(scores, Seq("doc_id", "p_lang"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .withColumn("r", row_number().over(wBest))
+      .filter(col("r") === 1)
+      .select(
+        col("doc_id"), col("lang").as("actual_lang"),
+        col("p_lang").as("pred_lang"), col("score"),
+        (col("p_lang") === col("lang")).as("match"))
+  }
+
+  /** Heuristic quality score per document: type-token ratio, stopword
+    * ratio, length saturation — weighted into [0, 1]. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopArr = array(stopwords.map(lit): _*)
+    docs
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("n_unique", size(array_distinct(toks)).cast("double"))
+      .withColumn("n_stop",
+        size(array_intersect(toks, stopArr)).cast("double"))
+      .withColumn("ttr", round(col("n_unique") / col("n_tokens"), 4))
+      .withColumn("stop_hit_ratio",
+        round(col("n_stop") / lit(stopwords.size.toDouble), 4))
+      .withColumn("len_sat",
+        round(least(col("n_tokens") / lit(100d), lit(1d)), 4))
+      .withColumn("quality",
+        round(lit(0.4) * col("ttr") + lit(0.3) * col("stop_hit_ratio")
+          + lit(0.3) * col("len_sat"), 4))
+      .select(
+        col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_unique").cast("long").as("n_unique"),
+        col("ttr"), col("stop_hit_ratio"), col("len_sat"), col("quality"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]', 0)"))
+        .cast("long").as("re_tokens"),
+      round(col("n_chars").cast("double")
+        / size(split(col("text"), " ")), 4).as("chars_per_token"))
+
+  /** Content fingerprint: minimum hash32 over all character 5-grams
+    * (the winnowing primitive), plus the distinct 5-gram count. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 5)
+      .select(
+        col("doc_id"),
+        expr("array_min(transform(sequence(1, length(text) - 4), " +
+          s"i -> ${Hashing.hash32Sql("substr(text, i, 5)")}))").as("fp"),
+        expr("size(array_distinct(transform(sequence(1, length(text) - 4), " +
+          "i -> substr(text, i, 5))))").cast("long").as("n_kgrams"))
+}

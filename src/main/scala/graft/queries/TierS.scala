@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.streaming.StreamOps
+
+/** Tier S — streaming-window queries (SURVEY.md §2.2 `x_stream_*`).
+  *
+  * Window semantics are identical in batch and streaming, so the first
+  * three run the shared [[StreamOps]] operators on the bounded events
+  * table and hash-match gaps-and-islands / epoch-arithmetic DuckDB
+  * oracles. `x_stream_latedata` runs an actual Structured Streaming
+  * query (file source + watermark + memory sink) — not batch-SQL
+  * expressible, so no oracle (rows-only check); its eviction semantics
+  * are pinned by StreamingSpec with a two-batch MemoryStream.
+  */
+object TierS {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def events(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  val queries: Map[String, Q] = Map(
+    "x_stream_tumbling" -> ((s, d) =>
+      StreamOps.tumbling(events(s, d)).orderBy("w_start", "event_type")),
+    "x_stream_sliding" -> ((s, d) =>
+      StreamOps.sliding(events(s, d)).orderBy("w_start", "event_type")),
+    "x_stream_session" -> ((s, d) =>
+      StreamOps.sessionized(events(s, d)).orderBy("user_id", "s_start")),
+    "x_stream_latedata" -> ((s, d) =>
+      StreamOps.lateDataWindowed(s, d).orderBy("w_start", "event_type")))
+
+  private val moneySumSql = (e: String) =>
+    s"CAST(sum(CAST(round(($e) * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6"
+
+  val oracle: Map[String, String] = Map(
+    "x_stream_tumbling" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(1) AS n, ${moneySumSql("value")} AS total
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "x_stream_sliding" ->
+      s"""WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |wnd AS (SELECT
+        |          make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900 * 1000000) AS w_start,
+        |          event_type, value
+        |        FROM x, range(4) t(k))
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        |       count(1) AS n, ${moneySumSql("value")} AS total
+        |FROM wnd GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "x_stream_session" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM x),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s FROM l),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       count(1) AS n
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
+}

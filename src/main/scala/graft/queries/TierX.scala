@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+
+/** Tier X — training-data-pipeline extensions (SURVEY.md §2.2 Tier X +
+  * BASELINE.json north star): dedup family, similarity search, text
+  * analysis, multimodal plumbing.
+  *
+  * Thin wiring over the operator library in `graft.operators`; every
+  * query orders by a unique key set for oracle hash-matching. The DuckDB
+  * oracles re-derive MinHash/SimHash/LSH from the same portable
+  * md5-based hash32, so even the sketch-based operators are
+  * cross-engine-verified, not just row-counted.
+  */
+object TierX {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def vecs(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exact(docs(s, d)).orderBy("doc_id")),
+    "x_dedup_near" -> ((s, d) =>
+      Dedup.nearDupJaccard(docs(s, d), k = 3, threshold = 0.8)
+        .orderBy("d1", "d2")),
+    "x_dedup_minhash" -> ((s, d) =>
+      Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8)
+        .orderBy("d1", "d2")),
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simHash(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
+    "x_dedup_embed" -> ((s, d) =>
+      SimilaritySearch.cosinePairs(vecs(s, d), threshold = 0.4)
+        .orderBy("v1", "v2")),
+    "x_sim_topk" -> ((s, d) =>
+      SimilaritySearch.bruteTopK(vecs(s, d), nQueries = 5, k = 10)
+        .orderBy("q_id", "rank")),
+    "x_sim_ann_lsh" -> ((s, d) =>
+      SimilaritySearch.lshTopK(vecs(s, d), nQueries = 5, k = 5, nProbes = 4)
+        .orderBy("q_id", "rank")),
+    "x_text_analysis" -> ((s, d) =>
+      TextAnalysis.corpusStats(docs(s, d)).orderBy("lang")),
+    "x_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
+    "x_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+    "x_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
+    "x_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
+    "x_multimodal_meta" -> ((s, d) =>
+      Multimodal.decode(s, docs(s, d)).toDF().orderBy("doc_id")))
+
+  /** Shared oracle fragments (DuckDB SQL). */
+  private val hash32 = (e: String) =>
+    s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+  private val shinglesCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) >= 3
+      |       THEN list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
+      |                           for i in range(1, len(w) - 1)])
+      |       ELSE [array_to_string(w, ' ')] END AS shingles
+      |FROM w)""".stripMargin
+  private val dotSql = (a: String, b: String) =>
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in range(1, len($a) + 1)])"
+  private val cosSql = (a: String, b: String) =>
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |       min(doc_id) AS doc_id, count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "x_dedup_near" ->
+      s"""WITH $shinglesCte,
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         len(list_intersect(a.shingles, b.shingles)) AS inter,
+        |         len(a.shingles) AS la, len(b.shingles) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT d1, d2, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jac
+        |FROM pairs
+        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hx AS (SELECT doc_id, j,
+        |         min(${hash32("CAST(j AS VARCHAR) || ':' || s")}) AS mh
+        |       FROM ex, range(16) t(j) GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        |          FROM hx GROUP BY doc_id, j // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |jx AS (SELECT d1, d2,
+        |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        |         len(sa.shingles) AS la, len(sb.shingles) AS lb
+        |       FROM cand
+        |       JOIN sh sa ON cand.d1 = sa.doc_id
+        |       JOIN sh sb ON cand.d2 = sb.doc_id)
+        |SELECT d1, d2, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jac
+        |FROM jx
+        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, ${hash32("t")} AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |           CASE WHEN sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+        |                              THEN 1 ELSE -1 END) >= 0
+        |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |         FROM th, range(32) r(b) GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |          CAST(sum(bit << CAST(b AS INT)) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |          FROM sim a JOIN sim b
+        |          ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
+        |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |        ${cosSql("a.embedding", "b.embedding")} AS cos_raw
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT v1, v2, round(cos_raw, 4) AS cos
+        |FROM p WHERE cos_raw >= 0.4 ORDER BY v1, v2""".stripMargin,
+    "x_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT q.q_id, e.vec_id,
+        |        ${cosSql("e.embedding", "q.q_vec")} AS cos_raw
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos_raw,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
+        |      FROM c)
+        |SELECT q_id, vec_id, rank, round(cos_raw, 4) AS cos
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "x_sim_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |probes AS (SELECT vec_id AS p_id, embedding AS p_vec FROM embeddings WHERE vec_id < 4),
+        |dots AS (SELECT v.vec_id, p.p_id,
+        |           ${dotSql("v.embedding", "p.p_vec")} AS d
+        |         FROM e v CROSS JOIN probes p),
+        |buckets AS (SELECT vec_id,
+        |              string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+        |                         ORDER BY p_id) AS bucket
+        |            FROM dots GROUP BY vec_id),
+        |q AS (SELECT b.vec_id AS q_id, e.embedding AS q_vec, b.bucket
+        |      FROM buckets b JOIN e ON e.vec_id = b.vec_id WHERE b.vec_id < 5),
+        |c AS (SELECT q.q_id, v.vec_id, q.bucket,
+        |        ${cosSql("v.embedding", "q.q_vec")} AS cos_raw
+        |      FROM q JOIN buckets bv ON bv.bucket = q.bucket
+        |      JOIN e v ON v.vec_id = bv.vec_id
+        |      WHERE v.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, bucket, cos_raw,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
+        |      FROM c)
+        |SELECT q_id, vec_id, bucket, rank, round(cos_raw, 4) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "x_text_analysis" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(1) AS n_tokens,
+        |       count(DISTINCT tok) AS n_types,
+        |       round(CAST(count(1) AS DOUBLE) / count(DISTINCT doc_id), 4) AS avg_doc_tokens
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_lang_id" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tc AS (SELECT lang, tok, count(1) AS cnt FROM toks GROUP BY 1, 2),
+        |prof AS (SELECT lang AS p_lang, tok FROM (
+        |           SELECT lang, tok,
+        |             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS r
+        |           FROM tc) WHERE r <= 10),
+        |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |scores AS (SELECT dt.doc_id, prof.p_lang, count(1) AS score
+        |           FROM dt JOIN prof ON dt.tok = prof.tok GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang AS p_lang FROM documents),
+        |grid AS (SELECT d.doc_id, d.lang, l.p_lang FROM documents d CROSS JOIN langs l),
+        |best AS (SELECT doc_id, lang, p_lang, coalesce(score, 0) AS score,
+        |           row_number() OVER (PARTITION BY doc_id
+        |                              ORDER BY coalesce(score, 0) DESC, p_lang) AS r
+        |         FROM grid LEFT JOIN scores USING (doc_id, p_lang))
+        |SELECT doc_id, lang AS actual_lang, p_lang AS pred_lang,
+        |       CAST(score AS BIGINT) AS score, p_lang = lang AS match
+        |FROM best WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    "x_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS DOUBLE) AS n_tokens,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_unique,
+        |        CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS DOUBLE) AS n_stop
+        |      FROM t),
+        |r AS (SELECT doc_id, n_tokens, n_unique,
+        |        round(n_unique / n_tokens, 4) AS ttr,
+        |        round(n_stop / 5.0, 4) AS stop_hit_ratio,
+        |        round(least(n_tokens / 100.0, 1.0), 4) AS len_sat
+        |      FROM m)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_unique AS BIGINT) AS n_unique,
+        |       ttr, stop_hit_ratio, len_sat,
+        |       round(0.4 * ttr + 0.3 * stop_hit_ratio + 0.3 * len_sat, 4) AS quality
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "x_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ ]')) AS BIGINT) AS re_tokens,
+        |       round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_fingerprint" ->
+      s"""SELECT doc_id,
+        |       list_min([${hash32("substr(text, i, 5)")}
+        |                 for i in range(1, length(text) - 3)]) AS fp,
+        |       CAST(len(list_distinct([substr(text, i, 5)
+        |                 for i in range(1, length(text) - 3)])) AS BIGINT) AS n_kgrams
+        |FROM documents WHERE length(text) >= 5 ORDER BY doc_id""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+        |       CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames,
+        |       lang
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The windowed aggregations (`tumbling`/`sliding`/`sessionized`) are
+  * written against plain DataFrames: Spark's `window()` /
+  * `session_window()` group expressions have identical semantics in
+  * batch and streaming, so the same function serves both the bounded
+  * (oracle-checkable) path and the unbounded path — hand it a
+  * `readStream` DataFrame and it is a streaming query. This is the
+  * Spark-idiomatic analog of a unified batch/stream engine.
+  *
+  * [[lateDataWindowed]] is the genuinely streaming-only operator:
+  * a file-source stream + event-time watermark. Late-data eviction
+  * semantics are exercised with a two-batch `MemoryStream` in
+  * StreamingSpec (not expressible as batch SQL — no oracle).
+  */
+object StreamOps {
+
+  private def fmt(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Events per (1-hour tumbling window, event_type) with exact value
+    * totals. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Conventions.moneySum(col("value")).as("total"))
+      .select(
+        fmt(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** 1-hour windows sliding every 15 minutes — each event lands in 4
+    * windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Conventions.moneySum(col("value")).as("total"))
+      .select(
+        fmt(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Per-user session windows with a 30-minute inactivity gap; session
+    * end = last event + gap (Spark session_window semantics). */
+  def sessionized(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        fmt(col("session_window.start")).as("s_start"),
+        fmt(col("session_window.end")).as("s_end"),
+        col("n"))
+
+  /** True streaming query: file-source stream over the events parquet,
+    * 1-hour event-time watermark, tumbling window counts, memory sink.
+    * Complete output mode so a single-batch bounded run still emits its
+    * windows (append would hold them open past the last watermark
+    * advance). */
+  def lateDataWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val staticSchema = spark.read.parquet(path).schema
+    val stream = spark.readStream
+      .schema(staticSchema)
+      // the table is a single file: FileStreamSource needs a glob, not a
+      // literal file path (a literal path must be a directory)
+      .parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        fmt(col("window.start")).as("w_start"),
+        col("event_type"), col("n"))
+    val name = s"graft_latedata_${System.nanoTime()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+}

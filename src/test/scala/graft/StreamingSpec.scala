@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming semantics pinned with MemoryStream micro-batches
+  * (SURVEY.md §5.5): batch/stream window equivalence and watermark
+  * late-data eviction — the one behavior no batch oracle can express. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed aggregation emits identical results in batch and streaming") {
+    val events = Tables(spark, sf, "events")
+    val batch = StreamOps.tumbling(events)
+      .select("w_start", "event_type", "n").collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    mem.addData(events.select("ts", "event_type", "value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq)
+    val streamDf = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumbling(streamDf)
+      .writeStream.format("memory").queryName("tumbling_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_stream")
+      .select("w_start", "event_type", "n").collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late data; in-time data aggregates (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = mem.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in hour 10, one in hour 11 →
+      // watermark advances to 11:30 - 10min = 11:20 after this batch
+      mem.addData(Seq(
+        (ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 10:45:00"), "a"),
+        (ts("2024-01-01 11:30:00"), "a")))
+      q.processAllAvailable()
+      // batch 2: late event for hour 10 (before watermark 11:20) must be
+      // DROPPED; event in hour 12 advances the watermark past hour 11
+      mem.addData(Seq(
+        (ts("2024-01-01 10:50:00"), "a"), // late → dropped
+        (ts("2024-01-01 12:40:00"), "a")))
+      q.processAllAvailable()
+      // batch 3: push watermark far ahead so hour-12 window finalizes too
+      mem.addData(Seq((ts("2024-01-01 15:00:00"), "a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_stream")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // hour-10 window closed with 2 events — the late third never counted
+    assert(out("10:00") == 2L)
+    assert(out("11:00") == 1L)
+    assert(out("12:00") == 1L)
+  }
+
+  test("session windows merge events within the gap and close after it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(Seq(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:20:00"), 1L), // within 30min → same session
+      (ts("2024-01-01 11:30:00"), 1L), // 70min gap → new session
+      (ts("2024-01-01 10:00:00"), 2L)))
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionized(df)
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("session_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == 3)
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1(0)._2 == "2024-01-01 10:00:00")
+    assert(u1(0)._3 == "2024-01-01 10:50:00") // last event 10:20 + 30min
+    assert(u1(0)._4 == 2L)
+    assert(u1(1)._4 == 1L)
+  }
+
+  test("x_stream_latedata runs a real streaming query and emits windows") {
+    val df = SparkEntry.queries("x_stream_latedata")(spark, sf)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq == Seq("w_start", "event_type", "n"))
+  }
+}

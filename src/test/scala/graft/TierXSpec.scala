@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+
+/** Tier X operator specs: semantics on crafted inputs + invariants on
+  * the corpus. */
+class TierXSpec extends SparkSpec {
+  import spark.implicits._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val crafted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (1L, "the quick brown fox jumps over the lazy cat", "en", "s", 43L), // near-dup of 0
+    (2L, "completely different words in this document here now", "en", "s", 52L),
+    (3L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L)  // exact dup of 0
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup collapses identical docs and keeps min id") {
+    val res = Dedup.exact(crafted).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(res(0L) == 2)              // docs 0 and 3 collapse onto id 0
+    assert(res.keySet == Set(0L, 1L, 2L))
+    // corpus: no exact dups, so result row count == doc count
+    assert(q("x_dedup_exact").count() ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("shingle-Jaccard near-dup finds the crafted pair, not the outlier") {
+    val pairs = Dedup.nearDupJaccard(crafted, k = 3, threshold = 0.5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash-LSH achieves full recall on the corpus' planted near-dups") {
+    val exact = q("x_dedup_near").select("d1", "d2").collect().toSet
+    val lsh = q("x_dedup_minhash").select("d1", "d2").collect().toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+    assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} pairs")
+  }
+
+  test("simhash distance 0 for exact dup, small for near-dup") {
+    val hs = Dedup.simHashes(crafted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(0L) == hs(3L))
+    assert(java.lang.Long.bitCount(hs(0L) ^ hs(1L)) <= 8)
+  }
+
+  test("brute top-k: k rows per query, cosine within [-1,1], self excluded") {
+    val rows = q("x_sim_topk").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0001))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("lsh top-k results all share the query's bucket (by construction)") {
+    val df = q("x_sim_ann_lsh")
+    assert(df.count() > 0)
+    assert(df.select("bucket").distinct().count() <=
+      df.select("q_id").distinct().count())
+  }
+
+  test("lsh candidates are a subset of brute-force ranking") {
+    // every ANN hit must also appear somewhere in the full ranking:
+    // cosine of (q, v) is query-independent of the method
+    val ann = q("x_sim_ann_lsh").select("q_id", "vec_id", "cos")
+    val brute = SimilaritySearch.bruteTopK(
+      Tables(spark, sf, "embeddings"), nQueries = 5, k = 1000000)
+      .select("q_id", "vec_id", "cos")
+    assert(ann.except(brute).count() == 0)
+  }
+
+  test("quality score is within [0,1] and deterministic") {
+    val stats = q("x_quality_score")
+      .agg(min("quality"), max("quality")).collect().head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) <= 1.0)
+  }
+
+  test("token counts: regex tokenizer sees at least the whitespace tokens") {
+    assert(q("x_token_count")
+      .filter(col("re_tokens") < col("ws_tokens")).count() == 0)
+  }
+
+  test("multimodal decode preserves cardinality and byte lengths") {
+    val df = q("x_multimodal_meta")
+    val docs = Tables(spark, sf, "documents")
+    assert(df.count() == docs.count())
+    // ASCII corpus: byte length == char length
+    val bad = df.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("n_chars"))
+    assert(bad.count() == 0)
+  }
+
+  test("language profiles have exactly profileSize entries per language") {
+    val prof = TextAnalysis.langId(Tables(spark, sf, "documents"))
+    assert(prof.count() == Tables(spark, sf, "documents").count())
+    assert(prof.select("pred_lang").distinct().count() <= 5)
+  }
+}
