@@ -13,6 +13,10 @@ object Bench {
     Tables.requiredConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the JVM/codegen and the common table reads so startup cost
+    // doesn't land on whichever query happens to run first
+    try SparkEntry.queries("f_star_join")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

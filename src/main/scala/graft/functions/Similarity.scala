@@ -16,8 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two float-array columns, computed in double.
+    * Backed by the codegen'd [[graft.expressions.DotProductFloat]] —
+    * bit-identical to [[dotComposable]] but with no per-row array
+    * allocation. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProductFloat(a, b)
+
+  /** The compose-built-ins form of [[dot]] (zip_with + aggregate).
+    * Kept as the reference implementation; SimilaritySpec asserts the
+    * two produce identical bits. */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0d),

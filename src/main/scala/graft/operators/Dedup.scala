@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -50,16 +51,6 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Candidate pairs (d1 < d2) sharing at least one shingle — the
-    * inverted-index join. Exact recall for any positive Jaccard. */
-  private def invertedIndexCandidates(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    ex.as("a").join(ex.as("b"), "s")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-  }
-
   /** Exact shingle-set Jaccard for candidate pairs, thresholded. */
   private def verifyJaccard(
       cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
@@ -75,17 +66,45 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
   }
 
-  /** n-gram Jaccard near-dup: inverted-index candidates + exact verify.
+  /** n-gram Jaccard near-dup with AllPairs/PPJoin-style prefix
+    * filtering.
+    *
+    * Candidate generation only indexes each document's PREFIX — its
+    * (|S| − ⌈τ·|S|⌉ + 1) rarest shingles under the global
+    * (document-frequency, shingle) order. The prefix-filtering theorem
+    * guarantees any pair with Jaccard ≥ τ shares a prefix element, so
+    * recall stays exact while the postings join shrinks ~|S|·(1−τ)/|S|
+    * per doc and candidate pairs collapse to near-dups plus rare-shingle
+    * noise. Verification computes the true Jaccard from the full shingle
+    * sets. This is the shape that survives 100 TB: postings of rare
+    * shingles, never docs².
+    *
     * Output: (d1, d2, jac) for all pairs with Jaccard ≥ threshold. */
   def nearDupJaccard(
       docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(docs, k)
-    verifyJaccard(invertedIndexCandidates(sh), sh, threshold)
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("s"))
+    // global rarity order: (document frequency, shingle)
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val wPrefix = Window.partitionBy("doc_id").orderBy("df", "s")
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .cast("int")
+    val prefix = ex.join(df, "s")
+      .withColumn("r", row_number().over(wPrefix))
+      .filter(col("r") <= prefixLen)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"), "s")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
   }
 
   /** MinHash + banded LSH near-dup.
     *
-    * numHashes independent hash32 families; signature = per-family min
+    * numHashes hash functions via Kirsch-Mitzenmacher double hashing
+    * over two hash32 families; signature = per-function min
     * over the doc's shingles; bands of `rowsPerBand` signature values are
     * concatenated into bucket keys; docs colliding in any band become
     * candidates, then exact Jaccard verifies. With 16 hashes in 4 bands
@@ -99,9 +118,16 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sh = shingles(docs, k)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sigCols =
-      (0 until numHashes).map(j => min(Hashing.hash32(col("s"), j)).as(s"mh$j"))
-    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Kirsch-Mitzenmacher double hashing: h_j = (h1 + j*h2) mod 2^32 —
+    // two md5 evaluations per shingle instead of numHashes
+    val hashed = ex.select(
+      col("doc_id"),
+      Hashing.hash32(col("s")).as("h1"),
+      Hashing.hash32(col("s"), 1).as("h2"))
+    val sigCols = (0 until numHashes).map(j =>
+      min((col("h1") + lit(j.toLong) * col("h2")) % lit(4294967296L))
+        .as(s"mh$j"))
+    val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),

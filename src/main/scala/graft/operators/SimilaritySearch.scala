@@ -30,16 +30,27 @@ import graft.functions.Similarity
   */
 object SimilaritySearch {
 
+  /** Vectors annotated with their L2 norm — computed once per vector so
+    * pairwise cosine needs only the cross dot product. Numerically
+    * identical to recomputing norms per pair (norms are per-vector
+    * deterministic). */
+  private def withNorm(vecs: DataFrame, id: String, vec: String): DataFrame =
+    vecs.select(
+      col("vec_id").as(id), col("embedding").as(vec),
+      sqrt(Similarity.norm2(col("embedding"))).as(s"${id}_nrm"))
+
   /** Exact top-k neighbors for each query vector (queries = vec_id <
     * nQueries), excluding self. Output: (q_id, vec_id, rank, cos). */
   def bruteTopK(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val queries = vecs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val corpus = withNorm(vecs, "vec_id", "embedding")
+    val queries = withNorm(vecs.filter(col("vec_id") < nQueries), "q_id", "q_vec")
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_raw").desc, col("vec_id"))
-    vecs.crossJoin(broadcast(queries))
+    corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_raw", Similarity.cosine(col("embedding"), col("q_vec")))
+      .withColumn("cos_raw",
+        Similarity.dot(col("embedding"), col("q_vec"))
+          / (col("vec_id_nrm") * col("q_id_nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(
@@ -47,13 +58,17 @@ object SimilaritySearch {
         round(col("cos_raw"), 4).as("cos"))
   }
 
-  /** Embedding near-dup: all pairs (v1 < v2) with cosine ≥ threshold. */
+  /** Embedding near-dup: all pairs (v1 < v2) with cosine ≥ threshold.
+    * Norms precomputed per vector; the pairwise work is one fused dot
+    * product per pair. */
   def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
-    val a = vecs.select(col("vec_id").as("v1"), col("embedding").as("e1"))
-    val b = vecs.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val a = withNorm(vecs, "v1", "e1")
+    val b = withNorm(vecs, "v2", "e2")
     a.crossJoin(b)
       .filter(col("v1") < col("v2"))
-      .withColumn("cos_raw", Similarity.cosine(col("e1"), col("e2")))
+      .withColumn("cos_raw",
+        Similarity.dot(col("e1"), col("e2"))
+          / (col("v1_nrm") * col("v2_nrm")))
       .filter(col("cos_raw") >= threshold)
       .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
   }
@@ -87,15 +102,18 @@ object SimilaritySearch {
       k: Int = 5,
       nProbes: Int = 4): DataFrame = {
     val withBuckets = vecs.join(lshBuckets(vecs, nProbes), "vec_id")
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
     val queries = withBuckets.filter(col("vec_id") < nQueries)
       .select(
         col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("bucket"))
+        col("bucket"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_raw").desc, col("vec_id"))
     withBuckets.join(broadcast(queries), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos_raw", Similarity.cosine(col("embedding"), col("q_vec")))
+      .withColumn("cos_raw",
+        Similarity.dot(col("embedding"), col("q_vec"))
+          / (col("nrm") * col("q_nrm")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(

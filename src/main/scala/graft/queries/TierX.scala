@@ -90,9 +90,11 @@ object TierX {
     "x_dedup_minhash" ->
       s"""WITH $shinglesCte,
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
+        |              ${hash32("'1:' || s")} AS h2 FROM ex),
         |hx AS (SELECT doc_id, j,
-        |         min(${hash32("CAST(j AS VARCHAR) || ':' || s")}) AS mh
-        |       FROM ex, range(16) t(j) GROUP BY doc_id, j),
+        |         min((h1 + j * h2) % 4294967296) AS mh
+        |       FROM hw, range(16) t(j) GROUP BY doc_id, j),
         |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
         |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
         |          FROM hx GROUP BY doc_id, j // 4),

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic laws over generated inputs (SURVEY.md §5.3). Sizes are kept
+  * small — the laws are about operator semantics, not volume. Raw
+  * ScalaCheck generators drawn over a fixed seed sequence (the
+  * scalatest-scalacheck bridge is not in the offline dep cache). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cases = 10
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(40), Seed(i.toLong))
+        .foreach(f)
+    }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(ab => f(ab._1, ab._2))
+
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val rows: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.oneOf("a", "b", "c", "d")))
+
+  test("dropDuplicates is idempotent") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("k", "v")
+      val once = df.dropDuplicates()
+      assert(once.count() == once.dropDuplicates().count())
+    }
+  }
+
+  test("union-dedup is commutative") {
+    forAll(rows, rows) { (xs, ys) =>
+      val a = xs.toDF("k", "v")
+      val b = ys.toDF("k", "v")
+      val ab = a.unionByName(b).dropDuplicates().collect().toSet
+      val ba = b.unionByName(a).dropDuplicates().collect().toSet
+      assert(ab == ba)
+    }
+  }
+
+  test("dense surrogate keys are 0..n-1 and unique") {
+    forAll(rows) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = xs.toDF("k", "v").select("v").dropDuplicates()
+          .withColumn("id",
+            (row_number().over(Window.orderBy("v")) - 1).cast("long"))
+        val ids = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids == (0L until ids.length).toSeq)
+      }
+    }
+  }
+
+  test("inner equi-join cardinality = sum over keys of countA*countB") {
+    forAll(rows, rows) { (xs, ys) =>
+      val a = xs.toDF("k", "va")
+      val b = ys.toDF("k", "vb")
+      val joined = a.join(b, "k").count()
+      val ca = xs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cb = ys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val expected = ca.keySet.intersect(cb.keySet)
+        .toSeq.map(k => ca(k) * cb(k)).sum
+      assert(joined == expected)
+    }
+  }
+
+  test("per-group window top-k is a subset of global sort") {
+    forAll(rows) { xs =>
+      val df = xs.toDF("k", "v")
+      val w = Window.partitionBy("v").orderBy(col("k").desc, col("v"))
+      val topk = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("k", "v").collect().toSet
+      val all = df.collect().toSet
+      assert(topk.subsetOf(all))
+    }
+  }
+
+  test("moneySum is invariant under repartitioning") {
+    forAll(Gen.listOf(Gen.chooseNum(0d, 100000d))) { xs =>
+      whenever(xs.nonEmpty) {
+        val df = xs.toDF("x")
+        def total(parts: Int): Double = df.repartition(parts)
+          .agg(Conventions.moneySum(col("x"))).collect().head.getDouble(0)
+        assert(total(1) == total(7))
+      }
+    }
+  }
+}
