@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Warehouse sink surface (SURVEY.md §2.1 K1/K2).
+  *
+  * The reference writes its six star-schema tables with pandas-gbq's
+  * default `if_exists='fail'` (`fotmob-dag.py:179-183`) — write-once —
+  * while the BI view is `CREATE OR REPLACE` (`create_looker_data_table
+  * .sql:1`) — overwrite. The same asymmetry here, on parquet:
+  *
+  *  - [[writeTable]]: `SaveMode.ErrorIfExists` — a re-run against an
+  *    existing table fails loudly instead of silently duplicating;
+  *  - [[overwriteTable]]: CTAS-style replace for derived views;
+  *  - [[writePartitioned]]: hive-style partition directories so
+  *    downstream scans prune partitions at the source (`PartitionFilters`
+  *    in the scan node) — the first lever for 100 TB layouts;
+  *  - [[writeBucketed]]: pre-shuffled bucket layout via `bucketBy` +
+  *    `saveAsTable`; equal-bucketed tables join with NO exchange on
+  *    either side (asserted in SinkSpec).
+  */
+object Sinks {
+
+  /** K1 semantics: write-once base table. */
+  def writeTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.ErrorIfExists).parquet(path)
+
+  /** K2 semantics: CREATE OR REPLACE for derived/BI tables. */
+  def overwriteTable(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partitioned layout: one directory per partition-column value;
+    * filters on those columns prune whole directories at planning time. */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed layout registered in the session catalog: rows are
+    * hash-distributed into `nBuckets` files per partition by
+    * `bucketCols`, and sorted within buckets — joins/aggregations on the
+    * bucket keys skip the shuffle entirely. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      nBuckets: Int,
+      bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

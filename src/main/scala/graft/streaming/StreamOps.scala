@@ -55,6 +55,34 @@ object StreamOps {
         fmt(col("session_window.end")).as("s_end"),
         col("n"))
 
+  /** Custom keyed state via flatMapGroupsWithState: per-user running
+    * event count and value total, emitted on every update. The state
+    * store carries one small record per user — the streaming analog of
+    * a partial aggregate — so state size scales with |users|, not
+    * |events|. */
+  def runningUserTotals(
+      spark: SparkSession,
+      events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0d))
+          // exact accumulation in cents to stay merge-order independent
+          val batch = rows.toSeq
+          val n = n0 + batch.size
+          val v = v0 + batch.map(r => math.round(r._2 * 100).toDouble).sum
+          state.update((n, v))
+          Iterator((user, n, v / 100d))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** True streaming query: file-source stream over the events parquet,
     * 1-hour event-time watermark, tumbling window counts, memory sink.
     * Complete output mode so a single-batch bounded run still emits its

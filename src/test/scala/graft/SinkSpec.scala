@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+import graft.sources.Sinks
+
+/** Sink-surface + scale-utility specs: write-mode semantics (K1/K2),
+  * partition pruning, bucketed shuffle-free joins, salted skew joins. */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_sink").toString
+
+  test("K1 write-once: second write fails loudly") {
+    val dir = tmp() + "/t"
+    val df = Seq((1L, "a")).toDF("k", "v")
+    Sinks.writeTable(df, dir)
+    intercept[Exception] { Sinks.writeTable(df, dir) }
+    // K2 overwrite succeeds where K1 refuses
+    Sinks.overwriteTable(df, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val dir = tmp() + "/p"
+    Sinks.writePartitioned(
+      Tables(spark, sf, "orders"), dir, Seq("o_orderpriority"))
+    val scan = spark.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderpriority"))
+    // pruned scan reads only the matching directory
+    val all = spark.read.parquet(dir).count()
+    assert(scan.count() < all)
+  }
+
+  test("equal-bucketed tables join without a shuffle exchange") {
+    Sinks.writeBucketed(
+      Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      "b_orders", 4, Seq("o_orderkey"))
+    Sinks.writeBucketed(
+      Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+      "b_lineitem", 4, Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join is row-identical to the plain join on skewed data") {
+    // 90% of rows share one key — the classic straggler shape
+    val large = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong)).toDF("k", "payload")
+    val small = Seq((42L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = SkewJoin.saltedJoin(large, small, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "payload", "name")
+      .except(plain.select("k", "payload", "name")).count() == 0)
+    assert(plain.select("k", "payload", "name")
+      .except(salted.select("k", "payload", "name")).count() == 0)
+  }
+}

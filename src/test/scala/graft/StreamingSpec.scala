@@ -93,6 +93,27 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1)._4 == 1L)
   }
 
+  test("flatMapGroupsWithState carries per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val df = mem.toDF().toDF("user_id", "value")
+    val q = StreamOps.runningUserTotals(spark, df)
+      .writeStream.format("memory").queryName("state_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 10.0), (1L, 5.0), (2L, 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 2.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("state_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch 1 emissions
+    assert(rows.contains((1L, 2L, 15.0)) && rows.contains((2L, 1L, 1.0)))
+    // batch 2: user 1's state carried over (2 events + 1 more)
+    assert(rows.contains((1L, 3L, 17.5)))
+  }
+
   test("x_stream_latedata runs a real streaming query and emits windows") {
     val df = SparkEntry.queries("x_stream_latedata")(spark, sf)
     assert(df.count() > 0)
