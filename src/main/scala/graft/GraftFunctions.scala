@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProductFloat
+
+/** SQL-surface registration for the engine's custom expressions, so the
+  * same operators are reachable from `spark.sql(...)` as from the
+  * DataFrame API.
+  *
+  * Two entry points:
+  *  - [[registerAll]] — register on an existing session (temp functions);
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.GraftExtensions` in spark-submit /
+  *    cluster deployments, where the session is built by the platform.
+  */
+object GraftFunctions {
+
+  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dot_f32" -> (exprs => {
+      require(exprs.length == 2,
+        s"dot_f32 requires exactly 2 arguments (two ARRAY<FLOAT> columns), got ${exprs.length}")
+      DotProductFloat(exprs(0), exprs(1))
+    }))
+
+  /** Register all graft SQL functions as session temp functions. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+
+  private[graft] def inject(e: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProductFloat].getName, name),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point (see [[GraftFunctions]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(e)
+}

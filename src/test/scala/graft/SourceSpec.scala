@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.fidelity.FotmobPipeline
+import graft.sources.Sources
+
+/** Source-surface specs: declared-schema JSON ingestion, malformed-row
+  * handling, input enumeration, id dedup, format round-trips, and the
+  * SQL registration of custom expressions. */
+class SourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = "src/test/resources/fotmob_matches.jsonl"
+
+  test("FAILFAST json ingestion rejects malformed rows loudly") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    Files.writeString(Paths.get(s"$dir/bad.jsonl"),
+      """{"matchId":"ok","general":null,"content":null}
+        |this is not json
+        |""".stripMargin)
+    intercept[Exception] {
+      Sources.readJsonLines(spark, s"$dir/bad.jsonl",
+        FotmobPipeline.matchDocSchema).collect()
+    }
+    // Spark refuses to query only the corrupt-record column of a raw
+    // file scan — cache first (documented JSON datasource restriction)
+    val permissive = Sources.readJsonLinesPermissive(
+      spark, s"$dir/bad.jsonl", FotmobPipeline.matchDocSchema).cache()
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("matchId") === "ok").count() == 1)
+  }
+
+  test("input enumeration runs in the scan, not on the driver") {
+    val inputs = Sources.listInputs(
+      FotmobPipeline.readMatches(spark, fixture))
+    val rows = inputs.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 3)
+  }
+
+  test("distinctIds reproduces the reference's manual in-loop dedup") {
+    val ids = Seq("m1", "m2", "m1", "m3", "m2").toDF("match_id")
+    assert(Sources.distinctIds(ids, "match_id").count() == 3)
+  }
+
+  test("csv and json round-trips preserve data") {
+    val dir = Files.createTempDirectory("graft_rt").toString
+    val src = Tables(spark, sf, "nation")
+    src.write.option("header", "true").csv(s"$dir/csv")
+    src.write.json(s"$dir/json")
+    val csv = spark.read.option("header", "true")
+      .schema(src.schema).csv(s"$dir/csv")
+    val json = spark.read.schema(src.schema).json(s"$dir/json")
+    assert(csv.except(src).count() == 0 && src.except(csv).count() == 0)
+    assert(json.except(src).count() == 0 && src.except(json).count() == 0)
+  }
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftFunctions.registerAll(spark)
+    Tables(spark, sf, "embeddings").createOrReplaceTempView("graft_emb")
+    val viaSql = spark.sql(
+      """SELECT vec_id, round(dot_f32(embedding, embedding), 4) AS n2
+        |FROM graft_emb ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    val viaApi = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        round(graft.expressions.DotProductFloat(
+          col("embedding"), col("embedding")), 4).as("n2"))
+      .orderBy("vec_id").limit(5).collect()
+    assert(viaSql.map(_.toString).toSeq == viaApi.map(_.toString).toSeq)
+  }
+}
