@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.functions.Hashing
 
 /** Document deduplication operators for large-corpus pipelines.
@@ -29,7 +31,9 @@ import graft.functions.Hashing
 object Dedup {
 
   /** Word shingles (k consecutive tokens joined by space), deduplicated.
-    * Requires a column `w` holding the token array. */
+    * Requires a column `w` holding the token array. (Measured: the
+    * slice+concat_ws form beats per-element element_at lookups — ArrayData
+    * slicing is a cheap copy, repeated element_at is not.) */
   private def shingleExpr(k: Int): Column =
     when(size(col("w")) >= k,
       array_distinct(expr(
@@ -82,7 +86,10 @@ object Dedup {
     * Output: (d1, d2, jac) for all pairs with Jaccard ≥ threshold. */
   def nearDupJaccard(
       docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, k)
+    // the shingle frame feeds four plan branches (df-ordering, both
+    // prefix sides, verification); without caching the whole corpus is
+    // re-scanned and re-shingled per branch (9 scans observed)
+    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
       explode(col("shingles")).as("s"))
     // global rarity order: (document frequency, shingle)
@@ -116,7 +123,7 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, k)
+    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     // Kirsch-Mitzenmacher double hashing: h_j = (h1 + j*h2) mod 2^32 —
     // two md5 evaluations per shingle instead of numHashes
@@ -167,7 +174,8 @@ object Dedup {
     * agree there), then full 32-bit Hamming distance ≤ maxHamming.
     * Output: (d1, d2, hamming). */
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val hs = simHashes(docs)
+    // both join sides derive from the same sketch frame
+    val hs = simHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val a = hs.select(
       col("doc_id").as("d1"), col("simhash").as("sh1"),
       shiftright(col("simhash"), 16).as("block"))

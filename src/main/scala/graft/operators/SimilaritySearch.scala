@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.functions.Similarity
 
 /** Approximate & exact nearest-neighbor search over embedding columns
@@ -103,6 +105,7 @@ object SimilaritySearch {
       nProbes: Int = 4): DataFrame = {
     val withBuckets = vecs.join(lshBuckets(vecs, nProbes), "vec_id")
       .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read by query + candidate sides
     val queries = withBuckets.filter(col("vec_id") < nQueries)
       .select(
         col("vec_id").as("q_id"), col("embedding").as("q_vec"),
