@@ -21,14 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2.2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TierF.queries ++ TierR.queries ++ TierX.queries ++ TierS.queries ++ TierU.queries
+    TierF.queries ++ TierR.queries ++ TierP.queries ++ TierX.queries ++ TierS.queries ++ TierU.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for ops that are not
     * batch-SQL-expressible (driver records a rows-only check); see
     * [[oracleOmissions]]. */
   def oracleSql: Map[String, String] =
-    TierF.oracle ++ TierR.oracle ++ TierX.oracle ++ TierS.oracle ++ TierU.oracle
+    TierF.oracle ++ TierR.oracle ++ TierP.oracle ++ TierX.oracle ++ TierS.oracle ++ TierU.oracle
 
   /** Queries intentionally shipped without a DuckDB oracle, with the
     * reason — the driver records a rows-only check for these. */

@@ -55,6 +55,17 @@ object StreamOps {
         fmt(col("session_window.end")).as("s_end"),
         col("n"))
 
+  /** Streaming dedup with bounded state: drops event_id duplicates that
+    * arrive within the watermark horizon, and EXPIRES the dedup state
+    * once the watermark passes — the only way exact-ish dedup survives
+    * an unbounded stream (plain dropDuplicates state grows forever).
+    * Duplicates arriving later than the watermark are not caught; that
+    * is the documented trade. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state via flatMapGroupsWithState: per-user running
     * event count and value total, emitted on every update. The state
     * store carries one small record per user — the streaming analog of

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** Edge-case semantics (SURVEY.md §5.2): empty inputs, null join keys,
+  * null handling in conditionals and aggregates — pinned explicitly so
+  * SQL-null surprises can't hide inside the oracle-checked happy path. */
+class NullEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = true),
+    StructField("v", StringType, nullable = true)))
+
+  private def df(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+
+  test("null join keys never match (inner, semi, anti)") {
+    val a = df(Seq(Row(1L, "a"), Row(null, "an"), Row(2L, "b")))
+    val b = df(Seq(Row(1L, "x"), Row(null, "bn")))
+    assert(a.join(b, Seq("k")).count() == 1)
+    assert(a.join(b, Seq("k"), "left_semi").count() == 1)
+    // anti keeps the null-key row: null fails the equality, so it has
+    // no match and survives NOT EXISTS
+    assert(a.join(b, Seq("k"), "left_anti").count() == 2)
+  }
+
+  test("when/otherwise: null comparisons fall through to otherwise") {
+    val d = df(Seq(Row(1L, "x"), Row(2L, null)))
+      .withColumn("c",
+        when(col("v") === "x", "hit").otherwise("miss"))
+    val byK = d.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byK(1L) == "hit")
+    assert(byK(2L) == "miss") // null === "x" is null -> otherwise
+  }
+
+  test("aggregates over empty input") {
+    val empty = df(Seq.empty)
+    // global agg on empty input: one row, count 0, null sum
+    val g = empty.agg(count(lit(1)).as("n"), sum("k").as("s")).collect().head
+    assert(g.getLong(0) == 0L && g.isNullAt(1))
+    // grouped agg on empty input: zero rows
+    assert(empty.groupBy("v").count().count() == 0)
+  }
+
+  test("count ignores nulls, count(*) does not; avg skips nulls") {
+    val d = df(Seq(Row(1L, "a"), Row(null, "b"), Row(3L, "c")))
+    val r = d.agg(
+      count(col("k")).as("ck"), count(lit(1)).as("call"),
+      avg(col("k")).as("ak")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0) // (1+3)/2, null skipped
+  }
+
+  test("dedup operators tolerate empty corpora") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+    assert(Dedup.exact(empty).count() == 0)
+    assert(Dedup.nearDupJaccard(empty).count() == 0)
+    assert(Dedup.nearDupMinHash(empty).count() == 0)
+    assert(Dedup.simHash(empty).count() == 0)
+  }
+
+  test("distinct treats null as a value (one null group)") {
+    val d = df(Seq(Row(null, "a"), Row(null, "b"), Row(1L, "c")))
+    assert(d.select("k").dropDuplicates().count() == 2)
+  }
+}

@@ -114,6 +114,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 17.5)))
   }
 
+  test("dropDuplicatesWithinWatermark dedups in-horizon, expires state after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "event_id")
+    val q = StreamOps.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: a duplicate within the same batch -> one survivor
+      mem.addData(Seq(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:00:01"), 1L),
+        (ts("2024-01-01 10:05:00"), 2L)))
+      q.processAllAvailable()
+      // batch 2: id 1 again while still within the 30-min horizon -> dropped
+      mem.addData(Seq((ts("2024-01-01 10:10:00"), 1L)))
+      q.processAllAvailable()
+      // batch 3: advance watermark far past the horizon, then batch 4
+      // re-sends id 1 -> state expired, so it is emitted AGAIN
+      mem.addData(Seq((ts("2024-01-01 14:00:00"), 3L)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts("2024-01-01 14:00:01"), 1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream")
+      .collect().map(_.getLong(1)).toSeq.sorted
+    assert(ids == Seq(1L, 1L, 2L, 3L)) // id 1 twice: once per horizon
+  }
+
   test("x_stream_latedata runs a real streaming query and emits windows") {
     val df = SparkEntry.queries("x_stream_latedata")(spark, sf)
     assert(df.count() > 0)
