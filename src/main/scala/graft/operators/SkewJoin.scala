@@ -31,7 +31,8 @@ object SkewJoin {
       saltFactor: Int = 8): DataFrame = {
     val salted = large.withColumn(
       "_salt",
-      pmod(xxhash64(large.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(saltFactor))
+        .cast("int"))
     val replicated = small.withColumn(
       "_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -52,7 +52,7 @@ object TierS {
         |l AS (SELECT user_id, ts,
         |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM x),
         |f AS (SELECT user_id, ts,
-        |        CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
         |             THEN 1 ELSE 0 END AS new_s FROM l),
         |g AS (SELECT user_id, ts,
         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts

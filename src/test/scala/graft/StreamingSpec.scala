@@ -93,6 +93,25 @@ class StreamingSpec extends SparkSpec {
     assert(u1(1)._4 == 1L)
   }
 
+  test("session windows MERGE an exactly-gap-length pause (inclusive bound)") {
+    // pins the semantics the gaps-and-islands oracle must mirror: Spark
+    // treats a pause of exactly the gap duration as the SAME session
+    // (merge when next_start <= prev_end), so the oracle's new-session
+    // condition is strictly `gap > duration`, not `>=`.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    mem.addData(Seq(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:30:00"), 1L)))
+    val q = StreamOps.sessionized(mem.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("session_edge")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("session_edge").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(2) == "2024-01-01 11:00:00") // 10:30 + gap
+  }
+
   test("flatMapGroupsWithState carries per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
