@@ -65,6 +65,28 @@ object TierR {
       .agg(approx_count_distinct("l_suppkey").as("approx_supp"))
       .orderBy("l_returnflag")
 
+  /** Exact percentiles (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the definition) per order priority. */
+  private val rAggPercentile: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        r4(min("o_totalprice")).as("lo"),
+        r4(max("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority")
+
+  /** Statistical aggregates: sample stddev/variance and correlation. */
+  private val rAggStats: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        r4(stddev_samp(col("o_totalprice"))).as("sd"),
+        r4(var_samp(col("o_totalprice"))./(lit(1e6))).as("var_m"),
+        r4(corr(col("o_totalprice"), col("o_custkey"))).as("price_cust_corr"))
+      .orderBy("o_orderpriority")
+
   private def ordersCustNation(s: SparkSession, d: String): DataFrame = {
     val o = Tables(s, d, "orders")
     val c = Tables(s, d, "customer")
@@ -327,6 +349,8 @@ object TierR {
     "r_agg_group" -> rAggGroup,
     "r_agg_distinct" -> rAggDistinct,
     "r_agg_approx_distinct" -> rAggApproxDistinct,
+    "r_agg_percentile" -> rAggPercentile,
+    "r_agg_stats" -> rAggStats,
     "r_agg_rollup" -> rAggRollup,
     "r_agg_cube" -> rAggCube,
     "r_agg_gsets" -> rAggGsets,
@@ -351,6 +375,19 @@ object TierR {
     s"CAST(sum(CAST(round(($e) * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6"
 
   val oracle: Map[String, String] = Map(
+    "r_agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       round(min(o_totalprice), 4) AS lo,
+        |       round(max(o_totalprice), 4) AS hi
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "r_agg_stats" ->
+      """SELECT o_orderpriority,
+        |       round(stddev_samp(o_totalprice), 4) AS sd,
+        |       round(var_samp(o_totalprice) / 1e6, 4) AS var_m,
+        |       round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ${moneySumSql("l_quantity")} AS sum_qty,
@@ -368,6 +405,19 @@ object TierR {
     "r_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r_agg_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       round(min(o_totalprice), 4) AS lo,
+        |       round(max(o_totalprice), 4) AS hi
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "r_agg_stats" ->
+      """SELECT o_orderpriority,
+        |       round(stddev_samp(o_totalprice), 4) AS sd,
+        |       round(var_samp(o_totalprice) / 1e6, 4) AS var_m,
+        |       round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_agg_rollup" ->
       s"""SELECT n_name, o_orderpriority,
         |       CAST(GROUPING(n_name) AS INT) AS g_nation,
