@@ -198,6 +198,21 @@ object TierR {
       .orderBy("user_id", "id1", "id2")
   }
 
+  /** As-of join (composed, see [[graft.operators.AsOfJoin]]): attribute
+    * each purchase to the user's most recent preceding-or-simultaneous
+    * click. */
+  private val rJoinAsof: Q = (s, d) => {
+    val e = Tables(s, d, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.AsOfJoin
+      .asofJoin(purchases, clicks, "user_id", "ts", "event_id", "click_id")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   // ---- window family ----------------------------------------------------
 
   /** Ranking windows: top-3 orders per customer by price. */
@@ -359,6 +374,7 @@ object TierR {
     "r_join_anti" -> rJoinAnti,
     "r_join_full" -> rJoinFull,
     "r_join_range" -> rJoinRange,
+    "r_join_asof" -> rJoinAsof,
     "r_window_rank" -> rWindowRank,
     "r_window_running" -> rWindowRunning,
     "r_window_lag" -> rWindowLag,
@@ -484,6 +500,17 @@ object TierR {
         |AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
         |AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY e1.user_id, id1, id2""".stripMargin,
+    "r_join_asof" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |                  CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |cl AS (SELECT user_id, event_id AS click_id,
+        |              CAST(ts AS TIMESTAMP) AS ts
+        |       FROM events WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p.purchase_id, cl.click_id
+        |FROM p ASOF LEFT JOIN cl
+        |ON p.user_id = cl.user_id AND p.ts >= cl.ts
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
     "r_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -59,6 +59,36 @@ class TierRSpec extends SparkSpec {
     assert(q("r_join_range").count() > 0)
   }
 
+  test("as-of join: inclusive match, no-predecessor null, latest wins") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L), // before any right -> null
+      (1L, ts("2024-01-01 10:00:00"), 101L), // simultaneous right matches
+      (1L, ts("2024-01-01 12:00:00"), 102L), // latest of two rights
+      (2L, ts("2024-01-01 10:30:00"), 200L)  // other key isolated
+    ).toDF("user_id", "ts", "purchase_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 11L),
+      (1L, ts("2024-01-01 11:00:00"), 12L),
+      (2L, ts("2024-01-01 10:00:00"), 21L)
+    ).toDF("user_id", "ts", "event_id")
+    val res = graft.operators.AsOfJoin
+      .asofJoin(left, right, "user_id", "ts", "event_id", "click_id")
+      .collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)).toMap
+    assert(res == Map(
+      100L -> None, 101L -> Some(11L), 102L -> Some(12L), 200L -> Some(21L)))
+  }
+
+  test("as-of join plans one shuffle, no range-join explosion") {
+    val p = plan("r_join_asof")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+
   test("r_window_rank emits at most 3 rows per customer") {
     val over = q("r_window_rank").groupBy("o_custkey").count()
       .filter(col("count") > 3)
