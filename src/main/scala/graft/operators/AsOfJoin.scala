@@ -37,9 +37,15 @@ object AsOfJoin {
       tsCol: String,
       valueCol: String,
       matchCol: String): DataFrame = {
-    val r = right.select(
-      col(key), col(tsCol), col(valueCol).cast("long").as("_rv"),
-      lit(0).as("_tag"))
+    // right rows with null ts or null value cannot participate: a null
+    // ts never satisfies l.ts >= r.ts in engines with SQL-null
+    // comparison semantics, and a null value is indistinguishable from
+    // "no match" downstream — drop both up front
+    val r = right
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(key), col(tsCol), col(valueCol).cast("long").as("_rv"),
+        lit(0).as("_tag"))
     val l = left.withColumn("_tag", lit(1))
     val tagged = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)

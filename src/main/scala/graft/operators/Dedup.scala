@@ -15,10 +15,11 @@ import graft.functions.Hashing
   *  1. [[exact]] — hash-groupBy on normalized text. One shuffle on the
   *     256-bit digest; at 100 TB the shuffle carries (digest, doc_id)
   *     pairs only, never the text.
-  *  2. [[nearDupJaccard]] — word-k-gram (shingle) Jaccard with an
-  *     inverted-index candidate join: docs sharing ≥1 shingle are
-  *     candidates (full recall for any Jaccard > 0), then exact
-  *     verification. Scales with shingle collision count, not docs².
+  *  2. [[nearDupJaccard]] — word-k-gram (shingle) Jaccard with
+  *     prefix-filtered inverted-index candidates: exact recall for
+  *     pairs at or above the THRESHOLD passed at candidate time (not
+  *     for arbitrarily low similarities), then exact verification.
+  *     Scales with rare-shingle collision count, not docs².
   *  3. [[nearDupMinHash]] — MinHash signatures + banded LSH: candidate
   *     generation cost is O(docs × bands); recall is probabilistic
   *     (tuned by bands×rows), verification is exact.

@@ -76,10 +76,14 @@ object SimilaritySearch {
   }
 
   /** Sign-pattern bucket id for every vector: bit p = 1 iff
-    * dot(vec, probe_p) ≥ 0, probes = the nProbes lowest vec_ids. */
+    * dot(vec, probe_p) ≥ 0, probes = the nProbes lowest vec_ids
+    * actually present (derived, not assumed — a corpus whose ids don't
+    * start at 0 would otherwise produce NULL buckets for everything). */
   def lshBuckets(vecs: DataFrame, nProbes: Int = 4): DataFrame = {
-    val probes = vecs.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
+    val probes = vecs.orderBy("vec_id").limit(nProbes)
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("p_id"),
+        col("embedding").as("p_vec"))
     val bits = vecs.crossJoin(broadcast(probes))
       .select(
         col("vec_id"), col("p_id"),

@@ -23,18 +23,25 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `large ⋈ small` on `key`, salted `saltFactor`
-    * ways. Result is row-identical to `large.join(small, key)`. */
+    * ways. Result is row-identical to `large.join(small, key)` — any
+    * salt assignment yields the same result set, so the salt need not be
+    * deterministic. It is derived from the row's position
+    * (monotonically_increasing_id), not its content: content-hash salts
+    * would send byte-identical duplicate rows (common in log data) to
+    * the same partition, re-creating the exact straggler being fixed. */
   def saltedJoin(
       large: DataFrame,
       small: DataFrame,
       key: String,
       saltFactor: Int = 8): DataFrame = {
+    val saltCol = "__graft_salt"
+    require(!large.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"input already has a $saltCol column")
     val salted = large.withColumn(
-      "_salt",
-      pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(saltFactor))
-        .cast("int"))
+      saltCol,
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn(
-      "_salt", explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+      saltCol, explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

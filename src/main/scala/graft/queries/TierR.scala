@@ -421,19 +421,6 @@ object TierR {
     "r_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "r_agg_percentile" ->
-      """SELECT o_orderpriority,
-        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
-        |       round(min(o_totalprice), 4) AS lo,
-        |       round(max(o_totalprice), 4) AS hi
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "r_agg_stats" ->
-      """SELECT o_orderpriority,
-        |       round(stddev_samp(o_totalprice), 4) AS sd,
-        |       round(var_samp(o_totalprice) / 1e6, 4) AS var_m,
-        |       round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_agg_rollup" ->
       s"""SELECT n_name, o_orderpriority,
         |       CAST(GROUPING(n_name) AS INT) AS g_nation,

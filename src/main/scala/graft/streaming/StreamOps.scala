@@ -114,7 +114,9 @@ object StreamOps {
       .select(
         fmt(col("window.start")).as("w_start"),
         col("event_type"), col("n"))
-    val name = s"graft_latedata_${System.nanoTime()}"
+    // fixed name: the memory sink replaces the table on restart, so
+    // repeated calls in one session do not accumulate driver tables
+    val name = "graft_latedata"
     val q = stream.writeStream
       .format("memory")
       .queryName(name)

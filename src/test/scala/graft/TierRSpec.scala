@@ -54,9 +54,12 @@ class TierRSpec extends SparkSpec {
     assert(p.contains("Join"))
   }
 
-  test("r_join_range pairs are strictly ordered within the band") {
-    val bad = q("r_join_range").filter(col("id1") >= col("id2") === false)
-    assert(q("r_join_range").count() > 0)
+  test("r_join_range emits pairs and each pair is time-ordered") {
+    val df = q("r_join_range")
+    assert(df.count() > 0)
+    // ts2 > ts1 by construction; event ids are assigned in ts order in
+    // this corpus, so id1 >= id2 would indicate a broken band predicate
+    assert(df.filter(col("id1") >= col("id2")).count() == 0)
   }
 
   test("as-of join: inclusive match, no-predecessor null, latest wins") {
