@@ -1,0 +1,30 @@
+package graft
+
+/** Partition-invariance: declared queries must produce identical rows
+  * regardless of `spark.sql.shuffle.partitions` — the property that
+  * makes results reproducible between local[4] and a 1000-executor
+  * cluster. Exercises the order-sensitive suspects: exact decimal
+  * sums, window frames, sketch pipelines, surrogate keys. */
+class DeterminismSpec extends SparkSpec {
+
+  private val sample = Seq(
+    "r_agg_group",       // decimal money sums across merge orders
+    "r_window_running",  // frame accumulation
+    "f_surrogate_key",   // row_number density
+    "x_dedup_minhash",   // sketch + LSH + verify chain
+    "x_stream_session")  // session assembly
+
+  sample.foreach { name =>
+    test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        val a = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        val b = SparkEntry.queries(name)(spark, sf).collect().map(_.toString)
+        assert(a.length == b.length)
+        assert(a.sameElements(b), s"$name diverged across partition counts")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}
