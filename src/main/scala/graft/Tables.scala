@@ -25,15 +25,16 @@ object Tables {
   val requiredConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Floor-truncate a nanos-as-long column to a µs TimestampType —
+    * matching how DuckDB casts TIMESTAMP_NS to TIMESTAMP in the oracle.
+    * (Integer `div`, not double division: ns epoch values exceed 2^53.) */
+  def nanosToMicrosTs(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"$colName div 1000"))
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // floor-truncate nanos -> micros (integer div), matching how DuckDB
-      // casts TIMESTAMP_NS to TIMESTAMP in the oracle.
-      df.withColumn(
-        "ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    if (name == "events") df.withColumn("ts", nanosToMicrosTs("ts"))
     else df
   }
 }
@@ -41,10 +42,10 @@ object Tables {
 /** Shared conventions that keep Spark results hash-identical to the DuckDB
   * oracle (SURVEY.md §2.2 determinism rules):
   *
-  *  - money sums: `sum(expr.cast(decimal(18,2)))` — decimal addition is
-  *    exact and therefore order-independent, so partial aggregation /
-  *    shuffle order can't change the result (double sums would differ in
-  *    the last ulps between engines);
+  *  - money sums: scaled-integer decimal accumulation (see [[moneySum]])
+  *    — exact and therefore order-independent, so partial aggregation /
+  *    shuffle order can't change the result, and tie-free under the
+  *    Spark-vs-DuckDB double→decimal rounding difference;
   *  - doubles that are per-row deterministic (ratios, avgs over big
   *    divisors, cosines) are `round(_, 4)`;
   *  - surrogate keys: `row_number() over (order by natural_key) - 1`, cast

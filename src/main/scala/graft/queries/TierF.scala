@@ -16,7 +16,6 @@ import graft.Tables
   * shuffle-partitioned on the join/group keys.
   */
 object TierF {
-  type Q = (SparkSession, String) => DataFrame
 
   /** P5/P7 (fotmob-dag.py:103-118,149-153): scan + aliased projection.
     * Column pruning reaches the parquet scan — ReadSchema lists only the

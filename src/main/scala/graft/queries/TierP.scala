@@ -17,7 +17,6 @@ import graft.Tables
   * one pass, no union of self-scans.
   */
 object TierP {
-  type Q = (SparkSession, String) => DataFrame
 
   val eventTypes: Seq[String] =
     Seq("click", "error", "purchase", "signup", "view")

@@ -26,7 +26,6 @@ import graft.Conventions.{moneySum, moneySumOver}
   *    join with a residual range predicate, never a cartesian product.
   */
 object TierR {
-  type Q = (SparkSession, String) => DataFrame
   import Conventions.r4
 
   // ---- aggregation family ----------------------------------------------
@@ -386,9 +385,6 @@ object TierR {
     "r_math_fns" -> rMathFns,
     "r_array_fns" -> rArrayFns,
     "r_map_json_fns" -> rMapJsonFns)
-
-  private val moneySumSql = (e: String) =>
-    s"CAST(sum(CAST(round(($e) * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6"
 
   val oracle: Map[String, String] = Map(
     "r_agg_percentile" ->

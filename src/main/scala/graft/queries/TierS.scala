@@ -16,7 +16,6 @@ import graft.streaming.StreamOps
   * are pinned by StreamingSpec with a two-batch MemoryStream.
   */
 object TierS {
-  type Q = (SparkSession, String) => DataFrame
 
   private def events(s: SparkSession, d: String) = Tables(s, d, "events")
 
@@ -29,9 +28,6 @@ object TierS {
       StreamOps.sessionized(events(s, d)).orderBy("user_id", "s_start")),
     "x_stream_latedata" -> ((s, d) =>
       StreamOps.lateDataWindowed(s, d).orderBy("w_start", "event_type")))
-
-  private val moneySumSql = (e: String) =>
-    s"CAST(sum(CAST(round(($e) * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6"
 
   val oracle: Map[String, String] = Map(
     "x_stream_tumbling" ->

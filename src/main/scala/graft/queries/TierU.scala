@@ -15,7 +15,6 @@ import graft.functions.Aggregators
   * pushdown through them).
   */
 object TierU {
-  type Q = (SparkSession, String) => DataFrame
 
   /** Typed Aggregator registered as a UDAF, grouped per return flag. */
   private val uUdafComposite: Q = (s, d) => {

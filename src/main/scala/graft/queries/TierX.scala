@@ -16,7 +16,6 @@ import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
   * cross-engine-verified, not just row-counted.
   */
 object TierX {
-  type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
   private def vecs(s: SparkSession, d: String) = Tables(s, d, "embeddings")

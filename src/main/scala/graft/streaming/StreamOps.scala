@@ -107,7 +107,7 @@ object StreamOps {
       // the table is a single file: FileStreamSource needs a glob, not a
       // literal file path (a literal path must be a directory)
       .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.Tables.nanosToMicrosTs("ts"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
