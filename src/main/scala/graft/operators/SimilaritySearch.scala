@@ -100,6 +100,67 @@ object SimilaritySearch {
         concat((0 until nProbes).map(p => col(s"b$p")): _*).as("bucket"))
   }
 
+  /** IVF coarse quantizer: assign every vector to its nearest centroid
+    * cell. Centroids are the nCentroids lowest vec_ids (a deterministic,
+    * training-free stand-in — production would run k-means; the
+    * assignment/probe plumbing is identical). Output: (vec_id, cell). */
+  def ivfCells(vecs: DataFrame, nCentroids: Int = 8): DataFrame =
+    ivfAssignments(vecs, nCentroids).filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+
+  /** Per-vector centroid ranking (rank 1 = nearest). Cosine against
+    * each centroid needs only the centroid norm — the vector's own norm
+    * is constant within its argmax. */
+  private def ivfAssignments(vecs: DataFrame, nCentroids: Int): DataFrame = {
+    val centroids = vecs.orderBy("vec_id").limit(nCentroids)
+      .select(
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("c_id"),
+        col("embedding").as("c_vec"))
+      .withColumn("c_nrm", sqrt(Similarity.norm2(col("c_vec"))))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("c_id"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("c_sim",
+        Similarity.dot(col("embedding"), col("c_vec")) / col("c_nrm"))
+      .withColumn("c_rank", row_number().over(w))
+  }
+
+  /** IVF top-k: search only the nProbe cells nearest to each query
+    * vector. At scale the corpus is partitioned by cell (each probe
+    * touches |corpus|/nCentroids vectors), while the centroid table is
+    * a broadcast constant. Exact recall is bounded by the probe count —
+    * the standard IVF trade. */
+  def ivfTopK(
+      vecs: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nCentroids: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val corpus = vecs.join(ivfCells(vecs, nCentroids), "vec_id")
+      .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queryProbes = ivfAssignments(vecs, nCentroids)
+      .filter(col("vec_id") < nQueries && col("c_rank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"))
+      .join(queryProbes, "q_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    corpus.join(broadcast(queries), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        Similarity.dot(col("embedding"), col("q_vec"))
+          / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"), col("vec_id"), col("cell"), col("rank"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
   /** LSH-bucketed top-k: like [[bruteTopK]] but candidates are only the
     * vectors in the query's own bucket. */
   def lshTopK(

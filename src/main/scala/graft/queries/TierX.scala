@@ -40,6 +40,10 @@ object TierX {
     "x_sim_ann_lsh" -> ((s, d) =>
       SimilaritySearch.lshTopK(vecs(s, d), nQueries = 5, k = 5, nProbes = 4)
         .orderBy("q_id", "rank")),
+    "x_sim_ivf" -> ((s, d) =>
+      SimilaritySearch
+        .ivfTopK(vecs(s, d), nQueries = 5, k = 5, nCentroids = 8, nProbe = 2)
+        .orderBy("q_id", "rank")),
     "x_text_analysis" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d)).orderBy("lang")),
     "x_lang_id" -> ((s, d) =>
@@ -145,6 +149,34 @@ object TierX {
         |      FROM c)
         |SELECT q_id, vec_id, rank, round(cos_raw, 4) AS cos
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "x_sim_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id,
+        |                embedding AS c_vec
+        |         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM cent),
+        |asg AS (SELECT v.vec_id, c.c_id,
+        |          row_number() OVER (PARTITION BY v.vec_id
+        |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
+        |        FROM e v CROSS JOIN cn c),
+        |cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE c_rank = 1),
+        |corpus AS (SELECT e.vec_id, e.embedding, cells.cell,
+        |                  sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+        |           FROM e JOIN cells USING (vec_id)),
+        |probes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+        |           WHERE vec_id < 5 AND c_rank <= 2),
+        |q AS (SELECT corpus.vec_id AS q_id, corpus.embedding AS q_vec,
+        |             corpus.nrm AS q_nrm, probes.cell
+        |      FROM corpus JOIN probes ON corpus.vec_id = probes.q_id),
+        |cand AS (SELECT q.q_id, v.vec_id, v.cell,
+        |           ${dotSql("v.embedding", "q.q_vec")} / (v.nrm * q.q_nrm) AS cos_raw
+        |         FROM corpus v JOIN q ON v.cell = q.cell
+        |         WHERE v.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cell, cos_raw,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
+        |      FROM cand)
+        |SELECT q_id, vec_id, cell, rank, round(cos_raw, 4) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "x_sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |probes AS (SELECT vec_id AS p_id, embedding AS p_vec FROM embeddings WHERE vec_id < 4),

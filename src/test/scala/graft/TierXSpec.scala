@@ -62,6 +62,20 @@ class TierXSpec extends SparkSpec {
       df.select("q_id").distinct().count())
   }
 
+  test("ivf: every vector lands in exactly one cell; probes bound recall") {
+    val vecs = Tables(spark, sf, "embeddings")
+    val cells = SimilaritySearch.ivfCells(vecs, nCentroids = 8)
+    assert(cells.count() == vecs.count())
+    assert(cells.groupBy("vec_id").count().filter(col("count") > 1).count() == 0)
+    assert(cells.select("cell").distinct().count() <= 8)
+    val ivf = q("x_sim_ivf")
+    assert(ivf.count() == 25) // 5 queries × k=5
+    // IVF hits must carry the same cosine the exact method computes
+    val brute = SimilaritySearch.bruteTopK(vecs, nQueries = 5, k = 1000000)
+      .select("q_id", "vec_id", "cos")
+    assert(ivf.select("q_id", "vec_id", "cos").except(brute).count() == 0)
+  }
+
   test("lsh candidates are a subset of brute-force ranking") {
     // every ANN hit must also appear somewhere in the full ranking:
     // cosine of (q, v) is query-independent of the method
