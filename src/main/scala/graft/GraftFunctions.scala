@@ -19,11 +19,30 @@ import graft.expressions.DotProductFloat
   */
 object GraftFunctions {
 
+  private def hash32Expr(child: Expression): Expression = {
+    // raw catalyst tree for Hashing.hash32 — registry builders must
+    // return directly-resolvable Expressions (a Column round-trip embeds
+    // unresolved ColumnNode wrappers that fail codegen)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    Cast(
+      Conv(
+        Substring(Md5(Cast(child, BinaryType)), Literal(1), Literal(8)),
+        Literal(16), Literal(10)),
+      LongType)
+  }
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_f32" -> (exprs => {
       require(exprs.length == 2,
         s"dot_f32 requires exactly 2 arguments (two ARRAY<FLOAT> columns), got ${exprs.length}")
       DotProductFloat(exprs(0), exprs(1))
+    }),
+    // the engine-portable hash (oracle parity: '0x'||substr(md5(s),1,8))
+    "graft_hash32" -> (exprs => {
+      require(exprs.length == 1,
+        s"graft_hash32 requires exactly 1 string argument, got ${exprs.length}")
+      hash32Expr(exprs.head)
     }))
 
   /** Register all graft SQL functions as session temp functions. */

@@ -57,6 +57,12 @@ class SourceSpec extends SparkSpec {
     assert(json.except(src).count() == 0 && src.except(json).count() == 0)
   }
 
+  test("graft_hash32 from SQL matches the DuckDB-portable definition") {
+    GraftFunctions.registerAll(spark)
+    val h = spark.sql("SELECT graft_hash32('hello') AS h").collect().head.getLong(0)
+    assert(h == 1564557354L) // == CAST('0x'||substr(md5('hello'),1,8) AS BIGINT)
+  }
+
   test("custom expressions are callable from SQL after registration") {
     GraftFunctions.registerAll(spark)
     Tables(spark, sf, "embeddings").createOrReplaceTempView("graft_emb")
