@@ -32,14 +32,19 @@ object GraftFunctions {
       LongType)
   }
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_f32" -> (exprs => {
+  private case class GraftFn(
+      name: String,
+      implClass: String,
+      builder: Seq[Expression] => Expression)
+
+  private val functions: Seq[GraftFn] = Seq(
+    GraftFn("dot_f32", classOf[DotProductFloat].getName, exprs => {
       require(exprs.length == 2,
         s"dot_f32 requires exactly 2 arguments (two ARRAY<FLOAT> columns), got ${exprs.length}")
       DotProductFloat(exprs(0), exprs(1))
     }),
     // the engine-portable hash (oracle parity: '0x'||substr(md5(s),1,8))
-    "graft_hash32" -> (exprs => {
+    GraftFn("graft_hash32", "graft.functions.Hashing", exprs => {
       require(exprs.length == 1,
         s"graft_hash32 requires exactly 1 string argument, got ${exprs.length}")
       hash32Expr(exprs.head)
@@ -47,17 +52,17 @@ object GraftFunctions {
 
   /** Register all graft SQL functions as session temp functions. */
   def registerAll(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { f =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "scala_udf")
+        f.name, f.builder, "scala_udf")
     }
 
   private[graft] def inject(e: SparkSessionExtensions): Unit =
-    functions.foreach { case (name, builder) =>
+    functions.foreach { f =>
       e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProductFloat].getName, name),
-        builder))
+        FunctionIdentifier(f.name),
+        new ExpressionInfo(f.implClass, f.name),
+        f.builder))
     }
 }
 

@@ -136,10 +136,17 @@ object SimilaritySearch {
       k: Int = 5,
       nCentroids: Int = 8,
       nProbe: Int = 2): DataFrame = {
-    val corpus = vecs.join(ivfCells(vecs, nCentroids), "vec_id")
+    // one persisted assignment pass serves both the corpus cells
+    // (rank 1) and the query probes (rank <= nProbe) — the
+    // vecs x centroids cross join is the operator's dominant cost
+    val assignments = ivfAssignments(vecs, nCentroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = assignments.filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val corpus = vecs.join(cells, "vec_id")
       .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queryProbes = ivfAssignments(vecs, nCentroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val queryProbes = assignments
       .filter(col("vec_id") < nQueries && col("c_rank") <= nProbe)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
     val queries = corpus.filter(col("vec_id") < nQueries)

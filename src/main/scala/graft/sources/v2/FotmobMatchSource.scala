@@ -43,10 +43,14 @@ class FotmobMatchSource extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // properties arrive with the user's original key casing; honor
+    // Spark's case-insensitive option contract
+    val opts = new CaseInsensitiveStringMap(properties)
     new FotmobMatchTable(
-      properties.getOrDefault("matches", "100").toInt,
-      properties.getOrDefault("partitions", "4").toInt)
+      opts.getOrDefault("matches", "100").toInt,
+      opts.getOrDefault("partitions", "4").toInt)
+  }
 }
 
 private class FotmobMatchTable(matches: Int, partitions: Int)

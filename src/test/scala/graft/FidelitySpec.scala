@@ -90,9 +90,20 @@ class FidelitySpec extends SparkSpec {
     intercept[Exception] {
       graft.sources.Sinks.writeTable(tables("fact_table"), s"$out/fact_table")
     }
-    // the BI view rebuilt from the written tables matches the in-memory one
-    val factBack = spark.read.parquet(s"$out/fact_table")
-    assert(factBack.count() == 6)
+    // rebuild the BI view FROM THE WRITTEN TABLES and compare content
+    // (not just counts) against the in-memory view
+    import org.apache.spark.sql.functions.broadcast
+    def rd(n: String) = spark.read.parquet(s"$out/$n")
+    val rebuilt = rd("fact_table")
+      .join(broadcast(rd("match_dim")), Seq("match_id"))
+      .join(broadcast(rd("team_dim")), Seq("team_id"))
+      .join(broadcast(rd("player_dim")), Seq("player_id"))
+      .join(broadcast(rd("shot_type_dim")), Seq("shot_type_id"))
+      .join(broadcast(rd("event_type_dim")), Seq("event_type_id"))
+      .select("shot_id", "team_name", "player_name", "event_type", "situation", "xG")
+    val inMem = FotmobPipeline.lookerData(shots)
+      .select("shot_id", "team_name", "player_name", "event_type", "situation", "xG")
+    assert(rebuilt.except(inMem).count() == 0 && inMem.except(rebuilt).count() == 0)
   }
 
   test("whole pipeline plans broadcast joins for every dim") {
