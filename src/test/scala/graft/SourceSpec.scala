@@ -45,7 +45,7 @@ class SourceSpec extends SparkSpec {
     assert(Sources.distinctIds(ids, "match_id").count() == 3)
   }
 
-  test("csv and json round-trips preserve data") {
+  test("csv, json, and orc round-trips preserve data") {
     val dir = Files.createTempDirectory("graft_rt").toString
     val src = Tables(spark, sf, "nation")
     src.write.option("header", "true").csv(s"$dir/csv")
@@ -53,8 +53,11 @@ class SourceSpec extends SparkSpec {
     val csv = spark.read.option("header", "true")
       .schema(src.schema).csv(s"$dir/csv")
     val json = spark.read.schema(src.schema).json(s"$dir/json")
+    src.write.orc(s"$dir/orc")
+    val orc = spark.read.schema(src.schema).orc(s"$dir/orc")
     assert(csv.except(src).count() == 0 && src.except(csv).count() == 0)
     assert(json.except(src).count() == 0 && src.except(json).count() == 0)
+    assert(orc.except(src).count() == 0 && src.except(orc).count() == 0)
   }
 
   test("graft_hash32 from SQL matches the DuckDB-portable definition") {
