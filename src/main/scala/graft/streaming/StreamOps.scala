@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming operators over the events stream.
@@ -92,6 +92,39 @@ object StreamOps {
           Iterator((user, n, v / 100d))
       }
       .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Arbitrary keyed state on the MODERN API (Spark 4
+    * `transformWithState` + `StatefulProcessor`, the successor to
+    * flatMapGroupsWithState): per-user high-water mark of event values,
+    * emitting a row only when a user's maximum increases. State lives in
+    * the RocksDB state store (the API requires it), so state capacity is
+    * bounded by executor disk, not heap. */
+  def highWaterMarks(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import spark.implicits._
+    val processor = new StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+      @transient private var maxSeen: org.apache.spark.sql.streaming.ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        maxSeen = getHandle.getValueState[Double](
+          "maxSeen", Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(
+          user: Long,
+          rows: Iterator[(Long, Double)],
+          timers: TimerValues): Iterator[(Long, Double)] = {
+        val incoming = rows.map(_._2).maxOption.getOrElse(Double.MinValue)
+        val prev = if (maxSeen.exists()) maxSeen.get() else Double.MinValue
+        if (incoming > prev) {
+          maxSeen.update(incoming)
+          Iterator((user, incoming))
+        } else Iterator.empty
+      }
+    }
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(processor, org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "high_water")
   }
 
   /** True streaming query: file-source stream over the events parquet,

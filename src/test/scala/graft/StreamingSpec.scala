@@ -162,6 +162,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 1L, 2L, 3L)) // id 1 twice: once per horizon
   }
 
+  test("transformWithState high-water marks emit only on new maxima") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Double)]
+      val q = StreamOps.highWaterMarks(spark, mem.toDF().toDF("user_id", "value"))
+        .writeStream.format("memory").queryName("hwm_stream")
+        .outputMode("append").start()
+      try {
+        mem.addData(Seq((1L, 5.0), (1L, 3.0), (2L, 1.0)))
+        q.processAllAvailable()
+        mem.addData(Seq((1L, 4.0)))  // below user 1's max -> silent
+        q.processAllAvailable()
+        mem.addData(Seq((1L, 9.0), (2L, 0.5))) // new max for 1 only
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("hwm_stream")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 5.0), (2L, 1.0), (1L, 9.0)))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("x_stream_latedata runs a real streaming query and emits windows") {
     val df = SparkEntry.queries("x_stream_latedata")(spark, sf)
     assert(df.count() > 0)
