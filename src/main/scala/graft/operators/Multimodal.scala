@@ -68,4 +68,56 @@ object Multimodal {
         rows.map(decodeStub)
       }
   }
+
+  /** One sampled frame. */
+  case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
+
+  /** Frame sampling: every `everyNth` pseudo-frame of each payload,
+    * exploded to one row per frame. The STUB "frame" is a fixed-width
+    * byte slice of the payload; a real implementation would seek the
+    * container and decode the keyframe. One generator pass — frames
+    * never exist driver-side. */
+  def frameSample(
+      spark: SparkSession, docs: DataFrame, everyNth: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    asMediaTable(docs)
+      .select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val frames = r.payload.length / 100
+        (0L until frames.toLong by everyNth.toLong).map { f =>
+          val start = (f * 100).toInt
+          Frame(r.doc_id, f,
+            r.payload.slice(start, math.min(start + 100, r.payload.length)))
+        }
+      }
+  }
+
+  /** Embedding row produced by the stub feature extractor. */
+  case class MediaEmbedding(vec_id: Long, embedding: Array[Float])
+
+  /** Feature extraction: payload → fixed-width float vector via
+    * mapPartitions (where a real model forward pass would batch). The
+    * STUB projects byte histograms into `dim` buckets and L2-normalizes
+    * — deterministic, so the downstream ANN stage is testable. Output
+    * schema matches the embeddings table (vec_id, embedding) so it
+    * feeds [[SimilaritySearch]] directly. */
+  def extractFeatures(
+      spark: SparkSession, docs: DataFrame, dim: Int = 16): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    asMediaTable(docs)
+      .select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // model/codec init would amortize here, once per partition batch
+        rows.map { r =>
+          val hist = new Array[Float](dim)
+          r.payload.foreach(b => hist((b & 0xff) % dim) += 1f)
+          val norm = math.sqrt(hist.map(x => x.toDouble * x).sum).toFloat
+          MediaEmbedding(
+            r.doc_id,
+            if (norm == 0f) hist else hist.map(_ / norm))
+        }
+      }
+  }
 }

@@ -107,6 +107,25 @@ class TierXSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("multimodal chain: decode -> frame-sample -> features -> ANN") {
+    import graft.operators.Multimodal
+    val docs = Tables(spark, sf, "documents")
+    // frame sampling explodes without driver materialization
+    val frames = Multimodal.frameSample(spark, docs, everyNth = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter(length(col("frame")) > 100).count() == 0)
+    // stub features are unit-normalized and schema-compatible with the
+    // embeddings table, so the ANN operator consumes them directly
+    val feats = Multimodal.extractFeatures(spark, docs, dim = 16).toDF()
+    val norms = feats.select(
+      abs(graft.expressions.DotProductFloat(col("embedding"), col("embedding"))
+        - lit(1.0)).as("err"))
+    assert(norms.filter(col("err") > 1e-3).count() == 0)
+    val ann = SimilaritySearch.bruteTopK(feats, nQueries = 3, k = 5)
+    assert(ann.count() == 15)
+    assert(ann.filter(col("cos") > lit(1.0001)).count() == 0)
+  }
+
   test("language profiles have exactly profileSize entries per language") {
     val prof = TextAnalysis.langId(Tables(spark, sf, "documents"))
     assert(prof.count() == Tables(spark, sf, "documents").count())
