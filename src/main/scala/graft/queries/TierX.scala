@@ -32,7 +32,8 @@ object TierX {
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simHash(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
     "x_dedup_embed" -> ((s, d) =>
-      SimilaritySearch.cosinePairs(vecs(s, d), threshold = 0.4)
+      SimilaritySearch
+        .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16, rowsPerBand = 2)
         .orderBy("v1", "v2")),
     "x_sim_topk" -> ((s, d) =>
       SimilaritySearch.bruteTopK(vecs(s, d), nQueries = 5, k = 10)
@@ -133,9 +134,26 @@ object TierX {
         |ORDER BY d1, d2""".stripMargin,
     "x_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |        ${cosSql("a.embedding", "b.embedding")} AS cos_raw
-        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |probes AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_id,
+        |                  embedding AS p_vec
+        |           FROM (SELECT vec_id, embedding FROM embeddings
+        |                 ORDER BY vec_id LIMIT 16) t),
+        |dots AS (SELECT v.vec_id, p.p_id,
+        |           ${dotSql("v.embedding", "p.p_vec")} AS d
+        |         FROM e v CROSS JOIN probes p),
+        |bits AS (SELECT vec_id,
+        |           string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+        |                      ORDER BY p_id) AS bits
+        |         FROM dots GROUP BY vec_id),
+        |banded AS (SELECT vec_id, b AS band,
+        |             substr(bits, CAST(b AS INT) * 2 + 1, 2) AS key
+        |           FROM bits, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        |         FROM banded a JOIN banded b
+        |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+        |p AS (SELECT v1, v2, ${cosSql("ea.embedding", "eb.embedding")} AS cos_raw
+        |      FROM cand JOIN e ea ON cand.v1 = ea.vec_id
+        |                JOIN e eb ON cand.v2 = eb.vec_id)
         |SELECT v1, v2, round(cos_raw, 4) AS cos
         |FROM p WHERE cos_raw >= 0.4 ORDER BY v1, v2""".stripMargin,
     "x_sim_topk" ->

@@ -48,6 +48,26 @@ class TierXSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(0L) ^ hs(1L)) <= 8)
   }
 
+  test("banded embedding near-dup: no cartesian in the plan") {
+    // the round-1 scale-killer: all-pairs crossJoin. The banded form
+    // must get its candidates from an equi-join on (band, key) only.
+    val plan = q("x_dedup_embed").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "BNLJ in plan")
+  }
+
+  test("banded embedding near-dup: exact precision, full recall at this scale") {
+    import graft.operators.SimilaritySearch
+    val vecs = Tables(spark, sf, "embeddings")
+    val exact = SimilaritySearch.cosinePairsExact(vecs, 0.4)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilaritySearch.cosinePairsLsh(vecs, 0.4)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision
+    // measured: 16 bits / 8 bands of 2 catches all 66 pairs at sf0.001
+    assert(lsh == exact, s"banding missed ${(exact -- lsh).size} of ${exact.size}")
+  }
+
   test("brute top-k: k rows per query, cosine within [-1,1], self excluded") {
     val rows = q("x_sim_topk").collect()
     assert(rows.length == 50)
