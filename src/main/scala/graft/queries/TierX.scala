@@ -126,10 +126,16 @@ object TierX {
         |sim AS (SELECT doc_id,
         |          CAST(sum(bit << CAST(b AS INT)) AS BIGINT) AS simhash
         |        FROM bits GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |          FROM sim a JOIN sim b
-        |          ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id)
+        |blk AS (SELECT doc_id, simhash, t, (simhash >> off) & mask AS key
+        |        FROM sim, (VALUES (0,0,31),(1,5,31),(2,10,31),(3,15,31),
+        |                          (4,20,15),(5,24,15),(6,28,15)) b(t, off, mask)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |                a.simhash AS s1, b.simhash AS s2
+        |         FROM blk a JOIN blk b
+        |         ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT d1, d2,
+        |            CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        |          FROM cand)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
         |ORDER BY d1, d2""".stripMargin,
     "x_dedup_embed" ->

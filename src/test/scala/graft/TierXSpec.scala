@@ -48,6 +48,24 @@ class TierXSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(0L) ^ hs(1L)) <= 8)
   }
 
+  test("simhash multi-block blocking: exact recall vs all-pairs ground truth") {
+    val docs = Tables(spark, sf, "documents")
+    val hs = Dedup.simHashes(docs).cache()
+    val a = hs.select(col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = hs.select(col("doc_id").as("d2"), col("simhash").as("s2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .filter(expr("bit_count(s1 ^ s2)") <= 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simHash(docs, maxHamming = 6)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"blocking missed ${(brute -- blocked).size}, invented ${(blocked -- brute).size}")
+    // the round-1 single-block miss class (fingerprints differing in an
+    // upper-16 bit) must be present in the data AND caught by the blocking
+    val byId = hs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blocked.exists { case (x, y) => (byId(x) >> 16) != (byId(y) >> 16) })
+  }
+
   test("banded embedding near-dup: no cartesian in the plan") {
     // the round-1 scale-killer: all-pairs crossJoin. The banded form
     // must get its candidates from an equi-join on (band, key) only.
