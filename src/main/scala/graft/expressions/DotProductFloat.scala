@@ -1,11 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Codegen'd dot product over two `ArrayType(FloatType)` columns.
   *
@@ -23,9 +23,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * accumulated left-to-right — same ops, same order, same result bits.
   */
 case class DotProductFloat(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
+
+  // reject array<double>/array<int> at ANALYSIS time — the ArrayData
+  // accessors below read raw 4-byte floats and would otherwise
+  // misinterpret other element widths at runtime. (Covariant narrowing
+  // to Seq[DataType]: AbstractDataType is private[sql].)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -124,11 +124,21 @@ object FotmobPipeline {
   def eventTypeDim(shots: DataFrame): DataFrame =
     denseDim(shots, Seq("event_type", "situation"), "event_type_id")
 
-  /** D2 with the faithful non-dense-key quirk: home∪away projections,
-    * positional index assigned BEFORE dedup (canonical order:
-    * home-block then away-block, each matchId asc), then first-position
-    * dedup on (team_name, teamId). Ids are unique but gapped wherever a
-    * duplicate was dropped — exactly pandas' kept pre-dedup index. */
+  /** D2 with the faithful non-dense-key quirk (fotmob-dag.py:128-129):
+    * each side's projection is drop_duplicates'd FIRST (keeping the
+    * first occurrence in df row order), the two deduped frames are
+    * concatenated with `ignore_index=True` (positions restart at 0 and
+    * run home-block then away-block), then the union is
+    * drop_duplicates'd again keeping the first (= lowest-position)
+    * occurrence. Ids are unique but gapped wherever an away row
+    * duplicated a home row — exactly pandas' kept post-concat index.
+    *
+    * Scale shape: first-occurrence-per-side is an aggregate over the
+    * fact rows (min position struct), so the only window runs over the
+    * already-deduped |teams|-sized frame — same class as the dense-dim
+    * windows, never a single-partition pass over fact rows. Canonical
+    * row order is (matchId, shot_id), the pd row order for data
+    * arriving in matchId order. */
   def teamDim(shots: DataFrame): DataFrame = {
     val home = shots.select(
       col("home_team_name").as("team_name"),
@@ -138,18 +148,18 @@ object FotmobPipeline {
       col("away_team_name").as("team_name"),
       col("away_team_id").as("teamId"),
       lit(1).as("side"), col("matchId"), col("shot_id"))
-    // positions are per SHOT row (the reference concatenates the per-shot
-    // frame's projections, fotmob-dag.py:128); shot_id makes the order total
-    val positioned = home.unionByName(away)
+    // per-side drop_duplicates: first occurrence per (team_name, teamId)
+    val firstOcc = home.unionByName(away)
+      .groupBy("side", "team_name", "teamId")
+      .agg(min(struct(col("matchId"), col("shot_id"))).as("first_pos"))
+    // concat(ignore_index=True): positions over the tiny deduped union
+    val positioned = firstOcc
       .withColumn("team_id",
         (row_number().over(
-          Window.orderBy(col("side"), col("matchId"), col("shot_id"))) - 1)
-          .cast("long"))
-    positioned
-      .withColumn("keep",
-        row_number().over(
-          Window.partitionBy("team_name", "teamId").orderBy("team_id")))
-      .filter(col("keep") === 1)
+          Window.orderBy(col("side"), col("first_pos"))) - 1).cast("long"))
+    // final drop_duplicates keeps the lowest position per natural key
+    positioned.groupBy("team_name", "teamId")
+      .agg(min(col("team_id")).as("team_id"))
       .select("team_name", "teamId", "team_id")
   }
 
@@ -189,7 +199,9 @@ object FotmobPipeline {
       .join(broadcast(shotTypeDim(shots)), Seq("shot_type_id"))
       .join(broadcast(eventTypeDim(shots)), Seq("event_type_id"))
       .select(
-        col("shot_id"), col("matchId").as("match_id_nat"),
+        // no match column: the reference view (create_looker_data_table
+        // .sql:2-17) selects none, so neither do we
+        col("shot_id"),
         col("team_name"), col("player_name"), col("shot_type"),
         col("event_type"), col("situation"), col("xG"), col("xGOT"),
         col("shot_from_x"), col("shot_from_y"), col("is_blocked"),

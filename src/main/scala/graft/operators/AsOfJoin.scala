@@ -37,6 +37,11 @@ object AsOfJoin {
       tsCol: String,
       valueCol: String,
       matchCol: String): DataFrame = {
+    // the internal tag/value columns must not collide with user columns
+    // (mirrors SkewJoin.saltedJoin's salt-column guard) — a left frame
+    // already carrying _tag/_rv would be silently corrupted by the drop
+    require(!left.columns.contains("_tag") && !left.columns.contains("_rv"),
+      "asofJoin: left frame must not contain internal columns _tag/_rv")
     // right rows with null ts or null value cannot participate: a null
     // ts never satisfies l.ts >= r.ts in engines with SQL-null
     // comparison semantics, and a null value is indistinguishable from

@@ -34,6 +34,16 @@ class ExpressionSpec extends SparkSpec {
     assert(df.filter(col("d").isNotNull).count() == 0)
   }
 
+  test("array<double> input is rejected at analysis time, not at runtime") {
+    // without ExpectsInputTypes this would ClassCastException (or read
+    // garbage 4-byte slices) deep inside execution
+    val bad = vecs.select(col("embedding").cast("array<double>").as("d"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(DotProductFloat(col("d"), col("d"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+  }
+
   test("interpreted eval path agrees with codegen path") {
     // force interpreted evaluation via an eval on literal rows
     val row = vecs.select("embedding").head()

@@ -28,13 +28,14 @@ class FidelitySpec extends SparkSpec {
   test("D2 quirk: team_dim keys are unique but non-dense, two spellings per teamId") {
     val td = FotmobPipeline.teamDim(shots).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    // positions are per shot row: home block (m1s1,m1s2,m2s3,m3s4) =
-    // 0..3, away block = 4..7; first occurrence keeps its position
+    // pandas: each side deduped first (home -> [TH/10, Arsenal/20] = 0,1;
+    // away -> [Arsenal/20, Tottenham/10, Chelsea/30] = 2,3,4 after
+    // ignore_index concat), final drop_duplicates keeps first occurrence
     assert(td == Set(
       ("Tottenham Hotspur", 10L, 0L),
-      ("Arsenal", 20L, 2L),
-      ("Tottenham", 10L, 6L),   // away spelling survives as its own row
-      ("Chelsea", 30L, 7L)))    // gaps where duplicates were dropped
+      ("Arsenal", 20L, 1L),
+      ("Tottenham", 10L, 3L),   // away spelling survives as its own row
+      ("Chelsea", 30L, 4L)))    // gap at 2 where away Arsenal was dropped
   }
 
   test("dense dims are 0-based consecutive") {
