@@ -225,20 +225,44 @@ object SimilaritySearch {
         round(col("cos_raw"), 4).as("cos"))
   }
 
-  /** LSH-bucketed top-k: like [[bruteTopK]] but candidates are only the
-    * vectors in the query's own bucket. */
+  /** LSH-bucketed top-k: like [[bruteTopK]] but candidates come from
+    * the query's bucket neighborhood, not a full scan.
+    *
+    * `probeHamming` controls multi-probe: 0 searches only the query's
+    * own bucket (the round-1 form — recall falls off a cliff for
+    * queries near a hyperplane, where true neighbors land one flipped
+    * sign bit away); 1 additionally probes every Hamming-1 neighbor
+    * bucket (nProbes+1 buckets total), the standard multi-probe LSH
+    * recall fix at the cost of a (nProbes+1)× larger — still
+    * bucket-local — candidate set. Probe keys are distinct by
+    * construction, so no candidate dedup is needed: each corpus vector
+    * lives in exactly one bucket. */
   def lshTopK(
       vecs: DataFrame,
       nQueries: Int = 5,
       k: Int = 5,
-      nProbes: Int = 4): DataFrame = {
+      nProbes: Int = 4,
+      probeHamming: Int = 1): DataFrame = {
+    require(probeHamming == 0 || probeHamming == 1,
+      "lshTopK: probeHamming must be 0 (own bucket) or 1 (multi-probe)")
     val withBuckets = vecs.join(lshBuckets(vecs, nProbes), "vec_id")
       .withColumn("nrm", sqrt(Similarity.norm2(col("embedding"))))
       .persist(StorageLevel.MEMORY_AND_DISK) // read by query + candidate sides
+    // own bucket + (optionally) each single-bit flip of it
+    val flips: Seq[Column] = (0 until nProbes).map { i =>
+      concat(
+        substring(col("bucket"), 1, i),
+        when(substring(col("bucket"), i + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("bucket"), i + 2, nProbes - i - 1))
+    }
+    val probeKeys =
+      if (probeHamming == 0) array(col("bucket"))
+      else array((col("bucket") +: flips): _*)
     val queries = withBuckets.filter(col("vec_id") < nQueries)
       .select(
         col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("bucket"), col("nrm").as("q_nrm"))
+        col("nrm").as("q_nrm"), explode(probeKeys).as("bucket"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_raw").desc, col("vec_id"))
     withBuckets.join(broadcast(queries), "bucket")

@@ -39,7 +39,8 @@ object TierX {
       SimilaritySearch.bruteTopK(vecs(s, d), nQueries = 5, k = 10)
         .orderBy("q_id", "rank")),
     "x_sim_ann_lsh" -> ((s, d) =>
-      SimilaritySearch.lshTopK(vecs(s, d), nQueries = 5, k = 5, nProbes = 4)
+      SimilaritySearch
+        .lshTopK(vecs(s, d), nQueries = 5, k = 5, nProbes = 4, probeHamming = 1)
         .orderBy("q_id", "rank")),
     "x_sim_ivf" -> ((s, d) =>
       SimilaritySearch
@@ -213,11 +214,19 @@ object TierX {
         |            FROM dots GROUP BY vec_id),
         |q AS (SELECT b.vec_id AS q_id, e.embedding AS q_vec, b.bucket
         |      FROM buckets b JOIN e ON e.vec_id = b.vec_id WHERE b.vec_id < 5),
-        |c AS (SELECT q.q_id, v.vec_id, q.bucket,
-        |        ${cosSql("v.embedding", "q.q_vec")} AS cos_raw
-        |      FROM q JOIN buckets bv ON bv.bucket = q.bucket
+        |qp AS (SELECT q_id, q_vec,
+        |         CASE WHEN i = 0 THEN bucket
+        |              ELSE substr(bucket, 1, CAST(i - 1 AS INT)) ||
+        |                   (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+        |                         THEN '0' ELSE '1' END) ||
+        |                   substr(bucket, CAST(i + 1 AS INT))
+        |         END AS bucket
+        |       FROM q, range(5) r(i)),
+        |c AS (SELECT qp.q_id, v.vec_id, qp.bucket,
+        |        ${cosSql("v.embedding", "qp.q_vec")} AS cos_raw
+        |      FROM qp JOIN buckets bv ON bv.bucket = qp.bucket
         |      JOIN e v ON v.vec_id = bv.vec_id
-        |      WHERE v.vec_id <> q.q_id),
+        |      WHERE v.vec_id <> qp.q_id),
         |r AS (SELECT q_id, vec_id, bucket, cos_raw,
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rank
         |      FROM c)

@@ -93,11 +93,36 @@ class TierXSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
-  test("lsh top-k results all share the query's bucket (by construction)") {
+  test("lsh top-k results come from the query's Hamming<=1 bucket neighborhood") {
+    import graft.operators.SimilaritySearch
     val df = q("x_sim_ann_lsh")
     assert(df.count() > 0)
-    assert(df.select("bucket").distinct().count() <=
-      df.select("q_id").distinct().count())
+    val own = SimilaritySearch.lshBuckets(Tables(spark, sf, "embeddings"), 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    df.collect().foreach { r =>
+      val qb = own(r.getLong(0))
+      val rb = r.getString(2)
+      val hamming = qb.zip(rb).count { case (a, b) => a != b }
+      assert(hamming <= 1, s"result bucket $rb vs query bucket $qb")
+    }
+  }
+
+  test("multi-probe lsh recall@5 beats (or ties) the single-bucket form") {
+    import graft.operators.SimilaritySearch
+    val vecs = Tables(spark, sf, "embeddings")
+    val truth = SimilaritySearch.bruteTopK(vecs, nQueries = 5, k = 5)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probeHamming: Int): Int =
+      SimilaritySearch
+        .lshTopK(vecs, nQueries = 5, k = 5, nProbes = 4, probeHamming = probeHamming)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth).size
+    val single = recall(0)
+    val multi = recall(1)
+    assert(multi >= single, s"multi-probe recall $multi < single-bucket $single")
+    assert(multi > 0)
   }
 
   test("ivf: every vector lands in exactly one cell; probes bound recall") {
