@@ -157,22 +157,75 @@ object SimilaritySearch {
       .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
   }
 
-  /** IVF coarse quantizer: assign every vector to its nearest centroid
-    * cell. Centroids are the nCentroids lowest vec_ids (a deterministic,
-    * training-free stand-in — production would run k-means; the
-    * assignment/probe plumbing is identical). Output: (vec_id, cell). */
+  /** Nearest-centroid cell id against literal centroids: argmax of
+    * dot(vec, c)/||c|| (ties → lowest c_id, via the (sim, −c_id) struct
+    * max). Pure projection — no join, no shuffle. */
+  private def nearestCellExpr(cents: Seq[(Int, Seq[Float])]): Column = {
+    val entries = cents.map { case (j, v) =>
+      struct(
+        (Similarity.dot(col("embedding"), typedlit(v))
+          / sqrt(Similarity.norm2(typedlit(v)))).as("sim"),
+        lit(-j).as("negc"))
+    }
+    (-array_max(array(entries: _*)).getField("negc")).cast("int")
+  }
+
+  /** Deterministic seeded k-means for the IVF coarse quantizer:
+    * init = the nCentroids lowest-vec_id vectors, then `iters` Lloyd
+    * rounds of (assign to nearest centroid by cosine) → (centroid :=
+    * element-wise mean of its cell).
+    *
+    * Every step is engine-reproducible so the DuckDB oracle re-derives
+    * the same centroids bit-for-bit: the mean is an EXACT 1e-6
+    * fixed-point sum (`round(v·10⁶)` summed as long — order-independent
+    * integer arithmetic, immune to float reduction-order divergence),
+    * divided in double and cast back to float. An empty cell keeps its
+    * previous centroid. Each round is one Spark job: a literal-centroid
+    * argmax projection + posexplode + one (cell, pos) aggregate —
+    * shuffle rows = nCentroids × dim, not corpus-sized. */
+  def trainIvfCentroids(
+      vecs: DataFrame, nCentroids: Int = 8, iters: Int = 2): Seq[(Int, Seq[Float])] = {
+    var cents: Seq[(Int, Seq[Float])] =
+      probeVectors(vecs, nCentroids).zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 0 until iters) {
+      val sums = vecs
+        .select(nearestCellExpr(cents).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("v") * lit(1e6)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getAs[Int]("cell"), r.getAs[Int]("pos")),
+          (r.getAs[Long]("s"), r.getAs[Long]("n"))))
+        .toMap
+      cents = cents.map { case (j, old) =>
+        (j, old.indices.map { p =>
+          sums.get((j, p)) match {
+            case Some((s, n)) => (s.toDouble / n.toDouble / 1e6).toFloat
+            case None => old(p) // empty cell keeps its centroid
+          }
+        })
+      }
+    }
+    cents
+  }
+
+  /** IVF coarse quantizer: assign every vector to its nearest trained
+    * centroid cell. Output: (vec_id, cell). */
   def ivfCells(vecs: DataFrame, nCentroids: Int = 8): DataFrame =
     ivfAssignments(vecs, nCentroids).filter(col("c_rank") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
 
-  /** Per-vector centroid ranking (rank 1 = nearest). Cosine against
+  /** Per-vector centroid ranking (rank 1 = nearest) against the
+    * k-means-trained centroids ([[trainIvfCentroids]]). Cosine against
     * each centroid needs only the centroid norm — the vector's own norm
-    * is constant within its argmax. */
+    * is constant within its argmax. The centroid table is a broadcast
+    * constant (nCentroids rows). */
   private def ivfAssignments(vecs: DataFrame, nCentroids: Int): DataFrame = {
-    val centroids = vecs.orderBy("vec_id").limit(nCentroids)
-      .select(
-        (row_number().over(Window.orderBy("vec_id")) - 1).as("c_id"),
-        col("embedding").as("c_vec"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(vecs, nCentroids, iters = 2)
+      .toDF("c_id", "c_vec")
       .withColumn("c_nrm", sqrt(Similarity.norm2(col("c_vec"))))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("c_id"))

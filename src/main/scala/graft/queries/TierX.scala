@@ -76,6 +76,32 @@ object TierX {
   private val cosSql = (a: String, b: String) =>
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** One Lloyd round in DuckDB, mirroring
+    * [[graft.operators.SimilaritySearch.trainIvfCentroids]] bit-for-bit:
+    * nearest-centroid assignment (ties → lowest c_id), exact 1e-6
+    * fixed-point element sums, double division, float cast; empty cells
+    * keep their centroid. Emits CTEs a_<out>, m_<out>, <out>. */
+  private def kmeansIterSql(prev: String, out: String): String =
+    s"""a_$out AS (SELECT vec_id, c_id AS cell FROM (
+      |  SELECT v.vec_id, c.c_id,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY (${dotSql("v.embedding", "c.c_vec")} /
+      |                sqrt(${dotSql("c.c_vec", "c.c_vec")})) DESC, c.c_id) AS r
+      |  FROM e v CROSS JOIN $prev c) WHERE r = 1),
+      |m_$out AS (SELECT a.cell, u.pos AS pos,
+      |    sum(CAST(round(CAST(u.v AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
+      |    count(1) AS n
+      |  FROM a_$out a JOIN e v USING (vec_id),
+      |       unnest([{'pos': i, 'v': v.embedding[CAST(i + 1 AS INT)]}
+      |               for i in range(0, len(v.embedding))]) t(u)
+      |  GROUP BY 1, 2),
+      |$out AS (SELECT p.c_id, COALESCE(cm.c_vec, p.c_vec) AS c_vec
+      |  FROM $prev p LEFT JOIN (
+      |    SELECT cell AS c_id,
+      |      list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS FLOAT)
+      |           ORDER BY pos) AS c_vec
+      |    FROM m_$out GROUP BY cell) cm USING (c_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
@@ -176,10 +202,12 @@ object TierX {
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "x_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |cent AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id,
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id,
         |                embedding AS c_vec
         |         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
-        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM cent),
+        |${kmeansIterSql("c0", "c1")},
+        |${kmeansIterSql("c1", "c2")},
+        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
         |asg AS (SELECT v.vec_id, c.c_id,
         |          row_number() OVER (PARTITION BY v.vec_id
         |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
