@@ -33,8 +33,6 @@ object SparkEntry {
   /** Queries intentionally shipped without a DuckDB oracle, with the
     * reason — the driver records a rows-only check for these. */
   def oracleOmissions: Map[String, String] = Map(
-    "r_agg_approx_distinct" ->
-      "HLL++ sketch values are engine-specific; accuracy asserted vs exact count in TierRSpec",
     "x_stream_latedata" ->
       "watermark eviction is streaming-only (not batch-SQL expressible); semantics pinned by StreamingSpec MemoryStream test")
 }

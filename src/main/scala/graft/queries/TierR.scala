@@ -56,12 +56,22 @@ object TierR {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** HLL++ approximate distinct — no oracle (engine-specific sketches);
-    * accuracy is asserted against the exact count in TierRSpec. */
+  /** HLL++ approximate distinct with a BOUNDED oracle: the raw sketch
+    * estimate is engine-specific (DuckDB can't re-derive Spark's
+    * HLL++), so the query emits the exact count plus a boolean
+    * `approx_ok` = |approx−exact|/exact ≤ 5%, and the oracle asserts
+    * exact counts with approx_ok = TRUE — the hash match then proves
+    * the tolerance held, not just that rows exist. */
   private val rAggApproxDistinct: Q = (s, d) =>
     Tables(s, d, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_suppkey").as("approx_supp"))
+      .agg(
+        countDistinct("l_suppkey").as("n_supp"),
+        approx_count_distinct("l_suppkey").as("approx_supp"))
+      .select(
+        col("l_returnflag"), col("n_supp"),
+        (abs(col("approx_supp") - col("n_supp")).cast("double")
+          / col("n_supp") <= 0.05).as("approx_ok"))
       .orderBy("l_returnflag")
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and
@@ -387,6 +397,10 @@ object TierR {
     "r_map_json_fns" -> rMapJsonFns)
 
   val oracle: Map[String, String] = Map(
+    "r_agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "r_agg_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

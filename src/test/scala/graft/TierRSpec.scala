@@ -20,14 +20,15 @@ class TierRSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
   }
 
-  test("r_agg_approx_distinct within 10% of exact") {
-    val approx = q("r_agg_approx_distinct").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("r_agg_approx_distinct: exact counts carried, 5% tolerance holds") {
+    val rows = q("r_agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = q("r_agg_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     exact.foreach { case (k, v) =>
-      assert(math.abs(approx(k) - v) <= math.max(1L, (v * 0.1).toLong),
-        s"flag $k approx=${approx(k)} exact=$v")
+      val (n, ok) = rows(k)
+      assert(n == v, s"flag $k exact-in-query $n != $v")
+      assert(ok, s"flag $k approx outside 5% of $v")
     }
   }
 
