@@ -127,6 +127,43 @@ object StreamOps {
       .toDF("user_id", "high_water")
   }
 
+  /** Checkpointed incremental windowing — the restartable scheduled job
+    * the reference's future-work section sketches (reference
+    * README.md:156-160: "run on a schedule, process batches
+    * incrementally"): file-source parquet stream → 1-hour event-time
+    * watermark → tumbling counts → APPEND-mode parquet file sink.
+    *
+    * The checkpoint holds source offsets (which files are consumed) and
+    * window state, so a stopped query RESUMES instead of recomputing:
+    * already-consumed input is never re-read, and a window is emitted
+    * exactly once — when the watermark passes its end. That eviction is
+    * also what bounds state on an unbounded stream ([[lateDataWindowed]]'s
+    * complete-mode memory sink, by contrast, is a test harness that
+    * accumulates every window on the driver). Returns the started
+    * query; callers stop() it (and may restart with the same
+    * checkpointDir to continue). */
+  def checkpointedWindowCounts(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        fmt(col("window.start")).as("w_start"),
+        col("event_type"), col("n"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** True streaming query: file-source stream over the events parquet,
     * 1-hour event-time watermark, tumbling window counts, memory sink.
     * Complete output mode so a single-batch bounded run still emits its

@@ -191,6 +191,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpointed file sink: stop/restart resumes without reprocessing") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType)))
+    def writeBatch(rows: Seq[(Timestamp, String)]): Unit =
+      rows.toDF("ts", "event_type").coalesce(1)
+        .write.mode("append").parquet(src)
+
+    // run 1: hour-0 events + a 02:30 row; after the no-data batch the
+    // watermark (02:30 − 1h = 01:30) closes the [00:00,01:00) window
+    writeBatch(Seq(
+      (ts("2024-01-01 00:10:00"), "a"),
+      (ts("2024-01-01 00:20:00"), "a"),
+      (ts("2024-01-01 00:40:00"), "b"),
+      (ts("2024-01-01 02:30:00"), "a")))
+    val q1 = StreamOps.checkpointedWindowCounts(spark, src, schema, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val afterRun1 = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterRun1 == Set(
+      ("2024-01-01 00:00:00", "a", 2L),
+      ("2024-01-01 00:00:00", "b", 1L)))
+
+    // run 2 from the SAME checkpoint: a 05:30 row closes [02:00,03:00).
+    // Resumed offsets mean run-1 files are not re-read: the hour-0
+    // windows must NOT be emitted a second time.
+    writeBatch(Seq((ts("2024-01-01 05:30:00"), "a")))
+    val q2 = StreamOps.checkpointedWindowCounts(spark, src, schema, out, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val afterRun2 = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(afterRun2.length == afterRun2.toSet.size, "duplicate window emissions")
+    assert(afterRun2.toSet == afterRun1 + (("2024-01-01 02:00:00", "a", 1L)))
+  }
+
   test("x_stream_latedata runs a real streaming query and emits windows") {
     val df = SparkEntry.queries("x_stream_latedata")(spark, sf)
     assert(df.count() > 0)
