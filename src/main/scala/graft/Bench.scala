@@ -1,6 +1,51 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Benchmark main. Runs every declared query against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query wall
+  * seconds plus plan-shape metrics.
+  *
+  * Two methodology points, both review findings from round 1:
+  *
+  *   - Queries are consumed through the `noop` DataSourceV2 sink, not
+  *     `.count()`. Under count Catalyst is free to drop the final sort
+  *     and narrow projections, so ORDER BY cost was under-measured;
+  *     a write executes the full plan and materializes every column
+  *     while still discarding rows executor-side (no driver collect).
+  *   - Each query also reports node counts from its post-execution
+  *     (AQE-final) physical plan: parquet scans, shuffle exchanges,
+  *     broadcast exchanges, and cartesian/nested-loop joins. Plan
+  *     shape is the stable signal on a noisy shared host — a
+  *     regression from 1 exchange to 3 is visible even when
+  *     wall-clock jitter is ±30%.
+  */
 object Bench {
+
+  /** Node counts parsed from the formatted explain of an executed
+    * plan. Formatted mode prints one numbered line per operator
+    * ("(3) Exchange"), so counting name occurrences on those lines is
+    * exact, and it reflects the AQE final plan once the query ran. */
+  private[graft] def planMetrics(df: DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val opLines = plan.linesIterator
+      .map(_.trim)
+      .filter(_.matches("""^\(\d+\) .*"""))
+      .toSeq
+    def count(p: String) = opLines.count(_.matches(s"""^\\(\\d+\\) $p.*"""))
+    Map(
+      "scans" -> count("(Scan|BatchScan)"),
+      "exchanges" -> count("Exchange"),
+      "broadcasts" -> count("BroadcastExchange"),
+      // true O(n*m) pairing — must stay 0 everywhere
+      "cartesian" -> count("CartesianProduct"),
+      // broadcast-NLJ: linear in the streamed side; legitimate for
+      // deliberate tiny-side grids (brute-force ANN baseline, lang-ID
+      // profiles, IVF centroid assignment), a bug anywhere else
+      "bnlj" -> count("BroadcastNestedLoopJoin"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -8,28 +53,41 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def consume(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // warm up the JVM/codegen and the common table reads so startup cost
     // doesn't land on whichever query happens to run first
-    try SparkEntry.queries("f_star_join")(spark, sfDir).count()
+    try consume(SparkEntry.queries("f_star_join")(spark, sfDir))
     catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val t = try {
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+      val (t, plans) = try {
+        val df = fn(spark, sfDir)
+        consume(df)
+        val secs = (System.nanoTime() - t0) / 1e9
+        (secs, planMetrics(df))
       } catch {
         case e: Throwable =>
           // a broken query must be visible, not a plausible timing
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          (-1.0, Map.empty[String, Int])
       }
       spark.catalog.clearCache() // operator-persisted frames: bound memory
-      name -> t
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, t, plans)
+    }.toSeq
+
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val planJson = results.map { case (k, _, m) =>
+      val inner = m.toSeq.sortBy(_._1)
+        .map { case (n, c) => s"\"" + n + "\":" + c }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + inner
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
