@@ -102,14 +102,20 @@ object TextAnalysis {
         / size(split(col("text"), " ")), 4).as("chars_per_token"))
 
   /** Content fingerprint: minimum hash32 over all character 5-grams
-    * (the winnowing primitive), plus the distinct 5-gram count. */
+    * (the winnowing primitive), plus the distinct 5-gram count.
+    *
+    * Computed by the fused one-pass [[graft.expressions.GramFingerprint]]
+    * expression; the equivalent composable form (two
+    * `transform(sequence(...))` lambdas into `array_min` /
+    * `array_distinct`) runs through interpreted HOF closures and was the
+    * most expensive query in the round-1 bench. Bit-identity between the
+    * two forms is pinned by ExpressionSpec. */
   def fingerprints(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= 5)
+      .withColumn("g", graft.expressions.GramFingerprint.of(col("text"), 5))
       .select(
         col("doc_id"),
-        expr("array_min(transform(sequence(1, length(text) - 4), " +
-          s"i -> ${Hashing.hash32Sql("substr(text, i, 5)")}))").as("fp"),
-        expr("size(array_distinct(transform(sequence(1, length(text) - 4), " +
-          "i -> substr(text, i, 5))))").cast("long").as("n_kgrams"))
+        col("g.fp").as("fp"),
+        col("g.n_kgrams").as("n_kgrams"))
 }

@@ -44,6 +44,72 @@ class ExpressionSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("type"))
   }
 
+  test("GramFingerprint is bit-identical to the composable HOF form") {
+    val docs = Tables(spark, sf, "documents").filter(length(col("text")) >= 5)
+    val composable = docs.select(
+      col("doc_id"),
+      expr("array_min(transform(sequence(1, length(text) - 4), " +
+        s"i -> ${graft.functions.Hashing.hash32Sql("substr(text, i, 5)")}))")
+        .as("fp"),
+      expr("size(array_distinct(transform(sequence(1, length(text) - 4), " +
+        "i -> substr(text, i, 5))))").cast("long").as("n_kgrams"))
+    val fused = docs
+      .withColumn("g", graft.expressions.GramFingerprint.of(col("text"), 5))
+      .select(col("doc_id"), col("g.fp").as("fp"),
+        col("g.n_kgrams").as("n_kgrams"))
+    assert(fused.exceptAll(composable).count() == 0)
+    assert(composable.exceptAll(fused).count() == 0)
+  }
+
+  test("GramFingerprint handles multi-byte code points like substr does") {
+    import spark.implicits._
+    // é, 漢, emoji: substr indexes CODE POINTS, so grams must too
+    val df = Seq("héllo wörld", "漢字かな交じり文テスト", "a😀b😀c😀d😀e")
+      .toDF("text").filter(length(col("text")) >= 5)
+    val composable = df.select(
+      col("text"),
+      expr("array_min(transform(sequence(1, length(text) - 4), " +
+        s"i -> ${graft.functions.Hashing.hash32Sql("substr(text, i, 5)")}))")
+        .as("fp"),
+      expr("size(array_distinct(transform(sequence(1, length(text) - 4), " +
+        "i -> substr(text, i, 5))))").cast("long").as("n_kgrams"))
+    val fused = df
+      .withColumn("g", graft.expressions.GramFingerprint.of(col("text"), 5))
+      .select(col("text"), col("g.fp").as("fp"),
+        col("g.n_kgrams").as("n_kgrams"))
+    assert(fused.exceptAll(composable).count() == 0)
+    assert(composable.exceptAll(fused).count() == 0)
+  }
+
+  test("GramFingerprint: null and too-short inputs yield null") {
+    import spark.implicits._
+    val df = Seq(Some("abcd"), Some(""), None)
+      .toDF("text")
+      .select(graft.expressions.GramFingerprint.of(col("text"), 5).as("g"))
+    assert(df.filter(col("g").isNotNull).count() == 0)
+  }
+
+  test("GramFingerprint: non-string input rejected at analysis time") {
+    val docs = Tables(spark, sf, "documents")
+    val ex = intercept[Exception] {
+      docs.select(graft.expressions.GramFingerprint.of(col("doc_id"), 5))
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("GramFingerprint evaluates once per row when both fields project") {
+    val docs = Tables(spark, sf, "documents").filter(length(col("text")) >= 5)
+    val df = docs
+      .withColumn("g", graft.expressions.GramFingerprint.of(col("text"), 5))
+      .select(col("doc_id"), col("g.fp"), col("g.n_kgrams"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // projection collapse must not have inlined the expression twice
+    assert("gram_?fingerprint".r.findAllIn(plan.toLowerCase).size <= 1,
+      s"GramFingerprint duplicated in plan:\n$plan")
+  }
+
   test("interpreted eval path agrees with codegen path") {
     // force interpreted evaluation via an eval on literal rows
     val row = vecs.select("embedding").head()
