@@ -79,22 +79,47 @@ object GramFingerprint {
   private val md5: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  /** Per-task-thread gram -> hash32 memo. Natural-language k-grams are
+    * heavily repeated across documents (Zipfian), so most lookups hit;
+    * the md5 runs only on first sight of a gram. Bounded (cleared at
+    * [[CacheCap]] entries) so a pathological high-entropy corpus cannot
+    * grow it past ~tens of MB per executor thread; correctness never
+    * depends on residency. */
+  private val CacheCap = 1 << 20
+  private val hashCache: ThreadLocal[java.util.HashMap[UTF8String, java.lang.Long]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[UTF8String, java.lang.Long]())
+
   /** Shared by interpreted eval and generated code. Returns null when the
-    * text holds fewer than one full gram. */
+    * text holds fewer than one full gram.
+    *
+    * Only DISTINCT grams are hashed (min over a multiset equals min over
+    * its support), and the per-row distinct set doubles as the
+    * `n_kgrams` counter. */
   def compute(text: UTF8String, k: Int): InternalRow = {
     val n = text.numChars()
     if (n < k) return null
-    val md = md5.get()
+    val cache = hashCache.get()
     val seen = new java.util.HashSet[UTF8String]()
     var minH = Long.MaxValue
     var i = 1
     while (i <= n - k + 1) {
       val gram = text.substringSQL(i, k)
-      seen.add(gram)
-      val d = md.digest(gram.getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      if (h < minH) minH = h
+      if (seen.add(gram)) {
+        val boxed = cache.get(gram)
+        val h: Long =
+          if (boxed != null) boxed.longValue
+          else {
+            val md = md5.get()
+            val d = md.digest(gram.getBytes)
+            val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            if (cache.size >= CacheCap) cache.clear()
+            // copy: the gram may be a view into this row's text buffer
+            cache.put(gram.copy(), java.lang.Long.valueOf(hv))
+            hv
+          }
+        if (h < minH) minH = h
+      }
       i += 1
     }
     InternalRow(minH, seen.size.toLong)

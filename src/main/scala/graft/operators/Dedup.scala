@@ -101,9 +101,30 @@ object Dedup {
     val prefix = ex.join(df, "s")
       .withColumn("r", row_number().over(wPrefix))
       .filter(col("r") <= prefixLen)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("sz"), col("r"))
+    // Candidate pruning beyond the prefix theorem — both filters are
+    // NECESSARY conditions for J(A,B) >= tau, so recall stays exact:
+    //  - length: |A cap B| <= min(|A|,|B|) and >= tau*|A cup B| >=
+    //    tau*max(|A|,|B|), so min >= tau*max;
+    //  - positional (PPJoin, conservative form): for ANY shared element
+    //    at ranks (ra, rb) of the global (df, s) order, common elements
+    //    before it number <= min(ra,rb)-1 and from it on
+    //    <= 1 + min(|A|-ra, |B|-rb), so the overlap O satisfies
+    //    O <= min(ra,rb) + min(|A|-ra, |B|-rb); J >= tau forces
+    //    O >= ceil(tau/(1+tau) * (|A|+|B|)) = alpha, so every shared
+    //    occurrence of a qualifying pair passes the bound — dropping
+    //    occurrences below alpha can only remove pairs with J < tau.
+    // On a small-vocabulary corpus (where no shingle is truly rare and
+    // raw prefix candidates explode quadratically in posting length)
+    // these cut the verify set by an order of magnitude.
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("a.sz") + col("b.sz")))
     val cand = prefix.as("a").join(prefix.as("b"), "s")
       .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(col("b.sz") >= lit(threshold) * col("a.sz") &&
+        col("a.sz") >= lit(threshold) * col("b.sz"))
+      .filter(least(col("a.r"), col("b.r")) +
+        least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) >= alpha)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
