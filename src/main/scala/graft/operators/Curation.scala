@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling/splitting and per-group quota enforcement.
+  *
+  * Both avoid RNG state entirely — at 100 TB a split must be
+  * reproducible across reruns, engines, and partitionings, which rules
+  * out `rand()` (seed × partition-placement dependent). Hash-based
+  * assignment gives every row a stable fate derived only from its key.
+  */
+object Curation {
+
+  /** Deterministic train/val/test split by key hash.
+    *
+    * bucket = hash32(salt ':' doc_id) mod 100 — uniform over keys,
+    * stable under repartitioning, re-derivable by any engine with md5
+    * (see [[Hashing]]). Changing `salt` draws an independent split.
+    * Output: (doc_id, bucket, split).
+    */
+  def hashSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      salt: String = "split"): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val bucket = Hashing.hash32(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 100
+    docs.select(
+      col("doc_id"),
+      bucket.cast("int").as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Per-group quota cap: keep the `quota` highest-quality documents per
+    * `lang` (ties broken by doc_id — fully deterministic).
+    *
+    * Two-phase top-N so a hot group cannot serialize into one task: a
+    * first row_number over (lang, input partition) prunes each shuffle
+    * partition to its local top-`quota` (keeping any global-top-N row is
+    * guaranteed: a row in the global top N of its lang is in the top N
+    * of every subset containing it), then the final row_number over
+    * `lang` ranks only the <= quota x partitions survivors. With few
+    * groups and unbounded group size, the single-phase window is exactly
+    * the skew shape that dies at scale.
+    *
+    * Output: (doc_id, lang, quality, qrank).
+    */
+  def quotaCap(docs: DataFrame, quota: Int = 100): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val local = Window.partitionBy(col("lang"), spark_partition_id())
+      .orderBy(desc("quality"), asc("doc_id"))
+    val global = Window.partitionBy("lang")
+      .orderBy(desc("quality"), asc("doc_id"))
+    scored
+      .withColumn("r0", row_number().over(local))
+      .filter(col("r0") <= quota)
+      .withColumn("qrank", row_number().over(global).cast("long"))
+      .filter(col("qrank") <= quota)
+      .select("doc_id", "lang", "quality", "qrank")
+  }
+}

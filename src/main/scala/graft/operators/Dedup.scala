@@ -229,6 +229,59 @@ object Dedup {
     * (block, key) either way — never a cartesian.
     *
     * Output: (d1, d2, hamming). */
+  /** Near-dup cluster formation: connected components over a pair graph,
+    * labeling every member with its cluster representative (the minimum
+    * doc_id in the component) — the step that turns pairwise similarity
+    * output into an actionable keep/drop decision per document.
+    *
+    * Hash-Min label propagation: label(v) starts at min(v, neighbors),
+    * and each BSP round replaces it with the min label in v's closed
+    * neighborhood until a fixpoint. Each round is one shuffle join on the
+    * edge list — no driver-side graph state, edges never leave executors.
+    * Rounds needed = component diameter; near-dup clusters are dense and
+    * shallow (diameter rarely exceeds a few hops), so this converges in
+    * 2-4 rounds. For adversarial long-chain graphs the published remedy
+    * is the large-star/small-star rewrite (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) at O(log n) rounds —
+    * same join shape per round, so the plan scales identically.
+    *
+    * Input: (d1, d2) pairs (any extra columns ignored). Output:
+    * (doc_id, rep_id, cluster_size) for every doc present in a pair. */
+  def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlab")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dlab").as("nmin"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // limit(1): existence probe, stops scanning at the first change
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"clusters: no fixpoint after $maxIter rounds")
+    val sizes = labels.groupBy(col("label").as("rep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
+      .join(sizes, "rep_id")
+      .select("doc_id", "rep_id", "cluster_size")
+  }
+
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // both join sides derive from the same sketch frame
     val hs = simHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
 
 /** Tier X — training-data-pipeline extensions (SURVEY.md §2.2 Tier X +
   * BASELINE.json north star): dedup family, similarity search, text
@@ -31,6 +31,14 @@ object TierX {
         .orderBy("d1", "d2")),
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simHash(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
+    "x_dedup_cluster" -> ((s, d) =>
+      Dedup.clusters(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
+        .orderBy("doc_id")),
+    "x_sample_split" -> ((s, d) =>
+      Curation.hashSplit(docs(s, d), trainPct = 80, valPct = 10)
+        .orderBy("doc_id")),
+    "x_quota_cap" -> ((s, d) =>
+      Curation.quotaCap(docs(s, d), quota = 50).orderBy("doc_id")),
     "x_dedup_embed" -> ((s, d) =>
       SimilaritySearch
         .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16, rowsPerBand = 2)
@@ -70,6 +78,31 @@ object TierX {
       |                           for i in range(1, len(w) - 1)])
       |       ELSE [array_to_string(w, ' ')] END AS shingles
       |FROM w)""".stripMargin
+  /** MinHash banded-LSH candidate pairs with exact-Jaccard stats — the
+    * full chain behind `x_dedup_minhash`, shared with `x_dedup_cluster`
+    * (which runs connected components over the same pair set). Ends with
+    * CTE `jx(d1, d2, inter, la, lb)`. */
+  private val minhashPairsCte =
+    s"""$shinglesCte,
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
+      |              ${hash32("'1:' || s")} AS h2 FROM ex),
+      |hx AS (SELECT doc_id, j,
+      |         min((h1 + j * h2) % 4294967296) AS mh
+      |       FROM hw, range(16) t(j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+      |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+      |          FROM hx GROUP BY doc_id, j // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN bands b
+      |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |jx AS (SELECT d1, d2,
+      |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+      |         len(sa.shingles) AS la, len(sb.shingles) AS lb
+      |       FROM cand
+      |       JOIN sh sa ON cand.d1 = sa.doc_id
+      |       JOIN sh sb ON cand.d2 = sb.doc_id)""".stripMargin
+
   private val dotSql = (a: String, b: String) =>
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
       s"for i in range(1, len($a) + 1)])"
@@ -119,29 +152,53 @@ object TierX {
         |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
     "x_dedup_minhash" ->
-      s"""WITH $shinglesCte,
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
-        |              ${hash32("'1:' || s")} AS h2 FROM ex),
-        |hx AS (SELECT doc_id, j,
-        |         min((h1 + j * h2) % 4294967296) AS mh
-        |       FROM hw, range(16) t(j) GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
-        |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
-        |          FROM hx GROUP BY doc_id, j // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM bands a JOIN bands b
-        |         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        |jx AS (SELECT d1, d2,
-        |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-        |         len(sa.shingles) AS la, len(sb.shingles) AS lb
-        |       FROM cand
-        |       JOIN sh sa ON cand.d1 = sa.doc_id
-        |       JOIN sh sb ON cand.d2 = sb.doc_id)
+      s"""WITH $minhashPairsCte
         |SELECT d1, d2, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jac
         |FROM jx
         |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |mp AS (SELECT d1, d2 FROM jx
+        |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM mp
+        |          UNION SELECT d2, d1 FROM mp),
+        |reach(id, x) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
+        |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
+        |sz AS (SELECT rep_id, count(1) AS cluster_size FROM lab GROUP BY rep_id)
+        |SELECT lab.id AS doc_id, lab.rep_id, sz.cluster_size
+        |FROM lab JOIN sz USING (rep_id) ORDER BY doc_id""".stripMargin,
+    "x_sample_split" ->
+      s"""SELECT doc_id,
+        |       CAST(${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket,
+        |       CASE WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+        |            WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quota_cap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS DOUBLE) AS n_tokens,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_unique,
+        |        CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS DOUBLE) AS n_stop
+        |      FROM t),
+        |r AS (SELECT doc_id,
+        |        round(n_unique / n_tokens, 4) AS ttr,
+        |        round(n_stop / 5.0, 4) AS stop_hit_ratio,
+        |        round(least(n_tokens / 100.0, 1.0), 4) AS len_sat
+        |      FROM m),
+        |q AS (SELECT doc_id,
+        |        round(0.4 * ttr + 0.3 * stop_hit_ratio + 0.3 * len_sat, 4) AS quality
+        |      FROM r),
+        |j AS (SELECT q.doc_id, d.lang, q.quality,
+        |        row_number() OVER (PARTITION BY d.lang
+        |                           ORDER BY q.quality DESC, q.doc_id) AS qrank
+        |      FROM q JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, quality, CAST(qrank AS BIGINT) AS qrank
+        |FROM j WHERE qrank <= 50 ORDER BY doc_id""".stripMargin,
     "x_dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |th AS (SELECT doc_id, ${hash32("t")} AS h FROM tok),

@@ -208,4 +208,69 @@ class TierXSpec extends SparkSpec {
     assert(prof.count() == Tables(spark, sf, "documents").count())
     assert(prof.select("pred_lang").distinct().count() <= 5)
   }
+
+  test("clusters: transitive closure beyond direct pairs, min-id rep") {
+    // chain 1-2-3 (no direct 1-3 pair) plus isolated pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
+    val res = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+    // empty pair set: empty output, converges immediately
+    assert(Dedup.clusters(Seq.empty[(Long, Long)].toDF("d1", "d2"))
+      .count() == 0)
+  }
+
+  test("clusters partition the corpus near-dup pairs consistently") {
+    val pairs = q("x_dedup_minhash")
+    val cl = Dedup.clusters(pairs).cache()
+    // every doc in a pair is labeled; rep is a member of the same cluster
+    val inPairs = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2"))).distinct()
+    assert(cl.count() == inPairs.count())
+    val reps = cl.select(col("rep_id")).distinct()
+    assert(reps.join(cl, reps("rep_id") === cl("doc_id"), "left_anti")
+      .count() == 0)
+    // both ends of every pair carry the same label
+    val l1 = cl.select(col("doc_id").as("d1"), col("rep_id").as("r1"))
+    val l2 = cl.select(col("doc_id").as("d2"), col("rep_id").as("r2"))
+    assert(pairs.join(l1, "d1").join(l2, "d2")
+      .filter(col("r1") =!= col("r2")).count() == 0)
+  }
+
+  test("hash split is deterministic, covers all rows, respects cutoffs") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf, "documents")
+    val s1 = Curation.hashSplit(docs).cache()
+    assert(s1.count() == docs.count())
+    assert(s1.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    assert(s1.filter(
+      (col("bucket") < 80 && col("split") =!= "train") ||
+      (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+      (col("bucket") >= 90 && col("split") =!= "test")).count() == 0)
+    // stable under recomputation and repartitioning
+    val s2 = Curation.hashSplit(docs.repartition(7))
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // a different salt draws a different split
+    val s3 = Curation.hashSplit(docs, salt = "other")
+    assert(s1.join(s3, "doc_id")
+      .filter(s1("split") =!= s3("split")).count() > 0)
+  }
+
+  test("two-phase quota cap equals the single-phase window result") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf, "documents")
+    val two = Curation.quotaCap(docs, quota = 7)
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy("lang").orderBy(desc("quality"), asc("doc_id"))
+    val one = scored.withColumn("qrank", row_number().over(w).cast("long"))
+      .filter(col("qrank") <= 7)
+      .select("doc_id", "lang", "quality", "qrank")
+    assert(two.exceptAll(one).count() == 0 && one.exceptAll(two).count() == 0)
+    // quota respected per group
+    assert(two.groupBy("lang").count().filter(col("count") > 7).count() == 0)
+  }
 }
