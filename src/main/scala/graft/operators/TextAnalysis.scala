@@ -118,4 +118,58 @@ object TextAnalysis {
         col("doc_id"),
         col("g.fp").as("fp"),
         col("g.n_kgrams").as("n_kgrams"))
+
+  /** Tokenize-and-chunk: split each document into token windows of
+    * `maxTokens`, starting every `stride` tokens (stride < maxTokens
+    * gives overlapping context windows — the standard LLM pre-training
+    * chunking step). A generator (posexplode over the start sequence)
+    * keeps the operation row-local: no shuffle, no driver state, chunk
+    * count scales with corpus token count regardless of document skew.
+    *
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunkSplit(
+      docs: DataFrame, maxTokens: Int = 50, stride: Int = 25): DataFrame = {
+    require(maxTokens >= 1 && stride >= 1,
+      s"invalid chunking: maxTokens=$maxTokens stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(expr(s"sequence(1, size(w), $stride)"))
+          .as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(slice(col("w"), col("start"), lit(maxTokens))).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("w"), col("start"), lit(maxTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Per-document top-k TF-IDF terms: tf = in-doc term count,
+    * idf = ln(N / df) over document frequency, score = tf * idf.
+    *
+    * Two aggregate shuffles (per-doc tf, corpus df) and a window ranked
+    * within doc_id — per-window row count is bounded by a document's
+    * distinct-term count, so the rank never concentrates into one task
+    * the way a per-LANGUAGE window would. The corpus size N joins in as
+    * a broadcast scalar, not a driver-side constant-folded literal, so
+    * the plan is identical at any scale.
+    *
+    * Output: (doc_id, tok, tf, df, score, trank). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_corpus").cast("double") / col("df")), 4))
+      .withColumn("trank", row_number().over(w).cast("long"))
+      .filter(col("trank") <= k)
+      .select("doc_id", "tok", "tf", "df", "score", "trank")
+  }
 }

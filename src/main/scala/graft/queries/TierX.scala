@@ -64,6 +64,12 @@ object TierX {
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
     "x_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(docs(s, d)).orderBy("doc_id")),
+    "x_chunk_split" -> ((s, d) =>
+      TextAnalysis.chunkSplit(docs(s, d), maxTokens = 50, stride = 25)
+        .orderBy("doc_id", "chunk_id")),
+    "x_tfidf_topterms" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, d), k = 3)
+        .orderBy("doc_id", "trank")),
     "x_multimodal_meta" -> ((s, d) =>
       Multimodal.decode(s, docs(s, d)).toDF().orderBy("doc_id")))
 
@@ -374,6 +380,31 @@ object TierX {
         |       CAST(len(list_distinct([substr(text, i, 5)
         |                 for i in range(1, length(text) - 3)])) AS BIGINT) AS n_kgrams
         |FROM documents WHERE length(text) >= 5 ORDER BY doc_id""".stripMargin,
+    "x_chunk_split" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 25)) AS s FROM w),
+        |c AS (SELECT doc_id, w, s,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+        |      FROM st)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(w, CAST(s AS INT), CAST(s + 49 AS INT))) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(w, CAST(s AS INT), CAST(s + 49 AS INT)), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "x_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, count(1) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT tok, count(1) AS df
+        |        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |n AS (SELECT count(1) AS n_corpus FROM documents),
+        |s AS (SELECT tf.doc_id, tf.tok, tf.tf, dfx.df,
+        |        round(tf.tf * ln(CAST(n.n_corpus AS DOUBLE) / dfx.df), 4) AS score
+        |      FROM tf JOIN dfx USING (tok) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, tok) AS trank
+        |      FROM s)
+        |SELECT doc_id, tok, tf, df, score, CAST(trank AS BIGINT) AS trank
+        |FROM r WHERE trank <= 3 ORDER BY doc_id, trank""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -257,6 +257,41 @@ class TierXSpec extends SparkSpec {
       .filter(s1("split") =!= s3("split")).count() > 0)
   }
 
+  test("chunk split: coverage, overlap, and bounds on a crafted doc") {
+    val doc = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = TextAnalysis.chunkSplit(doc, maxTokens = 4, stride = 2)
+      .orderBy("chunk_id").collect()
+    // starts 1,3,5,7,9 -> 5 chunks; all <= 4 tokens; stride-2 overlap
+    assert(chunks.length == 5)
+    assert(chunks.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    assert(chunks(0).getString(3) == "t1 t2 t3 t4")
+    assert(chunks(1).getString(3) == "t3 t4 t5 t6")
+    assert(chunks(4).getString(3) == "t9 t10")
+    // corpus-wide: every chunk obeys the token bound, no doc dropped
+    val all = TextAnalysis.chunkSplit(Tables(spark, sf, "documents"))
+    assert(all.filter(col("n_chunk_tokens") > 50).count() == 0)
+    assert(all.select("doc_id").distinct().count() ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("tf-idf top terms: ubiquitous terms score zero, ranks bounded") {
+    val crafted2 = Seq(
+      (0L, "alpha alpha alpha shared", "en", "s", 0L),
+      (1L, "beta beta shared shared", "en", "s", 0L),
+      (2L, "gamma delta shared epsilon", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = TextAnalysis.tfIdfTopTerms(crafted2, k = 2).cache()
+    // 'shared' is in every doc -> idf = ln(1) = 0
+    assert(top.filter(col("tok") === "shared" && col("score") =!= 0.0)
+      .count() == 0)
+    // each doc's #1 term is its own distinctive token
+    val first = top.filter(col("trank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first(0L) == "alpha" && first(1L) == "beta")
+    assert(top.groupBy("doc_id").count().filter(col("count") > 2).count() == 0)
+  }
+
   test("two-phase quota cap equals the single-phase window result") {
     import graft.operators.Curation
     import org.apache.spark.sql.expressions.Window
