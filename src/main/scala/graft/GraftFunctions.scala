@@ -48,7 +48,18 @@ object GraftFunctions {
       require(exprs.length == 1,
         s"graft_hash32 requires exactly 1 string argument, got ${exprs.length}")
       hash32Expr(exprs.head)
-    }))
+    }),
+    GraftFn("gram_fingerprint",
+      classOf[graft.expressions.GramFingerprint].getName, exprs => {
+        require(exprs.length == 2,
+          s"gram_fingerprint requires (text, k) arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_fingerprint k must be an integer literal, got $other")
+        }
+        graft.expressions.GramFingerprint(exprs.head, k)
+      }))
 
   /** Register all graft SQL functions as session temp functions. */
   def registerAll(spark: SparkSession): Unit =

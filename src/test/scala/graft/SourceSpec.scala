@@ -79,4 +79,26 @@ class SourceSpec extends SparkSpec {
       .orderBy("vec_id").limit(5).collect()
     assert(viaSql.map(_.toString).toSeq == viaApi.map(_.toString).toSeq)
   }
+
+  test("gram_fingerprint from SQL agrees with the Column API") {
+    GraftFunctions.registerAll(spark)
+    Tables(spark, sf, "documents").createOrReplaceTempView("graft_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, gram_fingerprint(text, 5).fp AS fp
+        |FROM graft_docs WHERE length(text) >= 5
+        |ORDER BY doc_id LIMIT 10""".stripMargin).collect()
+    val viaApi = Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        graft.expressions.GramFingerprint.of(col("text"), 5)
+          .getField("fp").as("fp"))
+      .orderBy("doc_id").limit(10).collect()
+    assert(viaSql.map(_.toString).toSeq == viaApi.map(_.toString).toSeq)
+    // non-literal k is rejected with a clear message
+    val ex = intercept[Exception] {
+      spark.sql("SELECT gram_fingerprint(text, CAST(doc_id AS INT)) FROM graft_docs")
+        .collect()
+    }
+    assert(ex.getMessage.contains("integer literal"))
+  }
 }
