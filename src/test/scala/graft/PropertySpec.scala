@@ -92,4 +92,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOf(Gen.zip(
+      Gen.chooseNum(0L, 30L),
+      Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5"))
+        .map(_.mkString(" "))))
+    .map(_.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toList)
+
+  private def toDocs(xs: List[(Long, String)]) =
+    xs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("non-overlapping chunks reconstruct every document exactly") {
+    import graft.operators.TextAnalysis
+    forAll(docGen) { xs =>
+      whenever(xs.nonEmpty) {
+        val docs = toDocs(xs)
+        // stride == maxTokens -> disjoint cover, in chunk_id order
+        val rebuilt = TextAnalysis.chunkSplit(docs, maxTokens = 4, stride = 4)
+          .groupBy("doc_id")
+          .agg(concat_ws(" ",
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+              .getField("chunk_text")).as("text"))
+        val orig = docs.select("doc_id", "text")
+        assert(rebuilt.exceptAll(orig).count() == 0)
+        assert(orig.exceptAll(rebuilt).count() == 0)
+      }
+    }
+  }
+
+  test("cluster labels are a partition refinement fixpoint") {
+    import graft.operators.Dedup
+    val pairGen: Gen[List[(Long, Long)]] =
+      Gen.listOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
+        .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+          .distinct)
+    forAll(pairGen) { ps =>
+      whenever(ps.nonEmpty) {
+        val pairs = ps.toDF("d1", "d2")
+        val cl = Dedup.clusters(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // fixpoint: every edge endpoint pair shares a label, and each
+        // label is the min doc_id of its member set
+        ps.foreach { case (a, b) => assert(cl(a) == cl(b)) }
+        cl.groupBy(_._2).foreach { case (rep, members) =>
+          assert(members.keys.min == rep)
+        }
+      }
+    }
+  }
 }
