@@ -12,7 +12,10 @@ class DeterminismSpec extends SparkSpec {
     "r_window_running",  // frame accumulation
     "f_surrogate_key",   // row_number density
     "x_dedup_minhash",   // sketch + LSH + verify chain
-    "x_stream_session")  // session assembly
+    "x_stream_session",  // session assembly
+    "x_dedup_cluster",   // iterative fixpoint over shuffled joins
+    "x_quota_cap",       // two-phase top-N (partition-dependent prune)
+    "x_tfidf_topterms")  // rank over rounded scores
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
