@@ -30,15 +30,54 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object Bench {
 
+  /** The last completed QueryExecution, captured through the listener
+    * bus. The DataFrame handed to `df.write` is planned inside a NEW
+    * QueryExecution wrapping the write command — `df.queryExecution`
+    * itself never executes, so reading it would report the
+    * pre-execution static plan (AQE `isFinalPlan=false`) and miss any
+    * runtime re-plan (demoted broadcasts, coalesced shuffles). The bus
+    * is FIFO and single-threaded, so after draining, `qe` is the write
+    * that just ran. */
+  private object LastQE
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    @volatile var seq: Long = 0L
+    @volatile var qe: org.apache.spark.sql.execution.QueryExecution = _
+    override def onSuccess(funcName: String,
+        q: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = { qe = q; seq += 1 }
+    override def onFailure(funcName: String,
+        q: org.apache.spark.sql.execution.QueryExecution,
+        e: Exception): Unit = ()
+  }
+
   /** Node counts parsed from the formatted explain of an executed
     * plan. Formatted mode prints one numbered line per operator
-    * ("(3) Exchange"), so counting name occurrences on those lines is
-    * exact, and it reflects the AQE final plan once the query ran. */
-  private[graft] def planMetrics(df: DataFrame): Map[String, Int] = {
-    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    * ("(3) Exchange"); an EXECUTED adaptive plan additionally renders
+    * the tree twice (`== Final Plan ==` then `== Initial Plan ==`) with
+    * distinct operator ids, so counting every detail line would double
+    * (or, when AQE re-planned, misreport) the metrics. We therefore
+    * restrict the detail-line count to operator ids that appear in the
+    * final-plan tree section. */
+  private[graft] def planMetrics(plan: String): Map[String, Int] = {
+    // tree section of the plan we actually ran: everything before the
+    // initial-plan copy (whole text when there is no AQE split)
+    val finalTree = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i  => plan.substring(0, i)
+    }
+    val treeLines = finalTree.linesIterator
+      .filterNot(_.trim.matches("""^\(\d+\) .*""")) // drop detail lines
+      .toSeq
+    val idRe = """\((\d+)\)""".r
+    val finalIds = treeLines
+      .flatMap(l => idRe.findAllMatchIn(l).map(_.group(1).toInt)).toSet
     val opLines = plan.linesIterator
       .map(_.trim)
       .filter(_.matches("""^\(\d+\) .*"""))
+      .filter { l =>
+        val id = l.drop(1).takeWhile(_.isDigit)
+        id.nonEmpty && finalIds.contains(id.toInt)
+      }
       .toSeq
     def count(p: String) = opLines.count(_.matches(s"""^\\(\\d+\\) $p.*"""))
     Map(
@@ -60,9 +99,29 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.listenerManager.register(LastQE)
 
     def consume(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+
+    /** Formatted explain of the execution that `consume` just ran:
+      * wait for its listener event (bus is async), settle, and read the
+      * final plan; falls back to the static plan if the bus stalls. */
+    def executedPlan(df: DataFrame, seqBefore: Long): String = {
+      val deadline = System.currentTimeMillis() + 5000
+      while (LastQE.seq == seqBefore && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      var last = LastQE.seq
+      var settled = false
+      while (!settled && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        if (LastQE.seq == last) settled = true else last = LastQE.seq
+      }
+      if (LastQE.seq != seqBefore && LastQE.qe != null)
+        LastQE.qe.explainString(ExplainMode.fromString("formatted"))
+      else
+        df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
 
     // warm up the JVM/codegen and the common table reads so startup cost
     // doesn't land on whichever query happens to run first
@@ -71,11 +130,16 @@ object Bench {
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): (Double, Map[String, Int]) = {
+        val seqBefore = LastQE.seq
         val t0 = System.nanoTime()
+        // construction is timed: iterative operators (clusters, IVF
+        // training) run real jobs before the final plan exists
         val df = fn(spark, sfDir)
         consume(df)
         val secs = (System.nanoTime() - t0) / 1e9
-        (secs, planMetrics(df))
+        // plan capture (listener drain) happens outside the timed region;
+        // the bus is FIFO, so after settling the last event is the write
+        (secs, planMetrics(executedPlan(df, seqBefore)))
       }
       val (cold, steady, plans) = try {
         val (t1, _) = once()

@@ -96,7 +96,12 @@ object Dedup {
     // global rarity order: (document frequency, shingle)
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val wPrefix = Window.partitionBy("doc_id").orderBy("df", "s")
-    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    // ceil(tau*sz - eps): the epsilon keeps an FP product that lands an
+    // ulp ABOVE an exact integer boundary from inflating the ceil and
+    // silently shortening the indexed prefix (recall, not performance).
+    // At tau=0.8 no sz<=5000 hits this; other thresholds can.
+    val prefixLen =
+      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .cast("int")
     val prefix = ex.join(df, "s")
       .withColumn("r", row_number().over(wPrefix))
@@ -111,20 +116,28 @@ object Dedup {
     //    before it number <= min(ra,rb)-1 and from it on
     //    <= 1 + min(|A|-ra, |B|-rb), so the overlap O satisfies
     //    O <= min(ra,rb) + min(|A|-ra, |B|-rb); J >= tau forces
-    //    O >= ceil(tau/(1+tau) * (|A|+|B|)) = alpha, so every shared
-    //    occurrence of a qualifying pair passes the bound — dropping
-    //    occurrences below alpha can only remove pairs with J < tau.
+    //    O >= tau/(1+tau) * (|A|+|B|), so every shared occurrence of a
+    //    qualifying pair passes the bound — dropping occurrences below
+    //    it can only remove pairs with J < tau.
+    // The thresholds are compared with an epsilon slack and NO ceil():
+    // ceil(double) overshoots the exact rational bound on FP-boundary
+    // sums (e.g. tau=0.8: ceil(0.4444444444444445 * 63) = 29 but the
+    // exact bound is 28), which would drop pairs sitting exactly at the
+    // threshold. The epsilon only weakens the filter (keeps a hair
+    // more candidates for exact verification), never the recall.
     // On a small-vocabulary corpus (where no shingle is truly rare and
     // raw prefix candidates explode quadratically in posting length)
     // these cut the verify set by an order of magnitude.
-    val alpha = ceil(lit(threshold / (1 + threshold)) *
-      (col("a.sz") + col("b.sz")))
+    val eps = 1e-9
+    val alphaBound = lit(threshold / (1 + threshold)) *
+      (col("a.sz") + col("b.sz")) - lit(eps)
     val cand = prefix.as("a").join(prefix.as("b"), "s")
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .filter(col("b.sz") >= lit(threshold) * col("a.sz") &&
-        col("a.sz") >= lit(threshold) * col("b.sz"))
+      .filter(col("b.sz") >= lit(threshold) * col("a.sz") - lit(eps) &&
+        col("a.sz") >= lit(threshold) * col("b.sz") - lit(eps))
       .filter(least(col("a.r"), col("b.r")) +
-        least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r")) >= alpha)
+        least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r"))
+        >= alphaBound)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
@@ -246,7 +259,14 @@ object Dedup {
     * same join shape per round, so the plan scales identically.
     *
     * Input: (d1, d2) pairs (any extra columns ignored). Output:
-    * (doc_id, rep_id, cluster_size) for every doc present in a pair. */
+    * (doc_id, rep_id, cluster_size) for every doc present in a pair.
+    *
+    * The returned frame keeps the converged label set persisted (its
+    * lineage spans every propagation round — recomputing it from
+    * scratch on cache eviction would replay the whole loop); callers
+    * running many corpora through this operator should
+    * `spark.catalog.clearCache()` between batches or unpersist after
+    * materializing downstream results. */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -264,17 +284,23 @@ object Dedup {
         .join(labels, "id")
         .select(col("id"), least(col("label"), col("nmin")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // limit(1): existence probe, stops scanning at the first change
+      // full count, not a limit(1) existence probe: the aggregation
+      // must materialize EVERY partition of `next` into the cache
+      // before the previous round's labels are unpersisted — an
+      // early-stopping probe would leave `next` partially cached with
+      // its lineage pointing at a frame we are about to drop,
+      // recomputing whole rounds on the next iteration
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
-        .limit(1).count()
+        .count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"clusters: no fixpoint after $maxIter rounds")
+    edges.unpersist()
     val sizes = labels.groupBy(col("label").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
@@ -283,6 +309,10 @@ object Dedup {
   }
 
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    // >= 32 would yield zero-width blocks whose key is 0 for every doc,
+    // silently degrading the blocked equi-join to an all-pairs join
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
     // both join sides derive from the same sketch frame
     val hs = simHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val blockStructs = simHashBlockSpec(maxHamming).map { case (t, off, mask) =>

@@ -27,8 +27,14 @@ import graft.functions.Similarity
   * shared RNG. A production deployment would use fixed random
   * hyperplanes; the plumbing is identical.
   *
-  * [[cosinePairs]] is the embedding-space near-dup operator (all pairs
-  * above a cosine threshold).
+  * [[cosinePairsLsh]] is the embedding-space near-dup operator (banded
+  * sign-LSH candidates, exact cosine verify); [[cosinePairsExact]] is
+  * its all-pairs ground-truth baseline, test-scale only.
+  *
+  * Several operators persist an intermediate frame that both the
+  * candidate and verify branches consume (e.g. `withBits`, the IVF
+  * assignment); those stay cached in the returned frame's lineage —
+  * batch callers should `spark.catalog.clearCache()` between corpora.
   */
 object SimilaritySearch {
 
