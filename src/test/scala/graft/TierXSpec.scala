@@ -209,6 +209,27 @@ class TierXSpec extends SparkSpec {
     assert(prof.select("pred_lang").distinct().count() <= 5)
   }
 
+  test("pair exactly AT the Jaccard threshold survives the FP-boundary filters") {
+    // |A|=28, |B|=35 distinct 1-gram shingles, overlap 28 -> J = 28/35 = 0.8
+    // exactly, and |A|+|B| = 63 is the smallest size-sum where
+    // ceil(0.8/1.8 * s) computed in doubles overshoots the exact bound
+    // (28.000000000000004 -> 29) — the bug this pins would silently drop
+    // the pair before verification
+    val a = (1 to 28).map(i => s"w$i").mkString(" ")
+    val b = (1 to 35).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a, "en", "s", 0L), (2L, b, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.nearDupJaccard(docs, k = 1, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0.8)))
+  }
+
+  test("simhash rejects maxHamming outside [0, 31]") {
+    val docs = Tables(spark, sf, "documents")
+    intercept[IllegalArgumentException](Dedup.simHash(docs, maxHamming = 32))
+    intercept[IllegalArgumentException](Dedup.simHash(docs, maxHamming = -1))
+  }
+
   test("clusters: transitive closure beyond direct pairs, min-id rep") {
     // chain 1-2-3 (no direct 1-3 pair) plus isolated pair 7-8
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("d1", "d2")
