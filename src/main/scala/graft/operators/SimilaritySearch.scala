@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.Similarity
+import graft.functions.{Hashing, Similarity}
 
 /** Approximate & exact nearest-neighbor search over embedding columns
   * (`ArrayType(FloatType)`).
@@ -93,6 +93,19 @@ object SimilaritySearch {
     vecs.orderBy("vec_id").limit(n).select("embedding")
       .collect().map(_.getSeq[Float](0)).toSeq
 
+  /** Deterministic uniform sample of n vectors for k-means seeding:
+    * order by the portable hash of the id, not the id itself. The
+    * lowest-id prefix can be arbitrarily unrepresentative (ids often
+    * correlate with insert time / source); hashing decorrelates the
+    * pick from any id structure while every engine (and the DuckDB
+    * oracle) reproduces the identical sample. Same bounded
+    * O(n × dim) driver footprint as [[probeVectors]]. */
+  private def seedVectors(vecs: DataFrame, n: Int): Seq[Seq[Float]] =
+    vecs.orderBy(
+        Hashing.hash32(col("vec_id").cast("string")), col("vec_id"))
+      .limit(n).select("embedding")
+      .collect().map(_.getSeq[Float](0)).toSeq
+
   /** Sign-pattern string for `embedding` against literal probes:
     * char p = '1' iff dot(vec, probe_p) ≥ 0. Codegen'd dot products,
     * zero shuffles. */
@@ -177,9 +190,10 @@ object SimilaritySearch {
   }
 
   /** Deterministic seeded k-means for the IVF coarse quantizer:
-    * init = the nCentroids lowest-vec_id vectors, then `iters` Lloyd
-    * rounds of (assign to nearest centroid by cosine) → (centroid :=
-    * element-wise mean of its cell).
+    * init = a hash-ordered uniform sample of nCentroids vectors
+    * ([[seedVectors]] — decorrelated from id structure, reproducible by
+    * any engine), then `iters` Lloyd rounds of (assign to nearest
+    * centroid by cosine) → (centroid := element-wise mean of its cell).
     *
     * Every step is engine-reproducible so the DuckDB oracle re-derives
     * the same centroids bit-for-bit: the mean is an EXACT 1e-6
@@ -192,7 +206,7 @@ object SimilaritySearch {
   def trainIvfCentroids(
       vecs: DataFrame, nCentroids: Int = 8, iters: Int = 2): Seq[(Int, Seq[Float])] = {
     var cents: Seq[(Int, Seq[Float])] =
-      probeVectors(vecs, nCentroids).zipWithIndex.map { case (v, i) => (i, v) }
+      seedVectors(vecs, nCentroids).zipWithIndex.map { case (v, i) => (i, v) }
     for (_ <- 0 until iters) {
       val sums = vecs
         .select(nearestCellExpr(cents).as("cell"),

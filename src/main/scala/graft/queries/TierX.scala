@@ -265,9 +265,11 @@ object TierX {
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "x_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c_id,
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
         |                embedding AS c_vec
-        |         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8) t),
+        |         FROM (SELECT vec_id, embedding,
+        |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
+        |               FROM embeddings ORDER BY h, vec_id LIMIT 8) t),
         |${kmeansIterSql("c0", "c1")},
         |${kmeansIterSql("c1", "c2")},
         |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
