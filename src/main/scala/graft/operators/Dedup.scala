@@ -213,17 +213,19 @@ object Dedup {
     agg.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** (blockIndex, bitOffset, mask) triples splitting 32 bits into
-    * maxHamming+1 contiguous blocks as evenly as possible — e.g. for
-    * maxHamming=6: four 5-bit blocks then three 4-bit blocks. */
-  private def simHashBlockSpec(maxHamming: Int): Seq[(Int, Int, Int)] = {
-    val nBlocks = maxHamming + 1
-    val base = 32 / nBlocks
-    val rem = 32 % nBlocks
+  /** (blockIndex, bitOffset, mask) triples splitting `width` bits into
+    * `nBlocks` contiguous blocks as evenly as possible — e.g. 32 bits
+    * into 7: four 5-bit blocks then three 4-bit blocks. */
+  private def splitBlocks(width: Int, nBlocks: Int): Seq[(Int, Int, Int)] = {
+    val base = width / nBlocks
+    val rem = width % nBlocks
     val sizes = Seq.fill(rem)(base + 1) ++ Seq.fill(nBlocks - rem)(base)
     val offsets = sizes.scanLeft(0)(_ + _)
     sizes.indices.map(t => (t, offsets(t), (1 << sizes(t)) - 1))
   }
+
+  private def simHashBlockSpec(maxHamming: Int): Seq[(Int, Int, Int)] =
+    splitBlocks(32, maxHamming + 1)
 
   /** SimHash near-dup pairs with multi-table blocking: the 32 bits are
     * split into maxHamming+1 blocks, and a pair is a candidate if it
@@ -306,6 +308,79 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
       .join(sizes, "rep_id")
       .select("doc_id", "rep_id", "cluster_size")
+  }
+
+  /** 64-bit SimHash per document, represented as TWO 32-bit words
+    * (`sim_lo` = sign bits of hash family 0, `sim_hi` = family 1, both
+    * in [0, 2^32)) rather than one signed 64-bit value: DuckDB's `<<`
+    * overflow-checks on BIGINT, so a packed representation could not be
+    * re-derived by the oracle, while two unsigned-range words keep every
+    * operation (shift, mask, xor, bit_count) bit-identical across
+    * engines. This is the corpus-scale fingerprint width
+    * (Manku et al., WWW'07): with maxHamming+1 blocks over 64 bits the
+    * pigeonhole blocks are ~9 bits wide instead of ~4-5, so block
+    * buckets are ~20× more selective at identical plan shape. */
+  def simHashes64(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        Hashing.hash32(col("t")).as("ha"),
+        Hashing.hash32(col("t"), 1).as("hb"))
+      .groupBy("doc_id", "ha", "hb").agg(count(lit(1)).as("cnt"))
+    def bitSums(word: String, tag: String) = (0 until 32).map { b =>
+      sum(when(shiftright(col(word), b).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"$tag$b")
+    }
+    val sums = bitSums("ha", "a") ++ bitSums("hb", "b")
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    def word(tag: String) = (0 until 32)
+      .map(b => when(col(s"$tag$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), word("a").as("sim_lo"), word("b").as("sim_hi"))
+  }
+
+  /** 64-bit SimHash near-dup pairs, multi-table pigeonhole blocking
+    * over the (sim_lo, sim_hi) word pair: ceil((maxHamming+1)/2) blocks
+    * tile the lo word, the rest tile the hi word — together a disjoint
+    * cover of all 64 bits, so Hamming ≤ maxHamming still guarantees a
+    * block collision. Verification sums per-word bit_counts (each xor
+    * stays in [0, 2^32) — no signed-overflow hazard on either engine).
+    *
+    * Output: (d1, d2, hamming). */
+  def simHash64(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 32,
+      s"maxHamming must be in [1, 31], got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val nLo = (nBlocks + 1) / 2
+    val hs = simHashes64(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val blockStructs =
+      splitBlocks(32, nLo).map { case (t, off, mask) =>
+        struct(lit(t).as("blk"),
+          shiftright(col("sim_lo"), off).bitwiseAND(lit(mask.toLong))
+            .as("key"))
+      } ++ splitBlocks(32, nBlocks - nLo).map { case (t, off, mask) =>
+        struct(lit(nLo + t).as("blk"),
+          shiftright(col("sim_hi"), off).bitwiseAND(lit(mask.toLong))
+            .as("key"))
+      }
+    val blocked = hs
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        explode(array(blockStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+    val a = blocked.select(col("doc_id").as("d1"), col("sim_lo").as("lo1"),
+      col("sim_hi").as("hi1"), col("blk"), col("key"))
+    val b = blocked.select(col("doc_id").as("d2"), col("sim_lo").as("lo2"),
+      col("sim_hi").as("hi2"), col("blk"), col("key"))
+    a.join(b, Seq("blk", "key"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2", "lo1", "hi1", "lo2", "hi2")
+      .distinct()
+      .withColumn("hamming",
+        (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
   }
 
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {

@@ -31,6 +31,8 @@ object TierX {
         .orderBy("d1", "d2")),
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simHash(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
+    "x_dedup_simhash64" -> ((s, d) =>
+      Dedup.simHash64(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
     "x_dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
@@ -227,6 +229,42 @@ object TierX {
         |            CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
         |          FROM cand)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
+        |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_simhash64" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (SELECT doc_id, ${hash32("t")} AS ha,
+        |              ${hash32("'1:' || t")} AS hb FROM tok),
+        |bitsA AS (SELECT doc_id, b,
+        |            CASE WHEN sum(CASE WHEN (ha >> CAST(b AS INT)) & 1 = 1
+        |                               THEN 1 ELSE -1 END) >= 0
+        |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |          FROM th, range(32) r(b) GROUP BY doc_id, b),
+        |bitsB AS (SELECT doc_id, b,
+        |            CASE WHEN sum(CASE WHEN (hb >> CAST(b AS INT)) & 1 = 1
+        |                               THEN 1 ELSE -1 END) >= 0
+        |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |          FROM th, range(32) r(b) GROUP BY doc_id, b),
+        |sim AS (SELECT a.doc_id,
+        |          CAST(a.sim_lo AS BIGINT) AS sim_lo,
+        |          CAST(b.sim_hi AS BIGINT) AS sim_hi
+        |        FROM (SELECT doc_id, sum(bit << CAST(b AS INT)) AS sim_lo
+        |              FROM bitsA GROUP BY doc_id) a
+        |        JOIN (SELECT doc_id, sum(bit << CAST(b AS INT)) AS sim_hi
+        |              FROM bitsB GROUP BY doc_id) b USING (doc_id)),
+        |blk AS (SELECT doc_id, sim_lo, sim_hi, t,
+        |          ((CASE WHEN wrd = 0 THEN sim_lo ELSE sim_hi END) >> off) & mask AS key
+        |        FROM sim, (VALUES (0,0,0,255),(1,0,8,255),(2,0,16,255),(3,0,24,255),
+        |                          (4,1,0,2047),(5,1,11,2047),(6,1,22,1023))
+        |                   b(t, wrd, off, mask)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        |                a.sim_lo AS l1, a.sim_hi AS h1,
+        |                b.sim_lo AS l2, b.sim_hi AS h2
+        |         FROM blk a JOIN blk b
+        |         ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |       CAST(bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= 6
         |ORDER BY d1, d2""".stripMargin,
     "x_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
