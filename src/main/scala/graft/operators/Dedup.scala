@@ -262,21 +262,24 @@ object Dedup {
     *
     * Input: (d1, d2) pairs (any extra columns ignored). Output:
     * (doc_id, rep_id, cluster_size) for every doc present in a pair.
-    *
-    * The returned frame keeps the converged label set persisted (its
-    * lineage spans every propagation round — recomputing it from
-    * scratch on cache eviction would replay the whole loop); callers
-    * running many corpora through this operator should
-    * `spark.catalog.clearCache()` between batches or unpersist after
-    * materializing downstream results. */
+    * The converged label set is locally checkpointed — the returned
+    * frame's lineage starts at the materialized fixpoint, not at the
+    * propagation loop, and the intermediate round RDDs are released by
+    * the ContextCleaner once unreferenced. */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // localCheckpoint on the per-round frames: truncates the logical
+    // lineage so Catalyst does not re-analyze a plan that grows by one
+    // round per iteration (see [[clustersStar]] for the measurement);
+    // eager materialization also guarantees `next` is complete before
+    // the previous round's labels become unreferenced. At cluster
+    // scale swap for reliable `checkpoint()`.
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min("dst").as("nbr_min"))
       .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -285,29 +288,89 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("dlab").as("nmin"))
         .join(labels, "id")
         .select(col("id"), least(col("label"), col("nmin")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // full count, not a limit(1) existence probe: the aggregation
-      // must materialize EVERY partition of `next` into the cache
-      // before the previous round's labels are unpersisted — an
-      // early-stopping probe would leave `next` partially cached with
-      // its lineage pointing at a frame we are about to drop,
-      // recomputing whole rounds on the next iteration
+        .localCheckpoint()
       val changed = next
         .join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev"))
         .count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"clusters: no fixpoint after $maxIter rounds")
-    edges.unpersist()
     val sizes = labels.groupBy(col("label").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
       .join(sizes, "rep_id")
       .select("doc_id", "rep_id", "cluster_size")
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round scale path for graphs whose
+    * diameter makes [[clusters]]' Hash-Min propagation (O(diameter)
+    * rounds) too slow. Same output contract as [[clusters]]; equality
+    * on arbitrary pair graphs is pinned by TierXSpec/PropertySpec.
+    *
+    *  - large-star: every node connects its strictly-larger neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller neighbors (and
+    *    itself) to that minimum.
+    *
+    * Each phase is one groupBy-min + one join over the edge list —
+    * the identical per-round plan shape as Hash-Min, so everything in
+    * SCALING.md about shuffle structure carries over; only the round
+    * count changes. Converged when the edge set reaches a fixpoint (a
+    * disjoint union of stars whose centers are the component minima). */
+  def clustersStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("lo").as("v"), col("hi").as("u"))
+        .union(e.select(col("hi").as("v"), col("lo").as("u")))
+      val mins = nbrs.groupBy("v").agg(min("u").as("mn"))
+        .select(col("v"), least(col("v"), col("mn")).as("m"))
+      nbrs.join(mins, "v").filter(col("u") > col("v"))
+        .select(col("u").as("a"), col("m").as("b"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // group by the larger endpoint: its strictly-smaller neighborhood
+      val nbrs = e.select(col("hi").as("v"), col("lo").as("u"))
+      val mins = nbrs.groupBy("v").agg(min("u").as("m"))
+      nbrs.join(mins, "v")
+        .select(col("u").as("a"), col("m").as("b"))
+        .union(mins.select(col("v").as("a"), col("m").as("b")))
+    }
+    // localCheckpoint, not persist: caching alone leaves the LOGICAL
+    // lineage growing by one full round per iteration, and Catalyst
+    // re-analyzes the whole chain every round — planning time doubles
+    // per round (measured: round 0 = 4 s, round 1 = 26 s on 24 edges).
+    // Checkpointing truncates the plan to the materialized partitions.
+    // At cluster scale swap for reliable `checkpoint()` (a checkpoint
+    // dir survives executor loss; localCheckpoint does not).
+    var edges = canon(pairs.select(col("d1").as("a"), col("d2").as("b")))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = canon(smallStar(canon(largeStar(edges))))
+        .localCheckpoint() // eager: materialized before the diff
+      val diff = next.exceptAll(edges).count() +
+        edges.exceptAll(next).count()
+      edges = next
+      converged = diff == 0
+      iter += 1
+    }
+    require(converged, s"clustersStar: no fixpoint after $maxIter rounds")
+    // fixpoint graph is a union of stars centered at component minima
+    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("rep_id"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("rep_id")))
+      .distinct()
+    val sizes = labels.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")
   }
 
   /** 64-bit SimHash per document, represented as TWO 32-bit words

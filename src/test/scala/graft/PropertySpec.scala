@@ -139,6 +139,10 @@ class PropertySpec extends SparkSpec {
         cl.groupBy(_._2).foreach { case (rep, members) =>
           assert(members.keys.min == rep)
         }
+        // the O(log n) star algorithm computes the identical partition
+        val star = Dedup.clustersStar(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == cl)
       }
     }
   }

@@ -276,6 +276,19 @@ class TierXSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("large-star/small-star components equal Hash-Min on corpus pairs") {
+    val pairs = q("x_dedup_minhash")
+    val hashMin = Dedup.clusters(pairs)
+    val star = Dedup.clustersStar(pairs)
+    assert(star.exceptAll(hashMin).count() == 0)
+    assert(hashMin.exceptAll(star).count() == 0)
+    // long chain (diameter 8): the O(log n) algorithm must agree there too
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val starChain = Dedup.clustersStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(starChain == (0L to 8L).map(i => (i, 0L, 9L)).toSet)
+  }
+
   test("clusters partition the corpus near-dup pairs consistently") {
     val pairs = q("x_dedup_minhash")
     val cl = Dedup.clusters(pairs).cache()
