@@ -202,29 +202,74 @@ object Dedup {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), Hashing.hash32(col("t")).as("h"))
       .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"w$b")
+    signWords(tok, Seq(("h", "simhash")))
+  }
+
+  /** Shared SimHash sign-word builder: for each (hashCol, outCol) pair,
+    * aggregates the ±cnt-weighted bit sums of hashCol per doc and packs
+    * the 32 sign bits into outCol. One aggregate regardless of how many
+    * words are requested. */
+  private def signWords(
+      tok: DataFrame, words: Seq[(String, String)]): DataFrame = {
+    val sums = words.flatMap { case (h, tag) =>
+      (0 until 32).map { b =>
+        sum(when(shiftright(col(h), b).bitwiseAND(1) === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"${tag}_$b")
+      }
     }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 32)
-      .map(b => when(col(s"w$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), simhash.as("simhash"))
+    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val packed = words.map { case (_, tag) =>
+      (0 until 32)
+        .map(b => when(col(s"${tag}_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(tag)
+    }
+    agg.select(col("doc_id") +: packed: _*)
+  }
+
+  /** Shared SimHash blocking machinery: explode each fingerprint row
+    * into its (blk, key) block rows, equi-join on (blk, key), dedupe
+    * the surviving pair, verify the full Hamming distance. `fpCols` are
+    * carried through with 1/2 suffixes for the verification expression. */
+  private def blockedHamming(
+      hs: DataFrame,
+      fpCols: Seq[String],
+      blockStructs: Seq[Column],
+      hamming: Column,
+      maxHamming: Int): DataFrame = {
+    val blocked = hs
+      .select(col("doc_id") +: fpCols.map(col) :+
+        explode(array(blockStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: fpCols.map(col) :+
+        col("bk.blk").as("blk") :+ col("bk.key").as("key"): _*)
+    val a = blocked.select(col("doc_id").as("d1") +:
+      fpCols.map(c => col(c).as(c + "1")) :+ col("blk") :+ col("key"): _*)
+    val b = blocked.select(col("doc_id").as("d2") +:
+      fpCols.map(c => col(c).as(c + "2")) :+ col("blk") :+ col("key"): _*)
+    a.join(b, Seq("blk", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(("d1" +: "d2" +:
+        (fpCols.map(_ + "1") ++ fpCols.map(_ + "2"))).map(col): _*)
+      .distinct() // a pair can collide in several blocks
+      .withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
   }
 
   /** (blockIndex, bitOffset, mask) triples splitting `width` bits into
     * `nBlocks` contiguous blocks as evenly as possible — e.g. 32 bits
     * into 7: four 5-bit blocks then three 4-bit blocks. */
-  private def splitBlocks(width: Int, nBlocks: Int): Seq[(Int, Int, Int)] = {
+  private def splitBlocks(width: Int, nBlocks: Int): Seq[(Int, Int, Long)] = {
     val base = width / nBlocks
     val rem = width % nBlocks
     val sizes = Seq.fill(rem)(base + 1) ++ Seq.fill(nBlocks - rem)(base)
     val offsets = sizes.scanLeft(0)(_ + _)
-    sizes.indices.map(t => (t, offsets(t), (1 << sizes(t)) - 1))
+    // Long mask: (1 << 32) in Int arithmetic wraps to 1 (shift mod 32),
+    // which would zero the mask for a block spanning a full word and
+    // silently degrade the blocked equi-join to all-pairs
+    sizes.indices.map(t => (t, offsets(t), (1L << sizes(t)) - 1))
   }
 
-  private def simHashBlockSpec(maxHamming: Int): Seq[(Int, Int, Int)] =
+  private def simHashBlockSpec(maxHamming: Int): Seq[(Int, Int, Long)] =
     splitBlocks(32, maxHamming + 1)
 
   /** SimHash near-dup pairs with multi-table blocking: the 32 bits are
@@ -353,22 +398,37 @@ object Dedup {
     // dir survives executor loss; localCheckpoint does not).
     var edges = canon(pairs.select(col("d1").as("a"), col("d2").as("b")))
       .localCheckpoint()
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val next = canon(smallStar(canon(largeStar(edges))))
         .localCheckpoint() // eager: materialized before the diff
-      val diff = next.exceptAll(edges).count() +
-        edges.exceptAll(next).count()
+      // both sides are distinct sets (canon ends in distinct), so
+      // equal cardinality + empty one-sided difference <=> equality —
+      // half the comparison cost of a symmetric exceptAll probe
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.exceptAll(edges).count() == 0
       edges = next
-      converged = diff == 0
+      edgeCount = nextCount
       iter += 1
     }
     require(converged, s"clustersStar: no fixpoint after $maxIter rounds")
-    // fixpoint graph is a union of stars centered at component minima
-    val labels = edges.select(col("hi").as("doc_id"), col("lo").as("rep_id"))
+    // fixpoint graph is a union of stars centered at component minima;
+    // docs appearing ONLY in self-pairs lost their (self-loop) edge to
+    // canon, so re-attach them as singletons — [[clusters]] keeps them
+    // (contract: every doc present in a pair), and the two operators
+    // must stay interchangeable
+    val starLabels = edges
+      .select(col("hi").as("doc_id"), col("lo").as("rep_id"))
       .union(edges.select(col("lo").as("doc_id"), col("lo").as("rep_id")))
       .distinct()
+    val selfOnly = pairs.filter(col("d1") === col("d2"))
+      .select(col("d1").as("doc_id")).distinct()
+      .join(starLabels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep_id"))
+    val labels = starLabels.union(selfOnly)
     val sizes = labels.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")
   }
@@ -390,16 +450,7 @@ object Dedup {
         Hashing.hash32(col("t")).as("ha"),
         Hashing.hash32(col("t"), 1).as("hb"))
       .groupBy("doc_id", "ha", "hb").agg(count(lit(1)).as("cnt"))
-    def bitSums(word: String, tag: String) = (0 until 32).map { b =>
-      sum(when(shiftright(col(word), b).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"$tag$b")
-    }
-    val sums = bitSums("ha", "a") ++ bitSums("hb", "b")
-    val agg = tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-    def word(tag: String) = (0 until 32)
-      .map(b => when(col(s"$tag$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col("doc_id"), word("a").as("sim_lo"), word("b").as("sim_hi"))
+    signWords(tok, Seq(("ha", "sim_lo"), ("hb", "sim_hi")))
   }
 
   /** 64-bit SimHash near-dup pairs, multi-table pigeonhole blocking
@@ -419,31 +470,17 @@ object Dedup {
     val blockStructs =
       splitBlocks(32, nLo).map { case (t, off, mask) =>
         struct(lit(t).as("blk"),
-          shiftright(col("sim_lo"), off).bitwiseAND(lit(mask.toLong))
+          shiftright(col("sim_lo"), off).bitwiseAND(lit(mask))
             .as("key"))
       } ++ splitBlocks(32, nBlocks - nLo).map { case (t, off, mask) =>
         struct(lit(nLo + t).as("blk"),
-          shiftright(col("sim_hi"), off).bitwiseAND(lit(mask.toLong))
+          shiftright(col("sim_hi"), off).bitwiseAND(lit(mask))
             .as("key"))
       }
-    val blocked = hs
-      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
-        explode(array(blockStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
-        col("bk.blk").as("blk"), col("bk.key").as("key"))
-    val a = blocked.select(col("doc_id").as("d1"), col("sim_lo").as("lo1"),
-      col("sim_hi").as("hi1"), col("blk"), col("key"))
-    val b = blocked.select(col("doc_id").as("d2"), col("sim_lo").as("lo2"),
-      col("sim_hi").as("hi2"), col("blk"), col("key"))
-    a.join(b, Seq("blk", "key"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "lo1", "hi1", "lo2", "hi2")
-      .distinct()
-      .withColumn("hamming",
-        (expr("bit_count(lo1 ^ lo2)") + expr("bit_count(hi1 ^ hi2)"))
-          .cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2", "hamming")
+    blockedHamming(hs, Seq("sim_lo", "sim_hi"), blockStructs,
+      expr("bit_count(sim_lo1 ^ sim_lo2)") +
+        expr("bit_count(sim_hi1 ^ sim_hi2)"),
+      maxHamming)
   }
 
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
@@ -456,24 +493,9 @@ object Dedup {
     val blockStructs = simHashBlockSpec(maxHamming).map { case (t, off, mask) =>
       struct(
         lit(t).as("blk"),
-        shiftright(col("simhash"), off).bitwiseAND(lit(mask.toLong)).as("key"))
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("key"))
     }
-    val blocked = hs
-      .select(col("doc_id"), col("simhash"),
-        explode(array(blockStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.blk").as("blk"), col("bk.key").as("key"))
-    val a = blocked.select(
-      col("doc_id").as("d1"), col("simhash").as("sh1"), col("blk"), col("key"))
-    val b = blocked.select(
-      col("doc_id").as("d2"), col("simhash").as("sh2"), col("blk"), col("key"))
-    a.join(b, Seq("blk", "key"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2", "sh1", "sh2")
-      .distinct() // a pair can collide in several blocks
-      .withColumn("hamming",
-        expr("bit_count(sh1 ^ sh2)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("d1", "d2", "hamming")
+    blockedHamming(hs, Seq("simhash"), blockStructs,
+      expr("bit_count(simhash1 ^ simhash2)"), maxHamming)
   }
 }

@@ -8,6 +8,13 @@ import org.apache.spark.sql.execution.ExplainMode
   * This is the executable form of the scaling contract (SCALING.md) —
   * a regression that re-introduces an O(n·m) pairing fails CI before it
   * reaches the bench.
+  *
+  * Two plan sources per query, because one is not enough:
+  *  - the final frame's explain (what a consumer would execute);
+  *  - every batch execution fired DURING construction, captured via a
+  *    QueryExecutionListener — iterative operators (connected
+  *    components, IVF training) run real jobs whose plans are invisible
+  *    in the returned frame once `localCheckpoint` truncates lineage.
   */
 class PlanGuardSpec extends SparkSpec {
 
@@ -19,17 +26,38 @@ class PlanGuardSpec extends SparkSpec {
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
     "x_lang_id", "x_tfidf_topterms")
 
-  test("no declared query plans a CartesianProduct; BNLJ only where documented") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution
-          .explainString(ExplainMode.fromString("formatted"))
-        val cartesian = plan.contains("CartesianProduct")
-        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
-          !bnljAllowed.contains(name)
-        (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
-          (if (bnlj) Seq(s"$name: undocumented BroadcastNestedLoopJoin") else Nil)
+  private object Captured
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val plans = scala.collection.mutable.Buffer[String]()
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      synchronized { plans += qe.executedPlan.toString }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        e: Exception): Unit = ()
+    def drain(): Seq[String] = {
+      Thread.sleep(250) // listener bus is async; let stragglers land
+      synchronized { val out = plans.toSeq; plans.clear(); out }
     }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("no declared query plans a CartesianProduct; BNLJ only where documented") {
+    spark.listenerManager.register(Captured)
+    try {
+      Captured.drain() // discard anything pending from earlier suites
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val finalPlan = fn(spark, sf).queryExecution
+            .explainString(ExplainMode.fromString("formatted"))
+          val allPlans = finalPlan +: Captured.drain()
+          val cartesian = allPlans.exists(_.contains("CartesianProduct"))
+          val bnlj = !bnljAllowed.contains(name) &&
+            allPlans.exists(_.contains("BroadcastNestedLoopJoin"))
+          (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
+            (if (bnlj) Seq(s"$name: undocumented BroadcastNestedLoopJoin") else Nil)
+      }
+      assert(offenders.isEmpty, offenders.mkString("\n"))
+    } finally spark.listenerManager.unregister(Captured)
   }
 }

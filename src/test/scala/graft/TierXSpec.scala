@@ -238,9 +238,6 @@ class TierXSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(blocked == brute,
       s"missed ${(brute -- blocked).size}, extra ${(blocked -- brute).size}")
-    // 64-bit fingerprints collide far less than 32-bit at the same
-    // radius — the corpus-scale reason to widen (Manku WWW'07)
-    assert(blocked.size <= Dedup.simHash(docs, maxHamming = 6).count())
   }
 
   test("pair exactly AT the Jaccard threshold survives the FP-boundary filters") {
@@ -287,6 +284,16 @@ class TierXSpec extends SparkSpec {
     val starChain = Dedup.clustersStar(chain).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(starChain == (0L to 8L).map(i => (i, 0L, 9L)).toSet)
+    // docs appearing only in self-pairs stay labeled as singletons in
+    // BOTH algorithms (canon drops the self-loop edge; the contract
+    // keeps the doc)
+    val withSelf = Seq((1L, 2L), (7L, 7L)).toDF("d1", "d2")
+    val hm = Dedup.clusters(withSelf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val st = Dedup.clustersStar(withSelf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hm == Set((1L, 1L, 2L), (2L, 1L, 2L), (7L, 7L, 1L)))
+    assert(st == hm)
   }
 
   test("clusters partition the corpus near-dup pairs consistently") {
