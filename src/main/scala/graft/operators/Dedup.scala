@@ -10,21 +10,27 @@ import graft.functions.Hashing
 
 /** Document deduplication operators for large-corpus pipelines.
   *
-  * Four families, in increasing tolerance to variation:
+  * Four sketch families, in increasing tolerance to variation:
   *
   *  1. [[exact]] — hash-groupBy on normalized text. One shuffle on the
   *     256-bit digest; at 100 TB the shuffle carries (digest, doc_id)
   *     pairs only, never the text.
   *  2. [[nearDupJaccard]] — word-k-gram (shingle) Jaccard with
-  *     prefix-filtered inverted-index candidates: exact recall for
-  *     pairs at or above the THRESHOLD passed at candidate time (not
-  *     for arbitrarily low similarities), then exact verification.
-  *     Scales with rare-shingle collision count, not docs².
+  *     prefix-filtered inverted-index candidates plus PPJoin length and
+  *     positional filters: exact recall for pairs at or above the
+  *     THRESHOLD passed at candidate time (not for arbitrarily low
+  *     similarities), then exact verification. Scales with rare-shingle
+  *     collision count, not docs².
   *  3. [[nearDupMinHash]] — MinHash signatures + banded LSH: candidate
   *     generation cost is O(docs × bands); recall is probabilistic
   *     (tuned by bands×rows), verification is exact.
-  *  4. [[simHash]] — 32-bit SimHash per doc + Hamming-distance pairing
-  *     blocked on the upper half of the fingerprint.
+  *  4. [[simHash]] / [[simHash64]] — 32/64-bit SimHash per doc with
+  *     multi-table pigeonhole blocking: exact recall at Hamming ≤
+  *     maxHamming, block-bucket equi-join candidates.
+  *
+  * Pairwise output turns into per-document keep/drop decisions via
+  * [[clusters]] (Hash-Min, O(diameter) rounds) or [[clustersStar]]
+  * (large-star/small-star, O(log n) rounds).
   *
   * All hashing uses the engine-portable [[Hashing.hash32]] so buckets and
   * signatures are reproducible outside Spark (and by the DuckDB oracle).
