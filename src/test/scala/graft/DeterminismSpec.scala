@@ -15,7 +15,8 @@ class DeterminismSpec extends SparkSpec {
     "x_stream_session",  // session assembly
     "x_dedup_cluster",   // iterative fixpoint over shuffled joins
     "x_quota_cap",       // two-phase top-N (partition-dependent prune)
-    "x_tfidf_topterms")  // rank over rounded scores
+    "x_tfidf_topterms",  // rank over rounded scores
+    "x_dedup_simhash64") // two-word sketch, 64-column bit-sum agg
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {

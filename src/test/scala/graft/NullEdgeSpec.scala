@@ -70,6 +70,13 @@ class NullEdgeSpec extends SparkSpec {
     assert(Dedup.nearDupJaccard(empty).count() == 0)
     assert(Dedup.nearDupMinHash(empty).count() == 0)
     assert(Dedup.simHash(empty).count() == 0)
+    assert(Dedup.simHash64(empty).count() == 0)
+    import graft.operators.{Curation, TextAnalysis}
+    assert(Curation.hashSplit(empty).count() == 0)
+    assert(Curation.quotaCap(empty).count() == 0)
+    assert(TextAnalysis.chunkSplit(empty).count() == 0)
+    assert(TextAnalysis.tfIdfTopTerms(empty).count() == 0)
+    assert(TextAnalysis.fingerprints(empty).count() == 0)
   }
 
   test("distinct treats null as a value (one null group)") {
