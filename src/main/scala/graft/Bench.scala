@@ -165,7 +165,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
     val coldTotal = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"plans":$planJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"plans":$planJson,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line alone is fragile (round-2 driver artifact lost it
+    // to tail truncation — BENCH_r02.json carried "parsed": null); a
+    // file copy survives regardless of how much the harness captures
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -1,7 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter semi-join pruning: shrink the shuffled side of a
   * selective join BEFORE the exchange.
@@ -18,12 +23,17 @@ import org.apache.spark.sql.functions._
   * explicit form that works regardless of plan shape and makes the
   * trade visible and testable.
   *
-  * The filter is consulted via `DataFrameStatFunctions.bloomFilter`
-  * (a driver-built, task-broadcast sketch — O(bits) driver memory,
-  * bounded by `expectedItems` and `fpp`). The join afterwards is
-  * UNCHANGED — false positives are eliminated by the real equi-join,
-  * so the result set is row-identical to the unpruned join (pinned by
-  * BloomPruneSpec).
+  * The sketch is built by Spark's native `BloomFilterAggregate` — the
+  * same expression the runtime-filter rewrite injects — so the build is
+  * a distributed partial/final aggregate (executors fold their
+  * partitions into per-task sketches; only the merged bit array reaches
+  * the driver, bounded by `numBits/8` bytes exactly like any aggregate
+  * result). The probe is `BloomFilterMightContain` over the serialized
+  * sketch as a literal: a codegen'd Catalyst predicate, not a Scala
+  * UDF, so the filter stays inside the large side's WholeStageCodegen
+  * span. The join afterwards is UNCHANGED — false positives are
+  * eliminated by the real equi-join, so the result set is row-identical
+  * to the unpruned join (pinned by BloomPruneSpec).
   */
 object BloomPrune {
 
@@ -35,11 +45,20 @@ object BloomPrune {
       key: String,
       expectedItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
-    val bloom = small.stat.bloomFilter(key, expectedItems, fpp)
-    val bloomBc = large.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bloomBc.value.mightContainLong(k))
-    large.filter(mightContain(col(key)))
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val sketchCol = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(col(key).cast("long")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // one distributed aggregate job; the driver holds only the merged
+    // serialized sketch (numBits/8 bytes), which then rides to tasks as
+    // a literal inside the generated predicate
+    val sketch = small.agg(sketchCol.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(
+      new BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        ColumnBridge.expression(col(key).cast("long"))))
+    large.filter(mightContain)
   }
 
   /** Inner equi-join with the large side Bloom-pruned pre-shuffle.

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.Hashing
 
@@ -54,6 +55,64 @@ object Curation {
     *
     * Output: (doc_id, lang, quality, qrank).
     */
+  /** The composed end-to-end curation pipeline — the operators above and
+    * the dedup family chained into ONE lineage, the way a real
+    * training-data job runs them:
+    *
+    *   exact dedup → near-dup MinHash pairs → connected-component
+    *   clusters → keep only cluster representatives → quality score +
+    *   per-lang quota → deterministic hash split → token chunking.
+    *
+    * Stage interactions this exercises that no isolated query does:
+    * the iterative [[Dedup.clusters]] loop runs DURING construction
+    * (its localCheckpoints truncate lineage mid-pipeline), the
+    * survivor/kept frames each feed multiple downstream branches (so
+    * they are persisted — without that the exact-dedup aggregate and
+    * the anti-join re-execute once per branch), and the final
+    * assembly joins a per-doc frame (quota) against a per-chunk
+    * generator output without column collisions.
+    *
+    * Scale shape: every stage is the already-audited operator — no new
+    * shuffle structure appears from composition; the final join
+    * broadcasts the quota side (bounded by quota × |langs|).
+    *
+    * Output: one row per (kept ∧ quota-winning doc, chunk):
+    * (doc_id, lang, quality, qrank, split, chunk_id, n_chunk_tokens,
+    * chunk_text). */
+  def curate(
+      docs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      quota: Int = 50,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      maxTokens: Int = 50,
+      stride: Int = 25): DataFrame = {
+    // stage 1: exact dedup — survivors are the canonical copy per hash
+    val canonical = Dedup.exact(docs).select("doc_id")
+    val survivors = docs.join(canonical, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stage 2: near-dup pairs + clusters; drop non-representatives.
+    // clusters() iterates real jobs here, mid-lineage — its output
+    // frame starts from a materialized fixpoint.
+    val pairs = Dedup.nearDupMinHash(survivors, k, threshold)
+    val dropped = Dedup.clusters(pairs)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select("doc_id")
+    val kept = survivors.join(dropped, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // stage 3-5: quota (quality-ranked), split, chunks — three branches
+    // off the kept frame, reassembled on doc_id
+    val quotaed = quotaCap(kept, quota)
+    val splits = hashSplit(kept, trainPct, valPct).select("doc_id", "split")
+    val chunks = TextAnalysis.chunkSplit(kept, maxTokens, stride)
+    quotaed
+      .join(splits, "doc_id")
+      .join(chunks, "doc_id")
+      .select("doc_id", "lang", "quality", "qrank", "split",
+        "chunk_id", "n_chunk_tokens", "chunk_text")
+  }
+
   def quotaCap(docs: DataFrame, quota: Int = 100): DataFrame = {
     val scored = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"))

@@ -334,17 +334,18 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // prev rides along into the checkpoint so the convergence check is
+      // a join-free filter-count over the materialized round output —
+      // exactly 2 jobs per round (checkpoint + count), not 3
       val next = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlab")), "dst")
         .groupBy(col("src").as("id")).agg(min("dlab").as("nmin"))
         .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nmin")).as("label"))
+        .select(col("id"), least(col("label"), col("nmin")).as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev"))
-        .count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       iter += 1
     }
@@ -411,11 +412,18 @@ object Dedup {
       val next = canon(smallStar(canon(largeStar(edges))))
         .localCheckpoint() // eager: materialized before the diff
       // both sides are distinct sets (canon ends in distinct), so
-      // equal cardinality + empty one-sided difference <=> equality —
-      // half the comparison cost of a symmetric exceptAll probe
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.exceptAll(edges).count() == 0
+      // equality <=> |next| == |edges| AND next ⊆ edges. One left join
+      // measures both in a SINGLE job: count(1) is |next|, and
+      // count(_prev) is the subset-membership count (edges is distinct,
+      // so the join never duplicates) — 2 jobs per round total
+      // (checkpoint + this aggregate), down from 3 with a separate
+      // count() + exceptAll().count()
+      val probe = next
+        .join(edges.withColumn("_prev", lit(1)), Seq("lo", "hi"), "left")
+        .agg(count(lit(1)).as("n"), count(col("_prev")).as("shared"))
+        .head()
+      val nextCount = probe.getLong(0)
+      converged = nextCount == edgeCount && probe.getLong(1) == nextCount
       edges = next
       edgeCount = nextCount
       iter += 1

@@ -73,25 +73,31 @@ object TierX {
       TextAnalysis.tfIdfTopTerms(docs(s, d), k = 3)
         .orderBy("doc_id", "trank")),
     "x_multimodal_meta" -> ((s, d) =>
-      Multimodal.decode(s, docs(s, d)).toDF().orderBy("doc_id")))
+      Multimodal.decode(s, docs(s, d)).toDF().orderBy("doc_id")),
+    "x_pipeline_curate" -> ((s, d) =>
+      Curation.curate(docs(s, d), k = 3, threshold = 0.8, quota = 50,
+        trainPct = 80, valPct = 10, maxTokens = 50, stride = 25)
+        .orderBy("doc_id", "chunk_id")))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
-  private val shinglesCte =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def shinglesCteFrom(src: String) =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(w) >= 3
       |       THEN list_distinct([array_to_string(list_slice(w, i, i + 2), ' ')
       |                           for i in range(1, len(w) - 1)])
       |       ELSE [array_to_string(w, ' ')] END AS shingles
       |FROM w)""".stripMargin
+  private val shinglesCte = shinglesCteFrom("documents")
   /** MinHash banded-LSH candidate pairs with exact-Jaccard stats — the
     * full chain behind `x_dedup_minhash`, shared with `x_dedup_cluster`
-    * (which runs connected components over the same pair set). Ends with
-    * CTE `jx(d1, d2, inter, la, lb)`. */
-  private val minhashPairsCte =
-    s"""$shinglesCte,
+    * (which runs connected components over the same pair set) and the
+    * composed `x_pipeline_curate` (which runs it over the exact-dedup
+    * survivors). Ends with CTE `jx(d1, d2, inter, la, lb)`. */
+  private def minhashPairsCteFrom(src: String) =
+    s"""${shinglesCteFrom(src)},
       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
       |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
       |              ${hash32("'1:' || s")} AS h2 FROM ex),
@@ -110,6 +116,7 @@ object TierX {
       |       FROM cand
       |       JOIN sh sa ON cand.d1 = sa.doc_id
       |       JOIN sh sb ON cand.d2 = sb.doc_id)""".stripMargin
+  private val minhashPairsCte = minhashPairsCteFrom("documents")
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
@@ -445,6 +452,63 @@ object TierX {
         |      FROM s)
         |SELECT doc_id, tok, tf, df, score, CAST(trank AS BIGINT) AS trank
         |FROM r WHERE trank <= 3 ORDER BY doc_id, trank""".stripMargin,
+    "x_pipeline_curate" ->
+      s"""WITH RECURSIVE
+        |xd AS (SELECT min(doc_id) AS doc_id
+        |       FROM (SELECT doc_id,
+        |               sha256(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+        |             FROM documents)
+        |       GROUP BY h),
+        |surv AS (SELECT d.* FROM documents d JOIN xd USING (doc_id)),
+        |${minhashPairsCteFrom("surv")},
+        |mp AS (SELECT d1, d2 FROM jx
+        |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM mp
+        |          UNION SELECT d2, d1 FROM mp),
+        |reach(id, x) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
+        |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
+        |dropped AS (SELECT id AS doc_id FROM lab WHERE id <> rep_id),
+        |kept AS (SELECT surv.* FROM surv LEFT JOIN dropped USING (doc_id)
+        |         WHERE dropped.doc_id IS NULL),
+        |qt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+        |qm AS (SELECT doc_id,
+        |         CAST(len(ws) AS DOUBLE) AS n_tokens,
+        |         CAST(len(list_distinct(ws)) AS DOUBLE) AS n_unique,
+        |         CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS DOUBLE) AS n_stop
+        |       FROM qt),
+        |qr AS (SELECT doc_id,
+        |         round(n_unique / n_tokens, 4) AS ttr,
+        |         round(n_stop / 5.0, 4) AS stop_hit_ratio,
+        |         round(least(n_tokens / 100.0, 1.0), 4) AS len_sat
+        |       FROM qm),
+        |qq AS (SELECT doc_id,
+        |         round(0.4 * ttr + 0.3 * stop_hit_ratio + 0.3 * len_sat, 4) AS quality
+        |       FROM qr),
+        |qj AS (SELECT qq.doc_id, d.lang, qq.quality,
+        |         row_number() OVER (PARTITION BY d.lang
+        |                            ORDER BY qq.quality DESC, qq.doc_id) AS qrank
+        |       FROM qq JOIN kept d USING (doc_id)),
+        |qk AS (SELECT doc_id, lang, quality, CAST(qrank AS BIGINT) AS qrank
+        |       FROM qj WHERE qrank <= 50),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+        |              WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM kept),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS cwds FROM kept),
+        |cst AS (SELECT doc_id, cwds, unnest(generate_series(1, len(cwds), 25)) AS s FROM cw),
+        |cc AS (SELECT doc_id, cwds, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+        |       FROM cst)
+        |SELECT qk.doc_id, qk.lang, qk.quality, qk.qrank, sp.split,
+        |       CAST(cc.chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(cwds, CAST(s AS INT), CAST(s + 49 AS INT))) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(cwds, CAST(s AS INT), CAST(s + 49 AS INT)), ' ') AS chunk_text
+        |FROM qk JOIN sp USING (doc_id) JOIN cc USING (doc_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -37,6 +37,17 @@ class BloomPruneSpec extends SparkSpec {
       s"kept=$kept matches=$matches total=$total")
   }
 
+  test("probe is the native codegen'd predicate, not a Scala UDF") {
+    val orders = Tables(spark, sf, "orders")
+    val vips = Tables(spark, sf, "customer")
+      .filter(col("c_custkey") % 20 === 0)
+      .select(col("c_custkey").as("o_custkey"))
+    val pruned = BloomPrune.pruneLarge(orders, vips, "o_custkey", 10000L, 0.01)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected native probe in:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF node leaked into:\n$plan")
+  }
+
   test("null keys never survive the prune") {
     import spark.implicits._
     val large = Seq(Some(1L), None, Some(2L), Some(99L))

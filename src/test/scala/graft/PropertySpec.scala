@@ -146,4 +146,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Dataset-level executions (actions) fired while `body` runs,
+    * counted through the QueryExecutionListener bus (async — polled
+    * until stable). AQE sub-stages and checkpoint RDD jobs don't count;
+    * this measures how many ACTIONS the operator launches. */
+  private def executionsDuring(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = counter.incrementAndGet()
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      var n = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(50)
+        val now = counter.get()
+        if (now == n) stable += 1 else { n = now; stable = 0 }
+      }
+      n
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("cluster convergence probes cost two executions per round") {
+    import graft.operators.Dedup
+    // {(1,2),(3,4)} converges in exactly ONE round for both algorithms,
+    // so the action budget is fully determined: 2 setup actions
+    // (edge materialization + initial labels/count) + 2 per round
+    // (round checkpoint + the SINGLE fused convergence probe) + 1 for
+    // the final count() here. The separate count()+exceptAll().count()
+    // probe this replaced costs 3 per round and would land at 6.
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val starActs = executionsDuring {
+      assert(Dedup.clustersStar(pairs).count() > 0)
+    }
+    assert(starActs <= 5, s"clustersStar ran $starActs actions, expected <= 5")
+    val hashMinActs = executionsDuring {
+      assert(Dedup.clusters(pairs).count() > 0)
+    }
+    assert(hashMinActs <= 5, s"clusters ran $hashMinActs actions, expected <= 5")
+  }
 }
