@@ -9,8 +9,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{ArrayType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.fidelity.FotmobPipeline
@@ -29,6 +30,19 @@ import graft.fidelity.FotmobPipeline
   * from the match index (a seeded stand-in for the HTTP fetch, which is
   * orchestration, not query processing), so reads are reproducible and
   * the source composes with [[FotmobPipeline]] end-to-end.
+  *
+  * Pushdown (the part that matters at fetch scale):
+  *
+  *  - `SupportsPushDownRequiredColumns` — the scan serializes only the
+  *    projected (possibly nested-pruned) sub-schema, so a query that
+  *    reads `matchId` alone never materializes the shot array. The
+  *    analog of fetching a lighter API payload per match.
+  *  - `SupportsPushDownFilters` — `matchId = 'm7'` / `matchId IN (…)`
+  *    predicates prune partition PLANNING: only the named matches are
+  *    ever generated (the reference's scrape fetches only the requested
+  *    rounds, `fotmob-dag.py:25-37` — same idea, applied at the
+  *    source). Handled filters stay in the residual set too, so Spark
+  *    re-applies them and correctness never rests on the prune.
   *
   * Scale shape: partitions are independent and sized by option, so a
   * 1000-executor cluster fans the fetch out with no driver-side loop;
@@ -64,39 +78,113 @@ private class FotmobMatchTable(matches: Int, partitions: Int)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = FotmobPipeline.matchDocSchema
-      override def toBatch: Batch = this
-
-      override def planInputPartitions(): Array[InputPartition] = {
-        val per = math.max(1, (matches + partitions - 1) / partitions)
-        (0 until matches by per)
-          .map(start => MatchRange(start, math.min(start + per, matches)))
-          .toArray
-      }
-
-      override def createReaderFactory(): PartitionReaderFactory =
-        new MatchReaderFactory
-    }
+    new FotmobScanBuilder(matches, partitions)
 }
 
-private case class MatchRange(start: Int, end: Int) extends InputPartition
+private class FotmobScanBuilder(matches: Int, partitions: Int)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = FotmobPipeline.matchDocSchema
+  private var pushed: Array[Filter] = Array.empty
+  // None = no pushed match-id predicate (scan everything)
+  private var allowed: Option[Set[Int]] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands the pruned read schema (nested struct fields included
+    // when nested-schema pruning applies); emit exactly this
+    required = requiredSchema
+
+  /** matchId values are "m<index>"; a parseable in-range value maps to
+    * its match index, anything else matches nothing. */
+  private def idx(v: Any): Option[Int] = v match {
+    case s: String if s.length > 1 && s.charAt(0) == 'm' =>
+      s.drop(1).toIntOption.filter(i => i >= 0 && i < matches)
+    case _ => None
+  }
+
+  private def matchIdSet(f: Filter): Option[Set[Int]] = f match {
+    case EqualTo("matchId", v) => Some(idx(v).toSet)
+    case In("matchId", vs) => Some(vs.flatMap(idx).toSet)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val handled = filters.filter(f => matchIdSet(f).isDefined)
+    val sets = handled.flatMap(matchIdSet)
+    allowed = if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    pushed = handled
+    // every filter stays residual: Spark re-evaluates post-scan, so the
+    // prune is purely a partition-planning optimization
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new FotmobScan(matches, partitions, required, allowed)
+}
+
+private class FotmobScan(
+    matches: Int,
+    partitions: Int,
+    schema: StructType,
+    allowed: Option[Set[Int]]) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val sel = allowed.map(a => s", matchIds=${a.size}").getOrElse("")
+    s"fotmob_matches(matches=$matches$sel, readFields=${schema.fieldNames.mkString(",")})"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = allowed match {
+    case None =>
+      // Range is a compact Seq — partition payload stays O(1) however
+      // large the match count
+      val per = math.max(1, (matches + partitions - 1) / partitions)
+      (0 until matches by per)
+        .map(s => MatchPart(s until math.min(s + per, matches), schema))
+        .toArray
+    case Some(ids) if ids.isEmpty => Array.empty
+    case Some(ids) =>
+      // pushed point/in-list lookups: plan only the named matches
+      val sorted = ids.toSeq.sorted
+      val per = math.max(1, (sorted.length + partitions - 1) / partitions)
+      sorted.grouped(per).map(g => MatchPart(g, schema)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MatchReaderFactory
+}
+
+private case class MatchPart(ids: Seq[Int], schema: StructType)
+    extends InputPartition
 
 private class MatchReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new MatchReader(p.asInstanceOf[MatchRange])
+    new MatchReader(p.asInstanceOf[MatchPart])
 }
 
-private class MatchReader(range: MatchRange)
+private class MatchReader(part: MatchPart)
     extends PartitionReader[InternalRow] {
 
   private val serializer =
-    ExpressionEncoder(FotmobPipeline.matchDocSchema).createSerializer()
-  private var i = range.start - 1
+    ExpressionEncoder(part.schema).createSerializer()
+  private val it = part.ids.iterator
+  private var current: InternalRow = _
 
-  override def next(): Boolean = { i += 1; i < range.end }
-  override def get(): InternalRow = serializer(MatchGen.matchDoc(i)).copy()
+  override def next(): Boolean =
+    if (it.hasNext) {
+      val full = MatchGen.matchDoc(it.next())
+      current = serializer(
+        MatchGen.project(full, FotmobPipeline.matchDocSchema, part.schema))
+        .copy()
+      true
+    } else false
+
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }
 
@@ -114,6 +202,26 @@ private object MatchGen {
 
   private def team(idx: Int): Row =
     Row(teams(idx), 100L + idx)
+
+  /** Recursive projection of a full generated Row onto a pruned
+    * sub-schema (struct fields by name, array-of-struct element-wise) —
+    * the generated data is always full, the SERIALIZED row is exactly
+    * the scan's readSchema. */
+  def project(row: Row, full: StructType, target: StructType): Row =
+    if (target == full) row
+    else Row.fromSeq(target.fields.toSeq.map { f =>
+      val i = full.fieldIndex(f.name)
+      (row.get(i), full(i).dataType, f.dataType) match {
+        case (null, _, _) => null
+        case (r: Row, fs: StructType, ts: StructType) => project(r, fs, ts)
+        case (xs: Seq[_], ArrayType(fs: StructType, _), ArrayType(ts: StructType, _)) =>
+          xs.map {
+            case null => null
+            case e: Row => project(e, fs, ts)
+          }
+        case (v, _, _) => v
+      }
+    })
 
   def matchDoc(i: Int): Row = {
     val home = i % teams.size

@@ -46,6 +46,41 @@ class DataSourceV2Spec extends SparkSpec {
     assert(td.filter(col("team_name") === "Tottenham Hotspur").count() == 1)
   }
 
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  test("column pruning reaches the scan's readSchema") {
+    val pruned = scanOf(read(20, 4).select("matchId"))
+    assert(pruned.scan.readSchema().fieldNames.toSeq == Seq("matchId"),
+      s"expected matchId-only read schema, got ${pruned.scan.readSchema()}")
+    // a projection that never touches the shot array must not serialize it
+    val noShots = scanOf(read(20, 4)
+      .select(col("matchId"), col("general.homeTeam.name")))
+    assert(!noShots.scan.readSchema().fieldNames.contains("content"),
+      s"content leaked into ${noShots.scan.readSchema()}")
+  }
+
+  test("matchId predicates prune partition planning") {
+    val eq = read(100, 8).filter(col("matchId") === "m7")
+    assert(scanOf(eq).inputRDD.getNumPartitions <= 1)
+    assert(eq.count() == 1)
+    val in = read(100, 8).filter(col("matchId").isin("m1", "m55", "m99"))
+    assert(scanOf(in).inputRDD.getNumPartitions <= 3)
+    assert(in.count() == 3)
+    // an unparseable / out-of-range id plans nothing and returns nothing
+    assert(read(100, 8).filter(col("matchId") === "m12345").count() == 0)
+    assert(read(100, 8).filter(col("matchId") === "zzz").count() == 0)
+  }
+
+  test("pushdown never changes results") {
+    val full = read(50, 4).collect().filter(_.getString(0) == "m7")
+    val pushed = read(50, 4).filter(col("matchId") === "m7").collect()
+    assert(pushed.map(_.toString).sorted.sameElements(
+      full.map(_.toString).sorted))
+  }
+
   test("invalid options fail loudly") {
     intercept[Exception] { read(0, 4).count() }
     intercept[Exception] { read(10, -1).count() }
