@@ -497,6 +497,59 @@ object Dedup {
       maxHamming)
   }
 
+  /** 64-bit SimHash near-dup pairs with PERMUTED-TABLE (combination)
+    * blocking — the corpus-scale refinement of [[simHash64]]'s
+    * contiguous pigeonhole blocks (Manku, Jain & Das Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3: more tables with
+    * wider keys trade table count for bucket selectivity).
+    *
+    * The 64 bits split into `nBlocks` equal blocks; a pair within
+    * Hamming distance maxHamming corrupts at most maxHamming blocks, so
+    * at least `agree = nBlocks − maxHamming` blocks survive intact —
+    * and some agree-sized block COMBINATION matches exactly. Indexing
+    * every C(nBlocks, agree) combination as its own table keeps recall
+    * EXACT while the bucket key widens from 64/nBlocks bits to
+    * agree × 64/nBlocks bits: at the defaults (nBlocks = 8,
+    * maxHamming = 6 → 28 tables, 16-bit keys) buckets are ~2⁷× more
+    * selective per table than [[simHash64]]'s ~9-bit blocks, which is
+    * the difference between thousands-deep buckets and tens-deep
+    * buckets on a web-scale corpus. The candidate join is the identical
+    * (table, key) equi-join shape; only the explode factor changes
+    * (28 rows/doc vs 7). Both paths verify the exact 64-bit Hamming
+    * distance, so their outputs are identical (pinned by TierXSpec and
+    * the shared x_dedup_simhash64 oracle).
+    *
+    * Output: (d1, d2, hamming). */
+  def simHash64Combi(
+      docs: DataFrame, maxHamming: Int = 6, nBlocks: Int = 8): DataFrame = {
+    require(nBlocks % 2 == 0 && nBlocks >= 4 && nBlocks <= 16,
+      s"nBlocks must be even in [4, 16], got $nBlocks")
+    require(maxHamming >= 1 && maxHamming < nBlocks,
+      s"maxHamming must be in [1, ${nBlocks - 1}], got $maxHamming")
+    val agree = nBlocks - maxHamming
+    val hs = simHashes64(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // global block list over the two 32-bit words: (word column, offset,
+    // mask, width)
+    val perWord = nBlocks / 2
+    val blocks =
+      splitBlocks(32, perWord).map { case (_, off, mask) =>
+        ("sim_lo", off, mask, java.lang.Long.bitCount(mask)) } ++
+      splitBlocks(32, perWord).map { case (_, off, mask) =>
+        ("sim_hi", off, mask, java.lang.Long.bitCount(mask)) }
+    val blockStructs = blocks.combinations(agree).zipWithIndex.map {
+      case (combo, t) =>
+        val key = combo.foldLeft(lit(0L)) { case (acc, (w, off, mask, width)) =>
+          shiftleft(acc, width) +
+            shiftright(col(w), off).bitwiseAND(lit(mask))
+        }
+        struct(lit(t).as("blk"), key.as("key"))
+    }.toSeq
+    blockedHamming(hs, Seq("sim_lo", "sim_hi"), blockStructs,
+      expr("bit_count(sim_lo1 ^ sim_lo2)") +
+        expr("bit_count(sim_hi1 ^ sim_hi2)"),
+      maxHamming)
+  }
+
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // >= 32 would yield zero-width blocks whose key is 0 for every doc,
     // silently degrading the blocked equi-join to an all-pairs join

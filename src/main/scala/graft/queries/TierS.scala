@@ -27,7 +27,11 @@ object TierS {
     "x_stream_session" -> ((s, d) =>
       StreamOps.sessionized(events(s, d)).orderBy("user_id", "s_start")),
     "x_stream_latedata" -> ((s, d) =>
-      StreamOps.lateDataWindowed(s, d).orderBy("w_start", "event_type")))
+      StreamOps.lateDataWindowed(s, d).orderBy("w_start", "event_type")),
+    "x_stream_dedup" -> ((s, d) =>
+      StreamOps.streamDedupRun(s, d).orderBy("event_id")),
+    "x_stream_state" -> ((s, d) =>
+      StreamOps.streamUserTotalsRun(s, d).orderBy("user_id")))
 
   val oracle: Map[String, String] = Map(
     "x_stream_tumbling" ->
@@ -56,5 +60,18 @@ object TierS {
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
         |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
         |       count(1) AS n
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin)
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    // the stream arrives DOUBLED (self-union); watermarked dedup state
+    // must restore exactly one copy per event_id
+    "x_stream_dedup" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    // single microbatch -> one cumulative row per user; totals
+    // accumulate in integer cents, so the double division is
+    // bit-identical across engines
+    "x_stream_state" ->
+      """SELECT user_id, count(1) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

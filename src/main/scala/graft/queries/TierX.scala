@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
-import graft.Tables
+import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.sources.Sinks
 
 /** Tier X — training-data-pipeline extensions (SURVEY.md §2.2 Tier X +
   * BASELINE.json north star): dedup family, similarity search, text
@@ -33,6 +35,20 @@ object TierX {
       Dedup.simHash(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
     "x_dedup_simhash64" -> ((s, d) =>
       Dedup.simHash64(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
+    "x_dedup_simhash64p" -> ((s, d) =>
+      Dedup.simHash64Combi(docs(s, d), maxHamming = 6).orderBy("d1", "d2")),
+    "x_part_prune" -> ((s, d) => {
+      // hive-partitioned layout by o_orderpriority (written once per
+      // JVM); the priority filter prunes whole directories at planning
+      // time — PartitionFilters in the scan, pinned by SinkSpec
+      val dir = Sinks.ensurePartitionedOrders(s, d)
+      s.read.parquet(dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Conventions.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
     "x_dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
@@ -150,7 +166,54 @@ object TierX {
       |           ORDER BY pos) AS c_vec
       |    FROM m_$out GROUP BY cell) cm USING (c_id))""".stripMargin
 
+  /** Shared by `x_dedup_simhash64` and `x_dedup_simhash64p`: both
+    * blocking schemes have exact recall at Hamming ≤ 6 and verify the
+    * true 64-bit distance, so their outputs are identical by
+    * construction — one ground truth covers both. */
+  private val simhash64Oracle =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id, ${hash32("t")} AS ha,
+      |              ${hash32("'1:' || t")} AS hb FROM tok),
+      |bitsA AS (SELECT doc_id, b,
+      |            CASE WHEN sum(CASE WHEN (ha >> CAST(b AS INT)) & 1 = 1
+      |                               THEN 1 ELSE -1 END) >= 0
+      |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      |          FROM th, range(32) r(b) GROUP BY doc_id, b),
+      |bitsB AS (SELECT doc_id, b,
+      |            CASE WHEN sum(CASE WHEN (hb >> CAST(b AS INT)) & 1 = 1
+      |                               THEN 1 ELSE -1 END) >= 0
+      |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      |          FROM th, range(32) r(b) GROUP BY doc_id, b),
+      |sim AS (SELECT a.doc_id,
+      |          CAST(a.sim_lo AS BIGINT) AS sim_lo,
+      |          CAST(b.sim_hi AS BIGINT) AS sim_hi
+      |        FROM (SELECT doc_id, sum(bit << CAST(b AS INT)) AS sim_lo
+      |              FROM bitsA GROUP BY doc_id) a
+      |        JOIN (SELECT doc_id, sum(bit << CAST(b AS INT)) AS sim_hi
+      |              FROM bitsB GROUP BY doc_id) b USING (doc_id)),
+      |blk AS (SELECT doc_id, sim_lo, sim_hi, t,
+      |          ((CASE WHEN wrd = 0 THEN sim_lo ELSE sim_hi END) >> off) & mask AS key
+      |        FROM sim, (VALUES (0,0,0,255),(1,0,8,255),(2,0,16,255),(3,0,24,255),
+      |                          (4,1,0,2047),(5,1,11,2047),(6,1,22,1023))
+      |                   b(t, wrd, off, mask)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |                a.sim_lo AS l1, a.sim_hi AS h1,
+      |                b.sim_lo AS l2, b.sim_hi AS h2
+      |         FROM blk a JOIN blk b
+      |         ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |       CAST(bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= 6
+      |ORDER BY d1, d2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "x_dedup_simhash64p" -> simhash64Oracle,
+    "x_part_prune" ->
+      s"""SELECT o_orderpriority, count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_dedup_exact" ->
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |       min(doc_id) AS doc_id, count(1) AS n_copies
@@ -237,42 +300,7 @@ object TierX {
         |          FROM cand)
         |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 6
         |ORDER BY d1, d2""".stripMargin,
-    "x_dedup_simhash64" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |th AS (SELECT doc_id, ${hash32("t")} AS ha,
-        |              ${hash32("'1:' || t")} AS hb FROM tok),
-        |bitsA AS (SELECT doc_id, b,
-        |            CASE WHEN sum(CASE WHEN (ha >> CAST(b AS INT)) & 1 = 1
-        |                               THEN 1 ELSE -1 END) >= 0
-        |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-        |          FROM th, range(32) r(b) GROUP BY doc_id, b),
-        |bitsB AS (SELECT doc_id, b,
-        |            CASE WHEN sum(CASE WHEN (hb >> CAST(b AS INT)) & 1 = 1
-        |                               THEN 1 ELSE -1 END) >= 0
-        |                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-        |          FROM th, range(32) r(b) GROUP BY doc_id, b),
-        |sim AS (SELECT a.doc_id,
-        |          CAST(a.sim_lo AS BIGINT) AS sim_lo,
-        |          CAST(b.sim_hi AS BIGINT) AS sim_hi
-        |        FROM (SELECT doc_id, sum(bit << CAST(b AS INT)) AS sim_lo
-        |              FROM bitsA GROUP BY doc_id) a
-        |        JOIN (SELECT doc_id, sum(bit << CAST(b AS INT)) AS sim_hi
-        |              FROM bitsB GROUP BY doc_id) b USING (doc_id)),
-        |blk AS (SELECT doc_id, sim_lo, sim_hi, t,
-        |          ((CASE WHEN wrd = 0 THEN sim_lo ELSE sim_hi END) >> off) & mask AS key
-        |        FROM sim, (VALUES (0,0,0,255),(1,0,8,255),(2,0,16,255),(3,0,24,255),
-        |                          (4,1,0,2047),(5,1,11,2047),(6,1,22,1023))
-        |                   b(t, wrd, off, mask)),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-        |                a.sim_lo AS l1, a.sim_hi AS h1,
-        |                b.sim_lo AS l2, b.sim_hi AS h2
-        |         FROM blk a JOIN blk b
-        |         ON a.t = b.t AND a.key = b.key AND a.doc_id < b.doc_id)
-        |SELECT d1, d2,
-        |       CAST(bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) AS BIGINT) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= 6
-        |ORDER BY d1, d2""".stripMargin,
+    "x_dedup_simhash64" -> simhash64Oracle,
     "x_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |probes AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_id,

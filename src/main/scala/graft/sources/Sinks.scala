@@ -37,6 +37,28 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Partitioned orders layout for the `x_part_prune` demonstration
+    * query, written once per JVM per scale factor (overwrite-safe — a
+    * torn earlier write is replaced). Returns the layout path.
+    *
+    * o_orderpriority is the partition key: 5 values → 5 directories,
+    * the lowest-cardinality natural key in the star schema, so the
+    * layout itself stays small-file-safe at any scale. */
+  def ensurePartitionedOrders(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_part/" +
+        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      if (!writtenLayouts.contains(dir)) {
+        writePartitioned(
+          graft.Tables(spark, sfDir, "orders"), dir, Seq("o_orderpriority"))
+        writtenLayouts += dir
+      }
+      dir
+    }
+
+  private val writtenLayouts = scala.collection.mutable.Set[String]()
+
   /** Bucketed layout registered in the session catalog: rows are
     * hash-distributed into `nBuckets` files per partition by
     * `bucketCols`, and sorted within buckets — joins/aggregations on the

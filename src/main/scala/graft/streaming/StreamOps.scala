@@ -164,36 +164,73 @@ object StreamOps {
       .outputMode("append")
       .start()
 
+  /** File-source stream over the events parquet (ns → µs timestamp
+    * normalization applied, as in the batch [[graft.Tables]] loader). */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val staticSchema = spark.read.parquet(path).schema
+    spark.readStream
+      .schema(staticSchema)
+      // the table is a single file: FileStreamSource needs a glob, not a
+      // literal file path (a literal path must be a directory)
+      .parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", graft.Tables.nanosToMicrosTs("ts"))
+  }
+
+  /** Run a bounded streaming query to a fresh memory sink and hand back
+    * the sink table. Fixed per-name table: repeat calls replace it. */
+  private def runToMemory(
+      spark: SparkSession,
+      name: String,
+      out: DataFrame,
+      outputMode: String): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Declared-surface run of [[dedupWithinWatermark]]: the events stream
+    * UNIONED WITH ITSELF (every event arrives exactly twice) flows
+    * through watermarked dedup state — the output must be exactly one
+    * copy per event_id, which a plain batch projection oracles. This
+    * executes the real stateful path (two file sources, one microbatch,
+    * state insert + duplicate hit per key) rather than a no-op pass. */
+  def streamDedupRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val doubled = eventsStream(spark, sfDir)
+      .union(eventsStream(spark, sfDir))
+    val out = dedupWithinWatermark(doubled).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      fmt(col("ts")).as("ts_s"))
+    runToMemory(spark, "graft_stream_dedup", out, "append")
+  }
+
+  /** Declared-surface run of [[runningUserTotals]] (custom keyed state
+    * via flatMapGroupsWithState) over the bounded events stream: one
+    * microbatch, so each user emits exactly one cumulative row — which
+    * a per-user batch aggregate oracles (the cents accumulation is
+    * bit-reproducible across engines). */
+  def streamUserTotalsRun(spark: SparkSession, sfDir: String): DataFrame =
+    runToMemory(spark, "graft_stream_state",
+      runningUserTotals(spark, eventsStream(spark, sfDir)), "append")
+
   /** True streaming query: file-source stream over the events parquet,
     * 1-hour event-time watermark, tumbling window counts, memory sink.
     * Complete output mode so a single-batch bounded run still emits its
     * windows (append would hold them open past the last watermark
     * advance). */
   def lateDataWindowed(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val staticSchema = spark.read.parquet(path).schema
-    val stream = spark.readStream
-      .schema(staticSchema)
-      // the table is a single file: FileStreamSource needs a glob, not a
-      // literal file path (a literal path must be a directory)
-      .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", graft.Tables.nanosToMicrosTs("ts"))
+    val stream = eventsStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(
         fmt(col("window.start")).as("w_start"),
         col("event_type"), col("n"))
-    // fixed name: the memory sink replaces the table on restart, so
-    // repeated calls in one session do not accumulate driver tables
-    val name = "graft_latedata"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    runToMemory(spark, "graft_latedata", stream, "complete")
   }
 }

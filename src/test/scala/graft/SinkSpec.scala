@@ -40,6 +40,14 @@ class SinkSpec extends SparkSpec {
     assert(scan.count() < all)
   }
 
+  test("x_part_prune declared query: partition filters reach its scan") {
+    val df = SparkEntry.queries("x_part_prune")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("1-URGENT"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("equal-bucketed tables join without a shuffle exchange") {
     Sinks.writeBucketed(
       Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),

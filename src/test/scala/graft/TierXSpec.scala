@@ -240,6 +240,18 @@ class TierXSpec extends SparkSpec {
       s"missed ${(brute -- blocked).size}, extra ${(blocked -- brute).size}")
   }
 
+  test("permuted-table simhash64 equals contiguous blocking exactly") {
+    // both schemes have pigeonhole-exact recall at Hamming <= 6 and
+    // verify the true 64-bit distance, so outputs must be identical
+    val docs = Tables(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val contiguous = pairs(Dedup.simHash64(docs, maxHamming = 6))
+    val permuted = pairs(Dedup.simHash64Combi(docs, maxHamming = 6))
+    assert(permuted == contiguous,
+      s"missed ${(contiguous -- permuted).size}, extra ${(permuted -- contiguous).size}")
+  }
+
   test("pair exactly AT the Jaccard threshold survives the FP-boundary filters") {
     // |A|=28, |B|=35 distinct 1-gram shingles, overlap 28 -> J = 28/35 = 0.8
     // exactly, and |A|+|B| = 63 is the smallest size-sum where
