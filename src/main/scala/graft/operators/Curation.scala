@@ -55,6 +55,35 @@ object Curation {
     *
     * Output: (doc_id, lang, quality, qrank).
     */
+  /** Deterministic per-group (stratified) downsampling: keep a row iff
+    * hash32(salt ':' doc_id) mod 1000 falls under its language's
+    * per-mille rate — the way a corpus is rebalanced (e.g. cap the
+    * dominant language) without RNG state. Same stability contract as
+    * [[hashSplit]]: the keep/drop fate of a document depends only on
+    * its key, never on partitioning or visit order, and composes with
+    * hashSplit under a different salt as an independent draw.
+    *
+    * Output: (doc_id, lang, bucket) for kept rows. */
+  def stratifiedSample(
+      docs: DataFrame,
+      ratesPerMille: Map[String, Int],
+      defaultPerMille: Int,
+      salt: String = "strat"): DataFrame = {
+    require((defaultPerMille +: ratesPerMille.values.toSeq)
+      .forall(r => r >= 0 && r <= 1000),
+      s"per-mille rates must be in [0, 1000]")
+    val bucket = Hashing.hash32(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("lang"), bucket.cast("int").as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "bucket")
+  }
+
   /** The composed end-to-end curation pipeline — the operators above and
     * the dedup family chained into ONE lineage, the way a real
     * training-data job runs them:

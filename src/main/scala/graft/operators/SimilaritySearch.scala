@@ -47,6 +47,39 @@ object SimilaritySearch {
       col("vec_id").as(id), col("embedding").as(vec),
       sqrt(Similarity.norm2(col("embedding"))).as(s"${id}_nrm"))
 
+  /** Per-vector int8 scalar quantization summary — the storage-shrink
+    * step before an ANN index ships to serving (4 bytes/dim → 1):
+    * q_i = floor((v_i − min) · 255 / (max − min)) ∈ [0, 255], with
+    * constant vectors mapping to all-zeros.
+    *
+    * floor (not round) keeps the arithmetic bit-identical across
+    * engines: both sides evaluate the same double expression, and floor
+    * has no half-way tie semantics to disagree on. The emitted columns
+    * are per-vector range bounds plus two exact integer checksums of
+    * the quantized array (plain sum and position-weighted sum) — enough
+    * to pin every q_i cross-engine without comparing array-typed
+    * columns. Row-local, no shuffle; the interpreted HOF is fine at
+    * this width (a fused codegen expression à la GramFingerprint is
+    * the path if quantization ever tops a profile).
+    *
+    * Output: (vec_id, mn, mx, qsum, qdot). */
+  def quantizeInt8(vecs: DataFrame): DataFrame = {
+    val qi =
+      "IF(mx = mn, 0L, CAST(floor((CAST(element_at(embedding, i + 1) AS DOUBLE)" +
+        " - mn) * 255 / (mx - mn)) AS BIGINT))"
+    vecs
+      .withColumn("mn", array_min(col("embedding")).cast("double"))
+      .withColumn("mx", array_max(col("embedding")).cast("double"))
+      .withColumn("qsum", expr(
+        s"aggregate(transform(sequence(0, size(embedding) - 1), i -> $qi)," +
+          " 0L, (a, x) -> a + x)"))
+      .withColumn("qdot", expr(
+        s"aggregate(transform(sequence(0, size(embedding) - 1)," +
+          s" i -> $qi * CAST(i + 1 AS BIGINT)), 0L, (a, x) -> a + x)"))
+      .select(col("vec_id"), round(col("mn"), 4).as("mn"),
+        round(col("mx"), 4).as("mx"), col("qsum"), col("qdot"))
+  }
+
   /** Exact top-k neighbors for each query vector (queries = vec_id <
     * nQueries), excluding self. Output: (q_id, vec_id, rank, cos). */
   def bruteTopK(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {

@@ -144,6 +144,27 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Corpus token-length histogram: documents bucketed by whitespace
+    * token count into fixed-width bins (last bin open-ended) — the
+    * one-glance length profile a curation run reports before choosing
+    * chunking/quality thresholds. One aggregate shuffle over ≤ nBuckets
+    * groups.
+    *
+    * Output: (bucket, lo_tokens, n_docs). */
+  def tokenHistogram(
+      docs: DataFrame, bucketWidth: Int = 20, nBuckets: Int = 10): DataFrame = {
+    require(bucketWidth >= 1 && nBuckets >= 1,
+      s"invalid histogram: bucketWidth=$bucketWidth nBuckets=$nBuckets")
+    docs
+      .select(size(split(col("text"), " ")).as("n_tokens"))
+      .select(least(expr(s"n_tokens div $bucketWidth"), lit(nBuckets - 1))
+        .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lo_tokens", (col("bucket") * bucketWidth).cast("long"))
+      .select("bucket", "lo_tokens", "n_docs")
+  }
+
   /** Per-document top-k TF-IDF terms: tf = in-doc term count,
     * idf = ln(N / df) over document frequency, score = tf * idf.
     *

@@ -55,6 +55,15 @@ object TierX {
     "x_sample_split" -> ((s, d) =>
       Curation.hashSplit(docs(s, d), trainPct = 80, valPct = 10)
         .orderBy("doc_id")),
+    "x_sample_stratified" -> ((s, d) =>
+      Curation.stratifiedSample(docs(s, d),
+        ratesPerMille = Map("en" -> 200), defaultPerMille = 500)
+        .orderBy("doc_id")),
+    "x_token_hist" -> ((s, d) =>
+      TextAnalysis.tokenHistogram(docs(s, d), bucketWidth = 20, nBuckets = 10)
+        .orderBy("bucket")),
+    "x_embed_quant" -> ((s, d) =>
+      SimilaritySearch.quantizeInt8(vecs(s, d)).orderBy("vec_id")),
     "x_quota_cap" -> ((s, d) =>
       Curation.quotaCap(docs(s, d), quota = 50).orderBy("doc_id")),
     "x_dedup_embed" -> ((s, d) =>
@@ -256,6 +265,35 @@ object TierX {
         |            WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_sample_stratified" ->
+      s"""SELECT doc_id, lang,
+        |       CAST(${hash32("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT) AS bucket
+        |FROM documents
+        |WHERE ${hash32("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000 <
+        |      CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+        |ORDER BY doc_id""".stripMargin,
+    "x_token_hist" ->
+      """WITH b AS (SELECT least(len(string_split(text, ' ')) // 20, 9) AS bucket
+        |           FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(bucket * 20 AS BIGINT) AS lo_tokens,
+        |       count(1) AS n_docs
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x_embed_quant" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |             CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |             CAST(list_max(embedding) AS DOUBLE) AS mx
+        |           FROM embeddings),
+        |q AS (SELECT vec_id, mn, mx,
+        |        CAST(list_sum([CASE WHEN mx = mn THEN 0
+        |          ELSE CAST(floor((CAST(embedding[i + 1] AS DOUBLE) - mn) * 255 / (mx - mn)) AS BIGINT)
+        |          END for i in range(0, len(embedding))]) AS BIGINT) AS qsum,
+        |        CAST(list_sum([(CASE WHEN mx = mn THEN 0
+        |          ELSE CAST(floor((CAST(embedding[i + 1] AS DOUBLE) - mn) * 255 / (mx - mn)) AS BIGINT)
+        |          END) * (i + 1) for i in range(0, len(embedding))]) AS BIGINT) AS qdot
+        |      FROM e)
+        |SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx, qsum, qdot
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x_quota_cap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |m AS (SELECT doc_id,

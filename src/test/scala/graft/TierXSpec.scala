@@ -325,6 +325,48 @@ class TierXSpec extends SparkSpec {
       .filter(col("r1") =!= col("r2")).count() == 0)
   }
 
+  test("int8 quantization: checksums bound by 255*dim, constant vector -> zeros") {
+    import graft.operators.SimilaritySearch
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.5f, 1.0f)),
+      (1L, Array(2.0f, 2.0f, 2.0f)) // constant: mx == mn
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.quantizeInt8(vecs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    // v=[0,.5,1]: q = [0, floor(127.5)=127, 255] -> qsum 382, qdot 892
+    assert(out(0L) == ((0.0, 1.0, 382L, 0L * 1 + 127L * 2 + 255L * 3)))
+    assert(out(1L) == ((2.0, 2.0, 0L, 0L)))
+    val corpus = SimilaritySearch.quantizeInt8(Tables(spark, sf, "embeddings"))
+    assert(corpus.filter(col("qsum") < 0 || col("qsum") > 255L * 64).count() == 0)
+  }
+
+  test("stratified sample: per-lang rates honored, deterministic, subset") {
+    import graft.operators.Curation
+    val docs = Tables(spark, sf, "documents")
+    val a = Curation.stratifiedSample(docs, Map("en" -> 0), 1000)
+    // rate 0 drops every en row; rate 1000 keeps every other row
+    assert(a.filter(col("lang") === "en").count() == 0)
+    assert(a.count() == docs.filter(col("lang") =!= "en").count())
+    val b = Curation.stratifiedSample(docs.repartition(7), Map("en" -> 200), 500)
+    val c = Curation.stratifiedSample(docs, Map("en" -> 200), 500)
+    assert(b.orderBy("doc_id").collect().sameElements(c.orderBy("doc_id").collect()))
+    intercept[IllegalArgumentException] {
+      Curation.stratifiedSample(docs, Map("en" -> 1001), 500)
+    }
+  }
+
+  test("token histogram: counts sum to corpus size, buckets within range") {
+    import graft.operators.TextAnalysis
+    val docs = Tables(spark, sf, "documents")
+    val h = TextAnalysis.tokenHistogram(docs, bucketWidth = 20, nBuckets = 10)
+      .collect()
+    assert(h.map(_.getLong(2)).sum == docs.count())
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    assert(h.forall(r => r.getLong(1) == r.getLong(0) * 20))
+  }
+
   test("hash split is deterministic, covers all rows, respects cutoffs") {
     import graft.operators.Curation
     val docs = Tables(spark, sf, "documents")
