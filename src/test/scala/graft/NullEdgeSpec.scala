@@ -77,6 +77,20 @@ class NullEdgeSpec extends SparkSpec {
     assert(TextAnalysis.chunkSplit(empty).count() == 0)
     assert(TextAnalysis.tfIdfTopTerms(empty).count() == 0)
     assert(TextAnalysis.fingerprints(empty).count() == 0)
+    assert(Dedup.simHash64Combi(empty).count() == 0)
+    assert(Curation.stratifiedSample(empty, Map("en" -> 200), 500).count() == 0)
+    assert(TextAnalysis.tokenHistogram(empty).count() == 0)
+    // the composed pipeline end-to-end on nothing: the cluster loop must
+    // still reach its fixpoint and every stage must pass empties through
+    assert(Curation.curate(empty).count() == 0)
+    val emptyVecs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    assert(graft.operators.SimilaritySearch.quantizeInt8(emptyVecs).count() == 0)
   }
 
   test("distinct treats null as a value (one null group)") {
