@@ -31,7 +31,9 @@ object TierS {
     "x_stream_dedup" -> ((s, d) =>
       StreamOps.streamDedupRun(s, d).orderBy("event_id")),
     "x_stream_state" -> ((s, d) =>
-      StreamOps.streamUserTotalsRun(s, d).orderBy("user_id")))
+      StreamOps.streamUserTotalsRun(s, d).orderBy("user_id")),
+    "x_stream_hwm" -> ((s, d) =>
+      StreamOps.streamHighWaterRun(s, d).orderBy("user_id")))
 
   val oracle: Map[String, String] = Map(
     "x_stream_tumbling" ->
@@ -73,5 +75,9 @@ object TierS {
     "x_stream_state" ->
       """SELECT user_id, count(1) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // one microbatch -> transformWithState emits each user's batch max
+    "x_stream_hwm" ->
+      """SELECT user_id, max(value) AS high_water
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

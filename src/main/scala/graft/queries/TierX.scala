@@ -52,6 +52,9 @@ object TierX {
     "x_dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
+    "x_dedup_cluster_star" -> ((s, d) =>
+      Dedup.clustersStar(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
+        .orderBy("doc_id")),
     "x_sample_split" -> ((s, d) =>
       Curation.hashSplit(docs(s, d), trainPct = 80, valPct = 10)
         .orderBy("doc_id")),
@@ -216,6 +219,21 @@ object TierX {
       |WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= 6
       |ORDER BY d1, d2""".stripMargin
 
+  private val clusterOracle =
+    s"""WITH RECURSIVE $minhashPairsCte,
+      |mp AS (SELECT d1, d2 FROM jx
+      |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM mp
+      |          UNION SELECT d2, d1 FROM mp),
+      |reach(id, x) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
+      |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
+      |sz AS (SELECT rep_id, count(1) AS cluster_size FROM lab GROUP BY rep_id)
+      |SELECT lab.id AS doc_id, lab.rep_id, sz.cluster_size
+      |FROM lab JOIN sz USING (rep_id) ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_dedup_simhash64p" -> simhash64Oracle,
     "x_part_prune" ->
@@ -244,20 +262,11 @@ object TierX {
         |FROM jx
         |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
-    "x_dedup_cluster" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-        |mp AS (SELECT d1, d2 FROM jx
-        |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM mp
-        |          UNION SELECT d2, d1 FROM mp),
-        |reach(id, x) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
-        |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
-        |sz AS (SELECT rep_id, count(1) AS cluster_size FROM lab GROUP BY rep_id)
-        |SELECT lab.id AS doc_id, lab.rep_id, sz.cluster_size
-        |FROM lab JOIN sz USING (rep_id) ORDER BY doc_id""".stripMargin,
+    "x_dedup_cluster" -> clusterOracle,
+    // Hash-Min and large-star/small-star compute the identical
+    // partition (property-tested); one recursive-CTE ground truth
+    // covers both declared forms
+    "x_dedup_cluster_star" -> clusterOracle,
     "x_sample_split" ->
       s"""SELECT doc_id,
         |       CAST(${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS bucket,

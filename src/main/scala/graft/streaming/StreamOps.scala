@@ -218,6 +218,25 @@ object StreamOps {
     runToMemory(spark, "graft_stream_state",
       runningUserTotals(spark, eventsStream(spark, sfDir)), "append")
 
+  /** Declared-surface run of [[highWaterMarks]] — the MODERN arbitrary-
+    * state API (`transformWithState` + `StatefulProcessor`, which
+    * requires the RocksDB state store; the provider conf is scoped to
+    * this query and restored after). One microbatch ⇒ each user's
+    * high-water mark is its batch max, so a per-user max aggregate
+    * oracles the output exactly. */
+  def streamHighWaterRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToMemory(spark, "graft_stream_hwm",
+      highWaterMarks(spark, eventsStream(spark, sfDir)), "append")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** True streaming query: file-source stream over the events parquet,
     * 1-hour event-time watermark, tumbling window counts, memory sink.
     * Complete output mode so a single-batch bounded run still emits its
