@@ -105,7 +105,20 @@ object TierX {
     "x_pipeline_curate" -> ((s, d) =>
       Curation.curate(docs(s, d), k = 3, threshold = 0.8, quota = 50,
         trainPct = 80, valPct = 10, maxTokens = 50, stride = 25)
-        .orderBy("doc_id", "chunk_id")))
+        .orderBy("doc_id", "chunk_id")),
+    "x_join_bucket" -> ((s, d) => {
+      // co-located layout: both sides bucketed+sorted on the join key,
+      // so join AND the keyed aggregate run with zero exchanges (the
+      // only exchange in the plan is the final ORDER BY) — pinned by
+      // SinkSpec. The 100 TB lever for repeated fact⋈dim pipelines.
+      val (ot, ct) = Sinks.ensureBucketedPair(s, d)
+      s.table(ot)
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Conventions.moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_custkey")
+    }))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
@@ -236,6 +249,11 @@ object TierX {
 
   val oracle: Map[String, String] = Map(
     "x_dedup_simhash64p" -> simhash64Oracle,
+    "x_join_bucket" ->
+      s"""SELECT c_custkey, count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "x_part_prune" ->
       s"""SELECT o_orderpriority, count(1) AS n_orders,
         |       ${moneySumSql("o_totalprice")} AS total_price

@@ -59,6 +59,31 @@ object Sinks {
 
   private val writtenLayouts = scala.collection.mutable.Set[String]()
 
+  /** Bucketed orders/customer pair for the `x_join_bucket`
+    * demonstration query, written once per JVM per scale factor into
+    * the session catalog. Both tables bucket (and sort) on the join
+    * key with the same bucket count, so the join — and the aggregate
+    * that follows on the same key — run with ZERO exchanges.
+    * Returns the (orders, customer) table names. */
+  def ensureBucketedPair(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (String, String) = synchronized {
+    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val (ot, ct) = (s"b_orders_$tag", s"b_customer_$tag")
+    if (!writtenLayouts.contains(ot)) {
+      writeBucketed(
+        graft.Tables(spark, sfDir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        ot, 8, Seq("o_custkey"))
+      writeBucketed(
+        graft.Tables(spark, sfDir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey"),
+        ct, 8, Seq("c_custkey"))
+      writtenLayouts += ot
+    }
+    (ot, ct)
+  }
+
   /** Bucketed layout registered in the session catalog: rows are
     * hash-distributed into `nBuckets` files per partition by
     * `bucketCols`, and sorted within buckets — joins/aggregations on the

@@ -48,6 +48,22 @@ class SinkSpec extends SparkSpec {
       s"no partition pruning in:\n$plan")
   }
 
+  test("x_join_bucket declared query: only the final sort exchanges") {
+    val df = SparkEntry.queries("x_join_bucket")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // an executed adaptive plan prints final + initial trees; count
+    // only the final one
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // bucketed join + same-key aggregate shuffle nothing; the single
+    // Exchange is the ORDER BY range partitioning
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange (final sort), got $exchanges in:\n$plan")
+  }
+
   test("equal-bucketed tables join without a shuffle exchange") {
     Sinks.writeBucketed(
       Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
