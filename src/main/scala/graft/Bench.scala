@@ -145,7 +145,19 @@ object Bench {
         val (t1, _) = once()
         spark.catalog.clearCache() // operator-persisted frames: bound memory
         val (t2, p2) = once()
-        (t1, math.min(t1, t2), p2)
+        // this host shows multi-second stop-the-world stalls that can
+        // land on BOTH executions of one query (observed: a 3 s query
+        // measuring 19 s twice); when the two runs disagree wildly, or
+        // the min is implausibly high for this suite (no legit query
+        // exceeds ~6 s at sf0.1), buy one more sample before reporting
+        val suspect =
+          (math.max(t1, t2) > 3 * math.min(t1, t2) && math.max(t1, t2) > 2) ||
+            math.min(t1, t2) > 8
+        val (t3, p3) =
+          if (suspect) { spark.catalog.clearCache(); once() }
+          else (Double.MaxValue, p2)
+        (t1, math.min(math.min(t1, t2), t3),
+          if (t3 != Double.MaxValue) p3 else p2)
       } catch {
         case e: Throwable =>
           // a broken query must be visible, not a plausible timing

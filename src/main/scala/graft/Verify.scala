@@ -18,6 +18,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a stale dump from an earlier run would otherwise make the
+        // compare "pass" on old data — a failed query must leave NO
+        // output behind
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete()
+        }
       }
       finally spark.catalog.clearCache() // free operator-persisted frames
     }

@@ -71,6 +71,17 @@ object Sinks {
     val tag = java.lang.Integer.toHexString(sfDir.hashCode)
     val (ot, ct) = (s"b_orders_$tag", s"b_customer_$tag")
     if (!writtenLayouts.contains(ot)) {
+      // a managed table whose JVM died leaves its LOCATION behind with
+      // no catalog entry; saveAsTable then refuses even in Overwrite
+      // mode (LOCATION_ALREADY_EXISTS). Drop both the entry and any
+      // orphaned directory before writing.
+      Seq(ot, ct).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       writeBucketed(
         graft.Tables(spark, sfDir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice"),
