@@ -33,7 +33,9 @@ object TierS {
     "x_stream_state" -> ((s, d) =>
       StreamOps.streamUserTotalsRun(s, d).orderBy("user_id")),
     "x_stream_hwm" -> ((s, d) =>
-      StreamOps.streamHighWaterRun(s, d).orderBy("user_id")))
+      StreamOps.streamHighWaterRun(s, d).orderBy("user_id")),
+    "x_stream_join" -> ((s, d) =>
+      StreamOps.streamStreamJoinRun(s, d).orderBy("a_id", "b_id")))
 
   val oracle: Map[String, String] = Map(
     "x_stream_tumbling" ->
@@ -79,5 +81,18 @@ object TierS {
     // one microbatch -> transformWithState emits each user's batch max
     "x_stream_hwm" ->
       """SELECT user_id, max(value) AS high_water
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // one bounded microbatch -> the stream-stream join equals its batch
+    // form (the 10-min bound is the state-eviction contract)
+    "x_stream_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |       a.event_type AS a_type,
+        |       strftime(CAST(a.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS a_ts_s,
+        |       strftime(CAST(b.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS b_ts_s
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        | AND a.event_id < b.event_id
+        |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -218,6 +218,31 @@ object StreamOps {
     runToMemory(spark, "graft_stream_state",
       runningUserTotals(spark, eventsStream(spark, sfDir)), "append")
 
+  /** Stream-stream inner join with event-time bounds — the remaining
+    * major Structured Streaming surface: two watermarked event streams
+    * joined on user_id with `b.ts ∈ [a.ts, a.ts + 10 min]`. The time
+    * bound is what lets Spark EVICT join state (without it both sides
+    * buffer forever); with one bounded microbatch the result equals the
+    * equivalent batch join, which is the oracle. */
+  def streamStreamJoinRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = eventsStream(spark, sfDir).select(
+      col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts"), col("event_type").as("a_type"))
+      .withWatermark("a_ts", "1 hour")
+    val b = eventsStream(spark, sfDir).select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("user_id"), col("a_type"),
+        fmt(col("a_ts")).as("a_ts_s"), fmt(col("b_ts")).as("b_ts_s"))
+    runToMemory(spark, "graft_stream_join", joined, "append")
+  }
+
   /** Declared-surface run of [[highWaterMarks]] — the MODERN arbitrary-
     * state API (`transformWithState` + `StatefulProcessor`, which
     * requires the RocksDB state store; the provider conf is scoped to
