@@ -191,6 +191,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join across batches equals the batch join of all data") {
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, Timestamp)]
+    val memB = MemoryStream[(Long, Long, Timestamp)]
+    val a = memA.toDF().toDF("a_id", "user", "a_ts")
+      .withWatermark("a_ts", "1 hour")
+    val b = memB.toDF().toDF("b_id", "b_user", "b_ts")
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("a_id", "b_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      // batch 1: a1 at 10:00; b1 at 10:05 joins, b2 at 10:20 is outside
+      // the band
+      memA.addData(Seq((1L, 7L, ts("2024-01-01 10:00:00"))))
+      memB.addData(Seq(
+        (101L, 7L, ts("2024-01-01 10:05:00")),
+        (102L, 7L, ts("2024-01-01 10:20:00"))))
+      q.processAllAvailable()
+      // batch 2: a2 arrives LATER but in-watermark; joins the buffered
+      // b2 from batch 1 — state must still hold it
+      memA.addData(Seq((2L, 7L, ts("2024-01-01 10:15:00"))))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 101L), (2L, 102L)))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink: stop/restart resumes without reprocessing") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
