@@ -102,6 +102,12 @@ object TierX {
         .orderBy("doc_id", "trank")),
     "x_multimodal_meta" -> ((s, d) =>
       Multimodal.decode(s, docs(s, d)).toDF().orderBy("doc_id")),
+    "x_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameSample(s, docs(s, d), everyNth = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          org.apache.spark.sql.functions.length(col("frame")).cast("long")
+            .as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")),
     "x_pipeline_curate" -> ((s, d) =>
       Curation.curate(docs(s, d), k = 3, threshold = 0.8, quota = 50,
         trainPct = 80, valPct = 10, maxTokens = 50, stride = 25)
@@ -602,6 +608,14 @@ object TierX {
         |       array_to_string(list_slice(cwds, CAST(s AS INT), CAST(s + 49 AS INT)), ' ') AS chunk_text
         |FROM qk JOIN sp USING (doc_id) JOIN cc USING (doc_id)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // pseudo-frames are 100-byte payload slices, every 2nd sampled;
+    // the last frame is the remainder
+    "x_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, unnest(range(0, n // 100, 2)) AS frame_idx FROM m)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(least(frame_idx * 100 + 100, n) - frame_idx * 100 AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
