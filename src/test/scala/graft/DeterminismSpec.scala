@@ -16,7 +16,9 @@ class DeterminismSpec extends SparkSpec {
     "x_dedup_cluster",   // iterative fixpoint over shuffled joins
     "x_quota_cap",       // two-phase top-N (partition-dependent prune)
     "x_tfidf_topterms",  // rank over rounded scores
-    "x_dedup_simhash64") // two-word sketch, 64-column bit-sum agg
+    "x_dedup_simhash64", // two-word sketch, 64-column bit-sum agg
+    "x_pipeline_curate", // the composed lineage: every suspect at once
+    "x_join_bucket")     // bucketed distribution vs shuffle conf
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
