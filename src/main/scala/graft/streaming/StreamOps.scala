@@ -178,19 +178,33 @@ object StreamOps {
   }
 
   /** Run a bounded streaming query to a fresh memory sink and hand back
-    * the sink table. Fixed per-name table: repeat calls replace it. */
+    * the sink table. Fixed per-name table: repeat calls replace it.
+    *
+    * Shuffle partitions are scoped down for the run (and restored
+    * after): every stateful operator materializes one state store PER
+    * shuffle partition, and for a bounded single-microbatch run that
+    * fixed cost dominates (measured: the stream-stream join at
+    * sf0.1 runs 2.5× faster at 8 partitions than 32, identical
+    * results). An unbounded production query sizes partitions to
+    * throughput instead — this knob is the bounded-harness setting. */
   private def runToMemory(
       spark: SparkSession,
       name: String,
       out: DataFrame,
-      outputMode: String): DataFrame = {
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      outputMode: String,
+      partitions: Int = 8): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, partitions.toString)
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 
