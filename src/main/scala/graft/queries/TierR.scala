@@ -86,6 +86,25 @@ object TierR {
         r4(max("o_totalprice")).as("hi"))
       .orderBy("o_orderpriority")
 
+  /** T-digest-style approximate percentile with a BOUNDED oracle, same
+    * pattern as [[rAggApproxDistinct]]: `percentile_approx`'s sketch is
+    * engine-specific, so the query emits the exact interpolated
+    * quantiles plus `approx_ok` = relative error ≤ 5% against them;
+    * the oracle asserts the exact values with approx_ok TRUE. */
+  private val rAggApproxPercentile: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("a50"),
+        expr("percentile_approx(o_totalprice, 0.95, 1000)").as("a95"))
+      .select(
+        col("o_orderpriority"), col("p50"), col("p95"),
+        (abs(col("a50") - col("p50")) / col("p50") <= 0.05 &&
+          abs(col("a95") - col("p95")) / col("p95") <= 0.05).as("approx_ok"))
+      .orderBy("o_orderpriority")
+
   /** Statistical aggregates: sample stddev/variance and correlation. */
   private val rAggStats: Q = (s, d) =>
     Tables(s, d, "orders")
@@ -373,6 +392,7 @@ object TierR {
     "r_agg_group" -> rAggGroup,
     "r_agg_distinct" -> rAggDistinct,
     "r_agg_approx_distinct" -> rAggApproxDistinct,
+    "r_agg_approx_percentile" -> rAggApproxPercentile,
     "r_agg_percentile" -> rAggPercentile,
     "r_agg_stats" -> rAggStats,
     "r_agg_rollup" -> rAggRollup,
@@ -401,6 +421,12 @@ object TierR {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "r_agg_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |       TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_agg_percentile" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, concat, count, lit}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
@@ -112,6 +112,43 @@ object TierX {
       Curation.curate(docs(s, d), k = 3, threshold = 0.8, quota = 50,
         trainPct = 80, valPct = 10, maxTokens = 50, stride = 25)
         .orderBy("doc_id", "chunk_id")),
+    "x_join_bloom" -> ((s, d) => {
+      // Bloom semi-join pruning in the declared surface: the large side
+      // is filtered by a distributed-built sketch BEFORE its shuffle;
+      // false positives die in the real equi-join, so the result is
+      // row-identical to the plain join (which is the oracle)
+      val orders = Tables(s, d, "orders")
+      val vips = Tables(s, d, "customer")
+        .filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      graft.operators.BloomPrune
+        .prunedJoin(orders, vips, "o_custkey", expectedItems = 10000L)
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+    "x_join_skew" -> ((s, d) => {
+      // explicit salting for a pathologically skewed key (3 distinct
+      // values over the whole fact table): the small side replicates
+      // saltFactor times, the large side fans across (key, salt) — no
+      // single reduce task owns a whole hot key
+      val li = Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val flags = li.select(col("l_returnflag")).distinct()
+        .withColumn("flag_tag", concat(lit("tag_"), col("l_returnflag")))
+      graft.operators.SkewJoin.saltedJoin(li, flags, "l_returnflag")
+        .groupBy("l_returnflag", "flag_tag")
+        .agg(count(lit(1)).as("n"),
+          Conventions.moneySum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+    "x_surrogate_dense" -> ((s, d) =>
+      // the no-single-partition surrogate-key scale path (range sort +
+      // zipWithIndex offsets) — declared so the oracle proves it equals
+      // the window form's dense 0-based assignment
+      graft.operators.DenseId.withDenseId(
+        docs(s, d).select("doc_id", "lang"),
+        "dense_id", Seq(col("lang"), col("doc_id")))
+        .orderBy("doc_id")),
     "x_join_bucket" -> ((s, d) => {
       // co-located layout: both sides bucketed+sorted on the join key,
       // so join AND the keyed aggregate run with zero exchanges (the
@@ -255,6 +292,20 @@ object TierX {
 
   val oracle: Map[String, String] = Map(
     "x_dedup_simhash64p" -> simhash64Oracle,
+    "x_join_bloom" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "x_join_skew" ->
+      s"""SELECT l_returnflag, 'tag_' || l_returnflag AS flag_tag,
+        |       count(1) AS n, ${moneySumSql("l_quantity")} AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "x_surrogate_dense" ->
+      """SELECT doc_id, lang,
+        |       row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_join_bucket" ->
       s"""SELECT c_custkey, count(1) AS n_orders,
         |       ${moneySumSql("o_totalprice")} AS total_price
