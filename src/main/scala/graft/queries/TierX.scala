@@ -73,6 +73,16 @@ object TierX {
       SimilaritySearch
         .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16, rowsPerBand = 2)
         .orderBy("v1", "v2")),
+    "x_dedup_embed_cluster" -> ((s, d) =>
+      // semantic dedup end-to-end: embedding-space near-dup pairs into
+      // connected components — the same Hash-Min operator the text
+      // modality uses, composed over a different pair source
+      Dedup.clusters(
+        SimilaritySearch
+          .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16, rowsPerBand = 2)
+          .select(col("v1").as("d1"), col("v2").as("d2")))
+        .select(col("doc_id").as("vec_id"), col("rep_id"), col("cluster_size"))
+        .orderBy("vec_id")),
     "x_sim_topk" -> ((s, d) =>
       SimilaritySearch.bruteTopK(vecs(s, d), nQueries = 5, k = 10)
         .orderBy("q_id", "rank")),
@@ -275,6 +285,32 @@ object TierX {
       |WHERE bit_count(xor(l1, l2)) + bit_count(xor(h1, h2)) <= 6
       |ORDER BY d1, d2""".stripMargin
 
+  /** Banded sign-LSH embedding near-dup candidate chain, ending with
+    * CTE `p(v1, v2, cos_raw)` — shared by `x_dedup_embed` and the
+    * clustered `x_dedup_embed_cluster`. */
+  private val embedPairsCte =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      |probes AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_id,
+      |                  embedding AS p_vec
+      |           FROM (SELECT vec_id, embedding FROM embeddings
+      |                 ORDER BY vec_id LIMIT 16) t),
+      |dots AS (SELECT v.vec_id, p.p_id,
+      |           ${dotSql("v.embedding", "p.p_vec")} AS d
+      |         FROM e v CROSS JOIN probes p),
+      |bits AS (SELECT vec_id,
+      |           string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+      |                      ORDER BY p_id) AS bits
+      |         FROM dots GROUP BY vec_id),
+      |banded AS (SELECT vec_id, b AS band,
+      |             substr(bits, CAST(b AS INT) * 2 + 1, 2) AS key
+      |           FROM bits, range(8) r(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+      |         FROM banded a JOIN banded b
+      |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      |p AS (SELECT v1, v2, ${cosSql("ea.embedding", "eb.embedding")} AS cos_raw
+      |      FROM cand JOIN e ea ON cand.v1 = ea.vec_id
+      |                JOIN e eb ON cand.v2 = eb.vec_id)""".stripMargin
+
   private val clusterOracle =
     s"""WITH RECURSIVE $minhashPairsCte,
       |mp AS (SELECT d1, d2 FROM jx
@@ -424,29 +460,22 @@ object TierX {
         |ORDER BY d1, d2""".stripMargin,
     "x_dedup_simhash64" -> simhash64Oracle,
     "x_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |probes AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_id,
-        |                  embedding AS p_vec
-        |           FROM (SELECT vec_id, embedding FROM embeddings
-        |                 ORDER BY vec_id LIMIT 16) t),
-        |dots AS (SELECT v.vec_id, p.p_id,
-        |           ${dotSql("v.embedding", "p.p_vec")} AS d
-        |         FROM e v CROSS JOIN probes p),
-        |bits AS (SELECT vec_id,
-        |           string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
-        |                      ORDER BY p_id) AS bits
-        |         FROM dots GROUP BY vec_id),
-        |banded AS (SELECT vec_id, b AS band,
-        |             substr(bits, CAST(b AS INT) * 2 + 1, 2) AS key
-        |           FROM bits, range(8) r(b)),
-        |cand AS (SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-        |         FROM banded a JOIN banded b
-        |         ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
-        |p AS (SELECT v1, v2, ${cosSql("ea.embedding", "eb.embedding")} AS cos_raw
-        |      FROM cand JOIN e ea ON cand.v1 = ea.vec_id
-        |                JOIN e eb ON cand.v2 = eb.vec_id)
+      s"""WITH $embedPairsCte
         |SELECT v1, v2, round(cos_raw, 4) AS cos
         |FROM p WHERE cos_raw >= 0.4 ORDER BY v1, v2""".stripMargin,
+    "x_dedup_embed_cluster" ->
+      s"""WITH RECURSIVE $embedPairsCte,
+        |mp AS (SELECT v1, v2 FROM p WHERE cos_raw >= 0.4),
+        |edges AS (SELECT v1 AS a, v2 AS b FROM mp
+        |          UNION SELECT v2, v1 FROM mp),
+        |reach(id, x) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON reach.x = e2.a),
+        |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
+        |sz AS (SELECT rep_id, count(1) AS cluster_size FROM lab GROUP BY rep_id)
+        |SELECT lab.id AS vec_id, lab.rep_id, sz.cluster_size
+        |FROM lab JOIN sz USING (rep_id) ORDER BY vec_id""".stripMargin,
     "x_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
