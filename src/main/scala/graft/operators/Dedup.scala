@@ -62,6 +62,32 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Snapshot compaction: keep the LATEST version per key — the
+    * CDC-compaction / "dedup by recency" primitive (newest crawl of a
+    * URL, last event per entity). One partial+final aggregate via
+    * `max(struct(version, tiebreak, payload...))`: the struct's
+    * lexicographic order makes the whole row ride along with its max
+    * version, so there is no per-key window sort and no skew hazard — a
+    * hot key costs one combiner cell, not a single-task sort.
+    *
+    * `versionCols` must totally order versions per key (tie-broken).
+    * Output: one row per key group with the winning version's columns,
+    * plus `n_versions`. */
+  def latestByKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && versionCols.nonEmpty,
+      "latestByKey needs key and version columns")
+    val packed = struct((versionCols ++ payloadCols).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).as("_latest"), count(lit(1)).as("n_versions"))
+      .select(keyCols.map(col) ++
+        (versionCols ++ payloadCols).map(c => col(s"_latest.$c").as(c)) :+
+        col("n_versions"): _*)
+  }
+
   /** Exact shingle-set Jaccard for candidate pairs, thresholded. */
   private def verifyJaccard(
       cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {

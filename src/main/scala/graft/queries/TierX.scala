@@ -55,6 +55,22 @@ object TierX {
     "x_dedup_cluster_star" -> ((s, d) =>
       Dedup.clustersStar(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
+    "x_dedup_latest" -> ((s, d) =>
+      // snapshot compaction over the events stream: latest event per
+      // (user, type), via one aggregate (no per-key window sort)
+      Dedup.latestByKey(
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), col("value")),
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"),
+        payloadCols = Seq("value"))
+        .select(col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions
+            .date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+          col("event_id").as("last_event_id"), col("value").as("last_value"),
+          col("n_versions"))
+        .orderBy("user_id", "event_type")),
     "x_sample_split" -> ((s, d) =>
       Curation.hashSplit(docs(s, d), trainPct = 80, valPct = 10)
         .orderBy("doc_id")),
@@ -385,6 +401,17 @@ object TierX {
         |            WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_dedup_latest" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(1) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |      FROM events)
+        |SELECT user_id, event_type,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |       event_id AS last_event_id, value AS last_value,
+        |       n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "x_sample_stratified" ->
       s"""SELECT doc_id, lang,
         |       CAST(${hash32("'strat:' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT) AS bucket

@@ -367,6 +367,26 @@ class TierXSpec extends SparkSpec {
     assert(h.forall(r => r.getLong(1) == r.getLong(0) * 20))
   }
 
+  test("latestByKey equals the window form (one agg vs per-key sort)") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+    val viaAgg = Dedup.latestByKey(ev,
+      Seq("user_id", "event_type"), Seq("ts", "event_id"), Seq("value"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(Window.partitionBy("user_id", "event_type")))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "ts", "event_id", "value", "n_versions")
+    assert(viaAgg.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(viaAgg).count() == 0)
+  }
+
   test("hash split is deterministic, covers all rows, respects cutoffs") {
     import graft.operators.Curation
     val docs = Tables(spark, sf, "documents")
