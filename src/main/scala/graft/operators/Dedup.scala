@@ -183,14 +183,12 @@ object Dedup {
     * concatenated into bucket keys; docs colliding in any band become
     * candidates, then exact Jaccard verifies. With 16 hashes in 4 bands
     * of 4, P[candidate] = 1-(1-j^4)^4 — ≈0.98 at j=0.8. */
-  def nearDupMinHash(
-      docs: DataFrame,
-      k: Int = 3,
-      threshold: Double = 0.8,
-      numHashes: Int = 16,
-      bands: Int = 4): DataFrame = {
+  /** (doc_id, band, key) banded MinHash signature rows for a shingle
+    * frame — the LSH index shared by the self-join ([[nearDupMinHash]])
+    * and cross-corpus ([[crossDupMinHash]]) paths. */
+  private def bandedMinHash(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     // Kirsch-Mitzenmacher double hashing: h_j = (h1 + j*h2) mod 2^32 —
     // two md5 evaluations per shingle instead of numHashes
@@ -209,14 +207,60 @@ object Dedup {
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
           .as("key"))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def nearDupMinHash(
+      docs: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedMinHash(sh, numHashes, bands)
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Cross-corpus contamination detection: documents of corpus B whose
+    * shingle-Jaccard against some document of corpus A meets the
+    * threshold — the train/test decontamination primitive (is an eval
+    * document near-duplicated inside the training set?).
+    *
+    * Same MinHash-banded-LSH index as [[nearDupMinHash]], but the
+    * candidate join runs BETWEEN the two banded frames: cost is
+    * O(|A| + |B|) signature rows plus band-bucket collisions, never
+    * |A| × |B|. Verification is the exact cross-pair Jaccard.
+    *
+    * Output: (d1 ∈ A, d2 ∈ B, jac) for all cross pairs ≥ threshold. */
+  def crossDupMinHash(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val shA = shingles(corpusA, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val shB = shingles(corpusB, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandedMinHash(shA, numHashes, bands).as("a")
+      .join(bandedMinHash(shB, numHashes, bands).as("b"), Seq("band", "key"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val sa = shA.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+    val sb = shB.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+    cand.join(sa, "d1").join(sb, "d2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jac",
+        col("inter") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
   }
 
   /** 32-bit SimHash per document from the token stream (with

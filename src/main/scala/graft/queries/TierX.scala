@@ -55,6 +55,20 @@ object TierX {
     "x_dedup_cluster_star" -> ((s, d) =>
       Dedup.clustersStar(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
+    "x_contamination" -> ((s, d) => {
+      // decontamination: which held-out docs are near-duplicated inside
+      // the train split? Cross-corpus MinHash-LSH — candidates join
+      // BETWEEN the banded indexes, never |train| × |eval|
+      val dd = docs(s, d)
+      val sides = dd.join(
+        Curation.hashSplit(dd, trainPct = 80, valPct = 10)
+          .select(col("doc_id"), col("split")), "doc_id")
+      Dedup.crossDupMinHash(
+        sides.filter(col("split") === "train"),
+        sides.filter(col("split") =!= "train"),
+        k = 3, threshold = 0.8)
+        .orderBy("d1", "d2")
+    }),
     "x_dedup_latest" -> ((s, d) =>
       // snapshot compaction over the events stream: latest event per
       // (user, type), via one aggregate (no per-key window sort)
@@ -401,6 +415,38 @@ object TierX {
         |            WHEN ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors the banded-LSH candidate generation cross-side (recall is
+    // probabilistic, so the oracle must re-derive the same candidates,
+    // as x_dedup_minhash does), then exact Jaccard
+    "x_contamination" ->
+      s"""WITH $shinglesCte,
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
+        |              ${hash32("'1:' || s")} AS h2 FROM ex),
+        |hx AS (SELECT doc_id, j,
+        |         min((h1 + j * h2) % 4294967296) AS mh
+        |       FROM hw, range(16) t(j) GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        |          FROM hx GROUP BY doc_id, j // 4),
+        |sp AS (SELECT doc_id,
+        |         ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_train
+        |       FROM documents),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN sp sa ON a.doc_id = sa.doc_id
+        |              JOIN bands b ON a.band = b.band AND a.key = b.key
+        |              JOIN sp sb ON b.doc_id = sb.doc_id
+        |         WHERE sa.is_train AND NOT sb.is_train),
+        |jx AS (SELECT d1, d2,
+        |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        |         len(sa.shingles) AS la, len(sb.shingles) AS lb
+        |       FROM cand
+        |       JOIN sh sa ON cand.d1 = sa.doc_id
+        |       JOIN sh sb ON cand.d2 = sb.doc_id)
+        |SELECT d1, d2, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jac
+        |FROM jx
+        |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
     "x_dedup_latest" ->
       """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
         |        row_number() OVER (PARTITION BY user_id, event_type

@@ -367,6 +367,24 @@ class TierXSpec extends SparkSpec {
     assert(h.forall(r => r.getLong(1) == r.getLong(0) * 20))
   }
 
+  test("cross-corpus contamination pairs = self-join pairs with mixed sides") {
+    import graft.operators.{Curation, Dedup}
+    val docs = Tables(spark, sf, "documents")
+    val sides = docs.join(
+      Curation.hashSplit(docs).select(col("doc_id"), col("split")), "doc_id")
+    val a = sides.filter(col("split") === "train")
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val cross = Dedup.crossDupMinHash(a, sides.filter(col("split") =!= "train"))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val self = Dedup.nearDupMinHash(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (x, y) => aIds.contains(x) ^ aIds.contains(y) }.toSet
+    assert(cross == self,
+      s"missed ${(self -- cross).size}, extra ${(cross -- self).size}")
+  }
+
   test("latestByKey equals the window form (one agg vs per-key sort)") {
     import graft.operators.Dedup
     import org.apache.spark.sql.expressions.Window
