@@ -23,7 +23,7 @@ object Verify {
         // output behind
         val dir = new java.io.File(s"$outDir/$name")
         if (dir.exists()) {
-          dir.listFiles().foreach(_.delete())
+          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
           dir.delete()
         }
       }

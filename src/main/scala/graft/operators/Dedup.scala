@@ -80,6 +80,9 @@ object Dedup {
       payloadCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && versionCols.nonEmpty,
       "latestByKey needs key and version columns")
+    val all = keyCols ++ versionCols ++ payloadCols
+    require(!all.contains("n_versions") && !all.contains("_latest"),
+      "latestByKey reserves column names n_versions and _latest")
     val packed = struct((versionCols ++ payloadCols).map(col): _*)
     df.groupBy(keyCols.map(col): _*)
       .agg(max(packed).as("_latest"), count(lit(1)).as("n_versions"))
@@ -236,6 +239,10 @@ object Dedup {
     * candidate join runs BETWEEN the two banded frames: cost is
     * O(|A| + |B|) signature rows plus band-bucket collisions, never
     * |A| × |B|. Verification is the exact cross-pair Jaccard.
+    *
+    * Contract: `doc_id` must identify a document across BOTH corpora
+    * (two different documents must not share an id between A and B) —
+    * true for any split of one id space, the decontamination use case.
     *
     * Output: (d1 ∈ A, d2 ∈ B, jac) for all cross pairs ≥ threshold. */
   def crossDupMinHash(
