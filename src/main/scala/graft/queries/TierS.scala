@@ -5,15 +5,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.streaming.StreamOps
 
-/** Tier S — streaming-window queries (SURVEY.md §2.2 `x_stream_*`).
+/** Tier S — streaming queries (SURVEY.md §2.2 `x_stream_*`).
   *
   * Window semantics are identical in batch and streaming, so the first
   * three run the shared [[StreamOps]] operators on the bounded events
   * table and hash-match gaps-and-islands / epoch-arithmetic DuckDB
-  * oracles. `x_stream_latedata` runs an actual Structured Streaming
-  * query (file source + watermark + memory sink) — not batch-SQL
-  * expressible, so no oracle (rows-only check); its eviction semantics
-  * are pinned by StreamingSpec with a two-batch MemoryStream.
+  * oracles. The stateful group — `x_stream_dedup` (watermarked dedup
+  * over a deliberately doubled stream), `x_stream_state`
+  * (flatMapGroupsWithState totals), `x_stream_hwm`
+  * (transformWithState on RocksDB), `x_stream_join` (stream-stream
+  * join with event-time bounds) — run REAL streaming queries to memory
+  * sinks; one bounded microbatch makes each equal to a batch query,
+  * which is its oracle. Multi-batch semantics (eviction, state
+  * carry-over, join buffering) are pinned by StreamingSpec
+  * MemoryStream tests. `x_stream_latedata` (watermark eviction) is the
+  * one op with no batch equivalent — rows-only check, semantics in
+  * StreamingSpec.
   */
 object TierS {
 

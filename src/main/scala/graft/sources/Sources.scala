@@ -32,6 +32,26 @@ object Sources {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
+  /** CSV ingestion with a DECLARED schema, same contract as the JSON
+    * pair: FAILFAST (malformed rows abort, never silently null). */
+  def readCsv(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Permissive CSV variant quarantining malformed rows via
+    * `_corrupt_record`, mirroring [[readJsonLinesPermissive]]. */
+  def readCsvPermissive(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
   /** S1: input enumeration — one row per discovered file with its row
     * count, from the same distributed scan (no driver-side listing
     * loop). */

@@ -33,6 +33,30 @@ class SourceSpec extends SparkSpec {
     assert(permissive.filter(col("matchId") === "ok").count() == 1)
   }
 
+  test("declared-schema csv ingestion: FAILFAST aborts, permissive quarantines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(Paths.get(s"$dir/rows.csv"),
+      """id,name,score
+        |1,alpha,0.5
+        |not_a_number,beta,0.7
+        |3,gamma,0.9
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", DoubleType)))
+    intercept[Exception] {
+      Sources.readCsv(spark, s"$dir/rows.csv", schema).collect()
+    }
+    val permissive = Sources.readCsvPermissive(spark, s"$dir/rows.csv", schema)
+      .cache()
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(permissive.filter(col("id") === 3L)
+      .select("name").head().getString(0) == "gamma")
+  }
+
   test("input enumeration runs in the scan, not on the driver") {
     val inputs = Sources.listInputs(
       FotmobPipeline.readMatches(spark, fixture))
