@@ -141,6 +141,69 @@ object TierF {
       .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "avg_qty")
   }
 
+  /** J2/P8 via the DECLARATIVE surface (create_looker_data_table.sql:1-26):
+    * the same 5-way star join as [[fStarJoin]], expressed as `spark.sql`
+    * over temp views — the reference's own query shape (a flat SELECT over
+    * chained JOINs) runs verbatim-style against this engine. Broadcast
+    * hints reproduce the DataFrame form's dim broadcasts, so the two
+    * surfaces compile to the same physical plan (pinned by TierFSpec:
+    * node-count identity AND row/hash identity). */
+  private val fStarJoinSql: Q = (s, d) => {
+    Seq("lineitem", "orders", "customer", "nation", "region")
+      .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT /*+ BROADCAST(n), BROADCAST(r) */
+        l.l_orderkey AS order_key,
+        l.l_linenumber AS line_no,
+        c.c_name AS customer,
+        n.n_name AS nation,
+        r.r_name AS region,
+        round(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+      JOIN customer c ON o.o_custkey   = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      ORDER BY order_key, line_no, revenue, customer, nation, region""")
+  }
+
+  /** S3 on the CSV path (SURVEY §2.1 source surface): declared-schema CSV
+    * ingestion with quarantine, exercised END-TO-END — write the orders
+    * table out as CSV with deliberately corrupted numeric cells (keys
+    * divisible by 100 get a non-numeric `o_totalprice`), read it back via
+    * [[graft.sources.Sources.readCsvPermissive]], aggregate the clean rows
+    * and count the quarantined ones. The corruption is data-derived, so
+    * the oracle recomputes both sides from the parquet source with no
+    * baked-in constants. The parsed frame is persisted: it feeds two
+    * consumers (clean aggregate + quarantine count), and caching is also
+    * what legalizes a `_corrupt_record`-only subplan (Spark disallows
+    * that directly over a raw CSV scan). */
+  private val fCsvIngest: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    Tables(s, d, "orders")
+      .select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        when(col("o_orderkey") % 100 === 0, lit("NOT_A_PRICE"))
+          .otherwise(col("o_totalprice").cast("string")).as("o_totalprice"),
+        col("o_orderpriority"))
+      .write.option("header", "true").mode("overwrite").csv(tmp)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      StructField("o_custkey", org.apache.spark.sql.types.LongType),
+      StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+      StructField("o_orderpriority", org.apache.spark.sql.types.StringType)))
+    val parsed = graft.sources.Sources.readCsvPermissive(s, tmp, schema).persist()
+    val clean = parsed.filter(col("_corrupt_record").isNull)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_good"),
+        graft.Conventions.moneySum(col("o_totalprice")).as("sum_price"))
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+      .groupBy().agg(count(lit(1)).as("n_quarantined"))
+    clean.crossJoin(broadcast(quarantined)).orderBy("o_orderpriority")
+  }
+
   /** S3/P1 (fotmob-dag.py:39-44,74-77): JSON document parse + nested field
     * access. `from_json` with a declared schema, then struct-path
     * projection — the Spark shape of the reference's dict indexing. */
@@ -163,7 +226,9 @@ object TierF {
     "f_star_build" -> fStarBuild,
     "f_star_join" -> fStarJoin,
     "f_join_composite" -> fJoinComposite,
-    "f_explode_json" -> fExplodeJson)
+    "f_explode_json" -> fExplodeJson,
+    "f_star_join_sql" -> fStarJoinSql,
+    "f_csv_ingest" -> fCsvIngest)
 
   val oracle: Map[String, String] = Map(
     "f_scan_project" ->
@@ -226,5 +291,30 @@ object TierF {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // same result as f_star_join — the SQL surface must be value-identical
+    // to the DataFrame surface
+    "f_star_join_sql" ->
+      """SELECT l.l_orderkey AS order_key, l.l_linenumber AS line_no,
+        |       c.c_name AS customer, n.n_name AS nation, r.r_name AS region,
+        |       round(l.l_extendedprice * (1 - l.l_discount), 4) AS revenue
+        |FROM lineitem l
+        |JOIN orders o   ON l.l_orderkey  = o.o_orderkey
+        |JOIN customer c ON o.o_custkey   = c.c_custkey
+        |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        |JOIN region r   ON n.n_regionkey = r.r_regionkey
+        |ORDER BY order_key, line_no, revenue, customer, nation, region""".stripMargin,
+    // the corruption predicate (o_orderkey % 100 = 0) is re-derived from
+    // the parquet source — quarantine count and clean aggregate both
+    // data-dependent, no baked-in constants
+    "f_csv_ingest" ->
+      s"""WITH bad AS (
+        |  SELECT count(1) AS n_quarantined FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderpriority, count(1) AS n_good,
+        |       ${moneySumSql("o_totalprice")} AS sum_price,
+        |       bad.n_quarantined
+        |FROM orders, bad
+        |WHERE o_orderkey % 100 <> 0
+        |GROUP BY o_orderpriority, bad.n_quarantined
+        |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -66,4 +66,31 @@ class TierFSpec extends SparkSpec {
     assert(df.filter(col("k") <= 50).count() == 0)
     assert(df.count() > 0)
   }
+
+  test("f_star_join_sql is plan- and value-identical to the DataFrame form") {
+    val sqlForm = q("f_star_join_sql")
+    val dfForm = q("f_star_join")
+    // same physical shape: the SQL surface must not plan extra exchanges
+    // or lose the dim broadcasts
+    def shape(p: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+      val s = p.queryExecution.executedPlan.toString
+      Map(
+        "bhj" -> "BroadcastHashJoin".r.findAllIn(s).size,
+        "smj" -> "SortMergeJoin".r.findAllIn(s).size,
+        "exch" -> "Exchange".r.findAllIn(s).size)
+    }
+    assert(shape(sqlForm) == shape(dfForm))
+    // and value-identical, row for row, in the declared output order
+    assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
+  }
+
+  test("f_csv_ingest quarantines exactly the corrupted rows") {
+    val df = q("f_csv_ingest").collect()
+    val expectedBad = Tables(spark, sf, "orders")
+      .filter(col("o_orderkey") % 100 === 0).count()
+    assert(df.map(_.getAs[Long]("n_quarantined")).toSet == Set(expectedBad))
+    val goodTotal = df.map(_.getAs[Long]("n_good")).sum
+    val totalRows = Tables(spark, sf, "orders").count()
+    assert(goodTotal == totalRows - expectedBad)
+  }
 }
