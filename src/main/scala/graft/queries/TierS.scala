@@ -42,7 +42,9 @@ object TierS {
     "x_stream_hwm" -> ((s, d) =>
       StreamOps.streamHighWaterRun(s, d).orderBy("user_id")),
     "x_stream_join" -> ((s, d) =>
-      StreamOps.streamStreamJoinRun(s, d).orderBy("a_id", "b_id")))
+      StreamOps.streamStreamJoinRun(s, d).orderBy("a_id", "b_id")),
+    "x_ingest_incremental" -> ((s, d) =>
+      StreamOps.incrementalIngestRun(s, d).orderBy("user_id")))
 
   val oracle: Map[String, String] = Map(
     "x_stream_tumbling" ->
@@ -101,5 +103,25 @@ object TierS {
         | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
         | AND a.event_id < b.event_id
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    // the two checkpointed ingest passes must reconstruct the full
+    // events table exactly once in bronze; compaction + star refresh
+    // over bronze then equals this batch recompute over the raw table
+    "x_ingest_incremental" ->
+      """WITH latest AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(1) OVER (PARTITION BY user_id) AS n_versions
+        |  FROM events),
+        |dim AS (
+        |  SELECT event_type,
+        |         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS et_id
+        |  FROM (SELECT DISTINCT event_type FROM events) t)
+        |SELECT l.user_id, d.et_id, l.event_type, l.value,
+        |       strftime(CAST(l.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       CAST(l.n_versions AS BIGINT) AS n_versions
+        |FROM latest l JOIN dim d USING (event_type)
+        |WHERE l.rn = 1
+        |ORDER BY l.user_id""".stripMargin)
 }

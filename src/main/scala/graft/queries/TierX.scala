@@ -106,11 +106,15 @@ object TierX {
     "x_dedup_embed_cluster" -> ((s, d) =>
       // semantic dedup end-to-end: embedding-space near-dup pairs into
       // connected components — the same Hash-Min operator the text
-      // modality uses, composed over a different pair source
+      // modality uses, composed over a different pair source. The pair
+      // frame is persisted: clusters() consumes it twice (both union
+      // branches of the symmetric edge list), and without the persist
+      // the whole LSH+cosine derivation re-runs per branch
       Dedup.clusters(
         SimilaritySearch
           .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16, rowsPerBand = 2)
-          .select(col("v1").as("d1"), col("v2").as("d2")))
+          .select(col("v1").as("d1"), col("v2").as("d2"))
+          .persist())
         .select(col("doc_id").as("vec_id"), col("rep_id"), col("cluster_size"))
         .orderBy("vec_id")),
     "x_sim_topk" -> ((s, d) =>
@@ -141,7 +145,12 @@ object TierX {
       TextAnalysis.tfIdfTopTerms(docs(s, d), k = 3)
         .orderBy("doc_id", "trank")),
     "x_multimodal_meta" -> ((s, d) =>
-      Multimodal.decode(s, docs(s, d)).toDF().orderBy("doc_id")),
+      // REAL container decode: text bytes are wrapped in genuine
+      // BMP/WAV headers (by doc_id residue) and round-tripped through
+      // binary header parsing; the oracle recomputes the header fields
+      // arithmetically, so a parse bug cannot hash-match
+      Multimodal.decode(s, Multimodal.packMediaTable(s, docs(s, d)))
+        .toDF().orderBy("doc_id")),
     "x_multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(s, docs(s, d), everyNth = 2).toDF()
         .select(col("doc_id"), col("frame_idx"),
@@ -769,12 +778,27 @@ object TierX {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       CAST(least(frame_idx * 100 + 100, n) - frame_idx * 100 AS BIGINT) AS frame_bytes
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // mirrors packMediaTable's construction arithmetic: bmp docs carry a
+    // 54-byte header (dims from n_chars/doc_id), wav docs a 44-byte
+    // header over data truncated to whole PCM frames, raw docs the
+    // pseudo-metadata fallback — the Spark side must recover all of it
+    // by PARSING the bytes it packed
     "x_multimodal_meta" ->
-      """SELECT doc_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        |       CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-        |       CAST(octet_length(encode(text)) // 100 AS BIGINT) AS n_frames,
+      """WITH m AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         octet_length(encode(text)) AS n,
+        |         doc_id % 3 AS res,
+        |         (doc_id % 2) + 1 AS ch
+        |  FROM documents),
+        |w AS (SELECT *, ch * 2 AS blk, n - (n % (ch * 2)) AS data_len FROM m)
+        |SELECT doc_id,
+        |       CASE res WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'raw' END AS kind,
+        |       CAST(CASE res WHEN 0 THEN 54 + n WHEN 1 THEN 44 + data_len ELSE n END AS BIGINT) AS n_bytes,
+        |       CAST(CASE res WHEN 0 THEN (n_chars % 640) + 1 ELSE CASE res WHEN 1 THEN 0 ELSE n % 640 END END AS BIGINT) AS width,
+        |       CAST(CASE res WHEN 0 THEN (doc_id % 480) + 1 ELSE CASE res WHEN 1 THEN 0 ELSE (n * 7) % 480 END END AS BIGINT) AS height,
+        |       CAST(CASE res WHEN 0 THEN 1 WHEN 1 THEN data_len // blk ELSE n // 100 END AS BIGINT) AS n_frames,
+        |       CAST(CASE res WHEN 1 THEN 8000 + (doc_id % 8) * 500 ELSE 0 END AS BIGINT) AS sample_rate,
+        |       CAST(CASE res WHEN 1 THEN ch ELSE 0 END AS BIGINT) AS channels,
         |       lang
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin)
 }

@@ -164,6 +164,88 @@ object StreamOps {
       .outputMode("append")
       .start()
 
+  /** One incremental-ingest pass: Trigger.AvailableNow file-source over
+    * `srcDir` → append-mode parquet sink at `bronzeDir`, offsets and file
+    * log in `ckptDir`. The pass drains every file the checkpoint has not
+    * seen, then stops — the scheduled-batch shape (cron-started, bounded,
+    * restartable). Returns the bronze row count after the pass, so
+    * callers can assert exactly-once file consumption: a re-run over an
+    * unchanged source directory must not change the count. */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      srcDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      bronzeDir: String,
+      ckptDir: String): Long = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .format("parquet")
+      .option("path", bronzeDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(bronzeDir).count()
+  }
+
+  /** Star-schema refresh over an ingested bronze frame: snapshot-compact
+    * to the latest event per user ([[graft.operators.Dedup.latestByKey]]
+    * — one `max(struct)` aggregate, no per-key sort), rebuild the
+    * event_type dimension with dense surrogate ids, join the compacted
+    * fact to the broadcast dim. The "refresh" is a full recompute OVER
+    * INCREMENTALLY INGESTED bronze — the input side never re-reads
+    * consumed files, which is where the 100 TB cost lives. */
+  def starRefresh(ingested: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val latest = graft.operators.Dedup.latestByKey(
+      ingested.select("user_id", "ts", "event_id", "event_type", "value"),
+      keyCols = Seq("user_id"),
+      versionCols = Seq("ts", "event_id"),
+      payloadCols = Seq("event_type", "value"))
+    // dim is |event types| rows — the unpartitioned window only ever
+    // sorts the deduped dim (same documented pattern as f_surrogate_key)
+    val dim = ingested.select("event_type").dropDuplicates()
+      .withColumn("et_id",
+        (row_number().over(Window.orderBy("event_type")) - 1).cast("long"))
+    latest.join(broadcast(dim), Seq("event_type"))
+      .select(
+        col("user_id"), col("et_id"), col("event_type"), col("value"),
+        fmt(col("ts")).as("ts_s"), col("n_versions"))
+  }
+
+  /** The reference's stated future work (reference README.md:156-160 —
+    * "running the DAG on a schedule and automatically processing batches
+    * of new matches") as one composed, declared operation:
+    *
+    *   1. batch 0 of the events table lands in a source directory;
+    *   2. an AvailableNow ingest pass drains it into bronze (checkpointed);
+    *   3. batch 1 lands; a RESTARTED pass with the same checkpoint
+    *      ingests ONLY the new files (offset log ⇒ no re-read, no dupes);
+    *   4. the star schema refreshes over bronze: latest-per-user
+    *      compaction + dense event_type dim + broadcast join.
+    *
+    * Work dirs are fresh per call (re-runnable); the batch split is a
+    * deterministic predicate so the DuckDB oracle recomputes the final
+    * state from the raw table. Restart/exactly-once behavior is pinned
+    * by StreamingSpec (a third pass over an unchanged source must be a
+    * no-op). */
+  def incrementalIngestRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables(spark, sfDir, "events")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ingest").toString
+    val (src, bronze, ckpt) = (s"$work/src", s"$work/bronze", s"$work/ckpt")
+    events.filter(col("event_id") % 2 === 0)
+      .write.mode("append").parquet(src)
+    ingestAvailableNow(spark, src, events.schema, bronze, ckpt)
+    events.filter(col("event_id") % 2 =!= 0)
+      .write.mode("append").parquet(src)
+    ingestAvailableNow(spark, src, events.schema, bronze, ckpt)
+    starRefresh(spark.read.parquet(bronze))
+  }
+
   /** File-source stream over the events parquet (ns → µs timestamp
     * normalization applied, as in the batch [[graft.Tables]] loader). */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {

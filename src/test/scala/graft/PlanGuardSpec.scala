@@ -21,10 +21,12 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries whose plan legitimately contains a BNLJ, all with a
     * provably tiny broadcast side (see Bench.planMetrics notes):
     * ANN query sets, lang-ID profile grid, IVF centroid grid, TF-IDF
-    * scalar corpus count. */
+    * scalar corpus count, and the CSV quarantine count (a broadcast of
+    * ONE global-aggregate row cross-joined onto the per-priority
+    * aggregate — ≤ |priorities| rows streamed). */
   private val bnljAllowed = Set(
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
-    "x_lang_id", "x_tfidf_topterms")
+    "x_lang_id", "x_tfidf_topterms", "f_csv_ingest")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {

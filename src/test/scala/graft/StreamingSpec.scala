@@ -266,4 +266,28 @@ class StreamingSpec extends SparkSpec {
     assert(df.count() > 0)
     assert(df.columns.toSeq == Seq("w_start", "event_type", "n"))
   }
+
+  test("incremental ingest: restart consumes only new files; idle pass is a no-op") {
+    val events = Tables(spark, sf, "events")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_ingest_spec").toString
+    val (src, bronze, ckpt) = (s"$work/src", s"$work/bronze", s"$work/ckpt")
+    val b0 = events.filter(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+    val b1 = events.filter(org.apache.spark.sql.functions.col("event_id") % 2 =!= 0)
+    b0.write.mode("append").parquet(src)
+    val after1 = StreamOps.ingestAvailableNow(spark, src, events.schema, bronze, ckpt)
+    assert(after1 == b0.count(), "first pass must ingest exactly batch 0")
+    b1.write.mode("append").parquet(src)
+    val after2 = StreamOps.ingestAvailableNow(spark, src, events.schema, bronze, ckpt)
+    assert(after2 == events.count(),
+      "restarted pass must add exactly batch 1 — no re-read of batch-0 files")
+    // third pass with NO new input: the checkpointed offset log makes it
+    // a no-op — this is the exactly-once contract a scheduler relies on
+    val after3 = StreamOps.ingestAvailableNow(spark, src, events.schema, bronze, ckpt)
+    assert(after3 == after2, "idle pass re-ingested already-consumed files")
+    // and the refreshed star equals one latest-row per user
+    val refreshed = StreamOps.starRefresh(spark.read.parquet(bronze))
+    assert(refreshed.count() ==
+      events.select("user_id").distinct().count())
+  }
 }

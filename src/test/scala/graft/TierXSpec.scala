@@ -187,14 +187,42 @@ class TierXSpec extends SparkSpec {
       .filter(col("re_tokens") < col("ws_tokens")).count() == 0)
   }
 
-  test("multimodal decode preserves cardinality and byte lengths") {
+  test("multimodal decode preserves cardinality and recovers header fields") {
     val df = q("x_multimodal_meta")
     val docs = Tables(spark, sf, "documents")
     assert(df.count() == docs.count())
-    // ASCII corpus: byte length == char length
-    val bad = df.join(docs, "doc_id")
-      .filter(col("n_bytes") =!= col("n_chars"))
-    assert(bad.count() == 0)
+    // bmp/wav rows carry real container headers; parsed dims/audio params
+    // must equal the values they were packed from
+    val j = df.join(docs, "doc_id")
+    assert(j.filter(col("kind") === "bmp" &&
+      (col("width") =!= col("n_chars") % 640 + 1 ||
+        col("height") =!= col("doc_id") % 480 + 1 ||
+        col("n_frames") =!= 1)).count() == 0)
+    assert(j.filter(col("kind") === "wav" &&
+      (col("sample_rate") =!= lit(8000) + (col("doc_id") % 8) * 500 ||
+        col("channels") =!= col("doc_id") % 2 + 1)).count() == 0)
+    // raw rows: ASCII corpus ⇒ byte length == char length
+    assert(j.filter(col("kind") === "raw" &&
+      col("n_bytes") =!= col("n_chars")).count() == 0)
+  }
+
+  test("multimodal decodeOne parses real BMP/WAV bytes and rejects malformed") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaRow => MR}
+    val bmp = Multimodal.decodeOne(
+      MR(1L, Multimodal.bmpBytes(123, 45, Array.fill(32)(7.toByte)), "en"))
+    assert(bmp.kind == "bmp" && bmp.width == 123 && bmp.height == 45 &&
+      bmp.n_frames == 1 && bmp.n_bytes == 54 + 32)
+    // 2-channel 16-bit PCM: 100 sample bytes truncate to 25 frames
+    val wav = Multimodal.decodeOne(
+      MR(2L, Multimodal.wavBytes(2, 44100, Array.fill(101)(9.toByte)), "en"))
+    assert(wav.kind == "wav" && wav.sample_rate == 44100 &&
+      wav.channels == 2 && wav.n_frames == 25)
+    // truncated RIFF (chunk size overruns the buffer) must fall back,
+    // not misparse
+    val torn = Multimodal.wavBytes(1, 8000, Array.fill(64)(1.toByte)).take(50)
+    assert(Multimodal.decodeOne(MR(3L, torn, "en")).kind == "raw")
+    assert(Multimodal.decodeOne(MR(4L, "plain text".getBytes, "en")).kind == "raw")
   }
 
   test("multimodal chain: decode -> frame-sample -> features -> ANN") {
