@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup / connected-components / contamination
+  * family: the cheapest evidence that the 100× story is real before the
+  * operators meet a cluster.
+  *
+  * What it does (SCALING.md records the standing result):
+  *   - synthesizes a 10× corpus from the sf0.1 `documents` and
+  *     `embeddings` tables — replicas 0..4 keep the text/vector verbatim
+  *     (so every source row becomes a 5-member duplicate cluster: the
+  *     worst case for pair generation and CC), replicas 5..9 get
+  *     perturbed content (distinct mass, keeps selectivity realistic);
+  *   - sets `spark.sql.shuffle.partitions` to a cluster-like count
+  *     (default 200 — the Spark default a 1000-executor job would start
+  *     from) instead of the local 32;
+  *   - runs exact dedup, MinHash-LSH, PPJoin near-dup, Hash-Min CC,
+  *     large/small-star CC, cross-corpus contamination, and the
+  *     embedding LSH→CC composition over the synthetic volume;
+  *   - captures EVERY execution fired along the way (iterative CC rounds
+  *     included) through a listener and fails loudly if any plan
+  *     contains a `CartesianProduct` or an undocumented
+  *     `BroadcastNestedLoopJoin`;
+  *   - prints one JSON line with per-op wall seconds + final-plan node
+  *     counts, and writes it to `SCALE_REHEARSAL.json`.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain
+  * graft.tools.ScaleRehearsal"` (optional SPARK_GRAFT_REHEARSAL_PARTS to
+  * change the partition count).
+  */
+object ScaleRehearsal {
+
+  private object Captured
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val plans = scala.collection.mutable.Buffer[String]()
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      synchronized { plans += qe.executedPlan.toString }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        e: Exception): Unit = ()
+    def drain(): Seq[String] = {
+      Thread.sleep(300) // async bus; let stragglers land
+      synchronized { val out = plans.toSeq; plans.clear(); out }
+    }
+  }
+
+  /** 10× documents: 5 verbatim replicas (dense duplicate clusters) + 5
+    * perturbed ones (distinct mass). doc_id spaces are disjoint by
+    * replica stripe. Replication is a GENERATOR (explode of a literal
+    * sequence), not a crossJoin — a join-free row multiplier, so the
+    * synthetic input adds zero join nodes to any captured plan. */
+  private def docs10x(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("*"),
+        explode(sequence(lit(0L), lit(9L))).as("replica"))
+      .select(
+        (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+        when(col("replica") < 5, col("text"))
+          .otherwise(concat(col("text"), lit(" uniq"), col("replica")))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  /** 10× embeddings: verbatim + slightly scaled copies (pure scaling
+    * preserves direction, so cosine stays 1 and LSH still pairs the
+    * replicas — CC load stays maximal). Cast back to array<float>: the
+    * similarity expressions type-check on FloatType. */
+  private def vecs10x(spark: SparkSession, vecs: DataFrame): DataFrame =
+    vecs.select(col("*"),
+        explode(sequence(lit(0L), lit(9L))).as("replica"))
+      .select(
+        (col("vec_id") + col("replica") * lit(10000000L)).as("vec_id"),
+        when(col("replica") < 5, col("embedding"))
+          .otherwise(transform(col("embedding"),
+            x => x * (lit(1.0) + col("replica").cast("double") / lit(1000d)))
+            .cast("array<float>"))
+          .as("embedding"),
+        col("label"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_PARTS", "200")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Sessions.localBuilder(cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    spark.listenerManager.register(Captured)
+
+    val docs = docs10x(spark, graft.Tables(spark, sfDir, "documents"))
+      .persist() // shared input of every text op — synthesize once
+    val vecs = vecs10x(spark, graft.Tables(spark, sfDir, "embeddings")).persist()
+    val nDocs = docs.count() // materialize before timing the operators
+    val nVecs = vecs.count()
+    // contamination halves: replica stripes 0-4 vs 5-9 share no doc_id
+    val corpusA = docs.filter(col("doc_id") < 50000000L)
+    val corpusB = docs.filter(col("doc_id") >= 50000000L)
+      .select((col("doc_id") - 50000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+
+    import graft.operators.{Dedup, SimilaritySearch}
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "exact" -> (() => Dedup.exact(docs)),
+      "minhash" -> (() => Dedup.nearDupMinHash(docs, k = 3,
+        numHashes = 32, bands = 8, threshold = 0.8)),
+      "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
+      "cluster_hashmin" -> (() => Dedup.clusters(
+        Dedup.nearDupMinHash(docs, k = 3, numHashes = 32, bands = 8,
+          threshold = 0.8).select("d1", "d2").persist())),
+      "cluster_star" -> (() => Dedup.clustersStar(
+        Dedup.nearDupMinHash(docs, k = 3, numHashes = 32, bands = 8,
+          threshold = 0.8).select("d1", "d2").persist())),
+      "contamination" -> (() => Dedup.crossDupMinHash(corpusA, corpusB,
+        k = 3, numHashes = 32, bands = 8, threshold = 0.8)),
+      // scale-sized LSH: 8-bit band keys (the operator's documented
+      // rule — band bits ~ log2(corpus) for O(1) bucket occupancy).
+      // The declared sf0.01 query keeps 2-bit bands for its
+      // threshold-hugging tail; at 20k vectors 2-bit bands mean 4
+      // buckets/band and quadratic candidates (first rehearsal run
+      // measured 765 s) — the knob, not the shape, is what changes
+      "embed_cluster" -> (() => Dedup.clusters(
+        SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
+          nBits = 64, rowsPerBand = 8)
+          .select(col("v1").as("d1"), col("v2").as("d2")).persist())))
+
+    Captured.drain()
+    val results = ops.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      val df = f()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val all = Captured.drain()
+      val cartesian = all.count(_.contains("CartesianProduct"))
+      val bnlj = all.count(_.contains("BroadcastNestedLoopJoin"))
+      val rows = df.count()
+      spark.catalog.clearCache()
+      docs.persist(); vecs.persist() // keep the shared inputs resident
+      docs.count(); vecs.count()
+      Captured.drain()
+      (name, secs, rows, cartesian, bnlj)
+    }
+
+    val bad = results.filter { case (_, _, _, c, b) => c > 0 || b > 0 }
+    val qs = results.map { case (n, s, r, c, b) =>
+      s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"cartesian":$c,"bnlj":$b}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"rehearsal":"10x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("SCALE_REHEARSAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    require(bad.isEmpty,
+      s"plan guard violated at 10x scale: ${bad.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+}
