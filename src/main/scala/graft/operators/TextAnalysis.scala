@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,5 +192,68 @@ object TextAnalysis {
       .withColumn("trank", row_number().over(w).cast("long"))
       .filter(col("trank") <= k)
       .select("doc_id", "tok", "tf", "df", "score", "trank")
+  }
+
+  /** Repetition-based quality signal (the Gopher-rules family:
+    * "fraction of duplicate n-grams"): for word n-grams of each size in
+    * `sizes`, the duplicated fraction 1 − distinct/total per document.
+    * A high duplicate-2gram fraction marks boilerplate/looping text —
+    * one of the strongest cheap pre-training quality filters.
+    *
+    * Entirely row-local: n-gram arrays are built by a
+    * `transform(sequence(...))` lambda and never leave their row, so
+    * the operator is a pure projection — no shuffle, no generator
+    * explosion, cost linear in corpus tokens regardless of skew.
+    *
+    * Output: (doc_id, n_tokens, dup2_frac, dup3_frac, repetitive) with
+    * `repetitive` = dup2_frac > threshold. Documents shorter than n
+    * tokens have no n-grams ⇒ fraction 0. */
+  def repetitionScore(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val toks = split(col("text"), " ")
+    def dupFrac(n: Int): Column = {
+      // i ranges over gram START positions: 0 .. size-n inclusive,
+      // size-n+1 grams total (guarded below for size < n)
+      val grams = transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*))
+      when(size(toks) < n, lit(0d))
+        .otherwise(round(
+          lit(1d) - size(array_distinct(grams)).cast("double")
+            / size(grams), 4))
+    }
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      dupFrac(2).as("dup2_frac"),
+      dupFrac(3).as("dup3_frac"))
+      .withColumn("repetitive", col("dup2_frac") > threshold)
+  }
+
+  /** Pattern redaction (the PII-scrub shape): replace email-like and
+    * phone-like substrings with typed placeholder tokens, counting the
+    * hits per document. Pure codegen'd regex projections — row-local,
+    * shuffle-free, the plan a 100 TB scrub pass wants.
+    *
+    * The testdata corpus is synthetic word soup with no natural PII, so
+    * the declared query injects deterministic patterns first
+    * (TierX `x_redact_pii`) — the operator itself is
+    * injection-agnostic. */
+  def redact(docs: DataFrame): DataFrame = {
+    // character-class dot, not backslash-escape: the pattern passes
+    // through a SQL string literal (expr), where a lone backslash would
+    // be eaten by literal parsing — [.] is parse-mode-proof and means
+    // the same thing in Spark and DuckDB
+    val emailRe = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+    val phoneRe = "555-[0-9]{4}"
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$emailRe', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$phoneRe', 0)"))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("clean_text"))
   }
 }

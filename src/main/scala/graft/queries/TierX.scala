@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, lit}
+import org.apache.spark.sql.functions.{col, concat, count, lit, lpad, when}
 
 import graft.{Conventions, Tables}
-import graft.operators.{Curation, Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
 import graft.sources.Sinks
 
 /** Tier X — training-data-pipeline extensions (SURVEY.md §2.2 Tier X +
@@ -157,6 +157,29 @@ object TierX {
           org.apache.spark.sql.functions.length(col("frame")).cast("long")
             .as("frame_bytes"))
         .orderBy("doc_id", "frame_idx")),
+    "x_pack_sequences" -> ((s, d) =>
+      // concat-the-shuffled-corpus-and-cut packing: global token
+      // prefix-sum via the distributed two-phase path (range sort +
+      // per-partition offsets) — never a single-partition window
+      Packing.packSequences(docs(s, d), budget = 256).orderBy("doc_id")),
+    "x_quality_rep" -> ((s, d) =>
+      TextAnalysis.repetitionScore(docs(s, d), threshold = 0.2)
+        .orderBy("doc_id")),
+    "x_redact_pii" -> ((s, d) => {
+      // the corpus has no natural PII, so deterministic patterns are
+      // injected first (doc_id residues) — the scrub then has real
+      // hits to find, and the oracle re-derives both sides
+      val injected = docs(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" reach user"), col("doc_id"),
+            lit("@mail.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(col("text"), lit(" dial 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" today")))
+          .otherwise(col("text")))
+      TextAnalysis.redact(injected).orderBy("doc_id")
+    }),
     "x_pipeline_curate" -> ((s, d) =>
       Curation.curate(docs(s, d), k = 3, threshold = 0.8, quota = 50,
         trainPct = 80, valPct = 10, maxTokens = 50, stride = 25)
@@ -778,6 +801,58 @@ object TierX {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |       CAST(least(frame_idx * 100 + 100, n) - frame_idx * 100 AS BIGINT) AS frame_bytes
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // mirrors the two-phase distributed prefix sum with a plain window
+    // cumsum — the single-partition form the engine deliberately avoids
+    "x_pack_sequences" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         ${hash32("'pack:' || CAST(doc_id AS VARCHAR)")} AS h,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(start_tok AS BIGINT) AS start_tok,
+        |       CAST(start_tok // 256 AS BIGINT) AS pack_id,
+        |       CAST(start_tok % 256 AS BIGINT) AS pack_off
+        |FROM o ORDER BY doc_id""".stripMargin,
+    // n-gram lists re-derived with the same slice arithmetic as the
+    // shingle CTEs; a doc shorter than n tokens has no n-grams -> 0
+    "x_quality_rep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, len(w) AS n_tokens,
+        |        [array_to_string(list_slice(w, i, i + 1), ' ') for i in range(1, len(w))] AS g2,
+        |        [array_to_string(list_slice(w, i, i + 2), ' ') for i in range(1, len(w) - 1)] AS g3
+        |      FROM t),
+        |f AS (SELECT doc_id, n_tokens,
+        |        CASE WHEN len(g2) = 0 THEN 0
+        |             ELSE round(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4) END AS dup2_frac,
+        |        CASE WHEN len(g3) = 0 THEN 0
+        |             ELSE round(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4) END AS dup3_frac
+        |      FROM g)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, dup2_frac, dup3_frac,
+        |       dup2_frac > 0.2 AS repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // injection mirrored, then the same regexes with DuckDB's global
+    // flag (Spark regexp_replace is global by default)
+    "x_redact_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |                THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.com now'
+        |              WHEN doc_id % 5 = 1
+        |                THEN text || ' dial 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+        |              ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |       regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+        |                      '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM inj ORDER BY doc_id""".stripMargin,
     // mirrors packMediaTable's construction arithmetic: bmp docs carry a
     // 54-byte header (dims from n_chars/doc_id), wav docs a 44-byte
     // header over data truncated to whole PCM frames, raw docs the

@@ -503,4 +503,55 @@ class TierXSpec extends SparkSpec {
     // quota respected per group
     assert(two.groupBy("lang").count().filter(col("count") > 7).count() == 0)
   }
+
+  test("packSequences: contiguous global token layout, partition-invariant") {
+    import graft.operators.Packing
+    val docs = Tables(spark, sf, "documents")
+    val packed = Packing.packSequences(docs, budget = 100).cache()
+    // the layout is a gap-free concatenation: total tokens == the end of
+    // the last document's span, and every start is distinct
+    val total = packed.agg(sum("n_tokens")).head().getLong(0)
+    val maxEnd = packed.agg(max(col("start_tok") + col("n_tokens")))
+      .head().getLong(0)
+    assert(total == maxEnd)
+    assert(packed.select("start_tok").distinct().count() == packed.count())
+    // pack arithmetic is consistent
+    assert(packed.filter(
+      col("pack_id") =!= (col("start_tok") / 100).cast("long") ||
+        col("pack_off") =!= col("start_tok") % 100).count() == 0)
+    // the two-phase prefix sum must not depend on input partitioning
+    val re = Packing.packSequences(docs.repartition(7), budget = 100)
+    assert(packed.exceptAll(re).count() == 0 && re.exceptAll(packed).count() == 0)
+  }
+
+  test("repetitionScore flags looping text and passes diverse text") {
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "a b a b a b", "en", "s", 11L),       // 5 2-grams, 2 distinct
+      (1L, "one two three four five", "en", "s", 23L),
+      (2L, "x", "en", "s", 1L)                   // shorter than any gram
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.repetitionScore(crafted, threshold = 0.2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(2) == 0.6 && r(0L).getBoolean(4))
+    assert(r(1L).getDouble(2) == 0.0 && !r(1L).getBoolean(4))
+    assert(r(2L).getDouble(2) == 0.0 && r(2L).getDouble(3) == 0.0)
+  }
+
+  test("redact scrubs emails and phones and counts hits") {
+    import spark.implicits._
+    val crafted = Seq(
+      (0L, "write bob123@host.org or sue@a.io thanks"),
+      (1L, "call 555-0001 or 555-9999"),
+      (2L, "nothing here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redact(crafted)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) == 2 &&
+      r(0L).getString(3) == "write <EMAIL> or <EMAIL> thanks")
+    assert(r(1L).getLong(2) == 2 &&
+      r(1L).getString(3) == "call <PHONE> or <PHONE>")
+    assert(r(2L).getLong(1) == 0 && r(2L).getLong(2) == 0 &&
+      r(2L).getString(3) == "nothing here")
+  }
 }
