@@ -84,6 +84,44 @@ object Curation {
       .select("doc_id", "lang", "bucket")
   }
 
+  /** Temperature-weighted domain mixture resampling: rebalance a corpus
+    * so the per-group sampled counts follow n^alpha with alpha = 0.5
+    * (the common "T = 2" multilingual setting) instead of the raw,
+    * typically head-heavy n — downsampling only, never replicating.
+    *
+    * Per group g with n_g rows and n_min = min over groups:
+    * keep-rate_g = (n_min / n_g)^(1-alpha) = sqrt(n_min / n_g), so the
+    * smallest group is kept whole and sampled sizes are proportional to
+    * sqrt(n_g) * sqrt(n_min) ∝ n_g^alpha. The rate is materialized in
+    * per-mille via floor(1000 * sqrt(...)) — sqrt and double division
+    * are IEEE-exact in every engine, so the rate table (and therefore
+    * every row's fate) is bit-reproducible cross-engine; row fate itself
+    * is the same hash32-bucket draw as [[hashSplit]] under its own salt.
+    *
+    * Scale shape: the rate table is one tiny aggregate (|groups| rows)
+    * cross-broadcast with the 1-row n_min aggregate, then broadcast-
+    * joined onto the corpus — the corpus itself never shuffles.
+    *
+    * Output: (doc_id, group, bucket, rate) for kept rows. */
+  def domainMix(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      salt: String = "mix"): DataFrame = {
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(groupCol),
+        floor(lit(1000) * sqrt(col("n_min").cast("double") / col("n")))
+          .as("rate"))
+    val bucket = Hashing.hash32(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000
+    docs
+      .join(broadcast(rates), groupCol)
+      .select(col("doc_id"), col(groupCol),
+        bucket.cast("int").as("bucket"), col("rate"))
+      .filter(col("bucket") < col("rate"))
+  }
+
   /** The composed end-to-end curation pipeline — the operators above and
     * the dedup family chained into ONE lineage, the way a real
     * training-data job runs them:

@@ -178,6 +178,49 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Duplicated-span detection: pairs of documents sharing at least
+    * `minShared` distinct k-token spans — the boilerplate / partial-
+    * containment detector that set-similarity misses (a 10% template
+    * shared verbatim across documents never clears a Jaccard threshold,
+    * but is exactly what span-level training-data dedup removes; cf.
+    * the exact-substring pass of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — here run at k-token
+    * granularity so candidates come from an equi-join, not a suffix
+    * array).
+    *
+    * Scale shape: spans travel as 8-byte hash32 keys, never as text; a
+    * document-frequency pass drops spans appearing in more than `maxDf`
+    * documents BEFORE the pairing self-join, which (a) bounds per-span
+    * join fan-out at maxDf² and (b) removes exactly the
+    * template-of-the-whole-corpus spans that would otherwise make the
+    * join quadratic — the same stop-token logic every production span
+    * deduper applies. Spans with df = 1 pair with nothing and are
+    * dropped by the same filter.
+    *
+    * Output: (d1, d2, n_shared) with d1 < d2, n_shared ≥ minShared. */
+  def sharedSpans(
+      docs: DataFrame,
+      k: Int = 8,
+      maxDf: Int = 10,
+      minShared: Int = 3): DataFrame = {
+    // span-hash frame feeds both the df aggregate and both join sides
+    val spans = shingles(docs, k)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), Hashing.hash32(col("s")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // shingles() already dedups spans per doc, so count(1) = doc freq
+    val keep = spans.groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val indexed = spans.join(keep, "h")
+    indexed.as("a").join(indexed.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash + banded LSH near-dup.
     *
     * numHashes hash functions via Kirsch-Mitzenmacher double hashing

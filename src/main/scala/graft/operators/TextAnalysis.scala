@@ -31,6 +31,63 @@ object TextAnalysis {
         round(count(lit(1)).cast("double") / countDistinct("doc_id"), 4)
           .as("avg_doc_tokens"))
 
+  /** Corpus-derived unigram language-model scoring — the cheap stand-in
+    * for the perplexity filters production pipelines run with a trained
+    * LM (no model weights exist in this environment, so the LM is the
+    * corpus's own maximum-likelihood unigram distribution; swapping in
+    * external (token, logp) weights is the same broadcast join).
+    *
+    * Vocabulary = the top `vocabSize` tokens by corpus frequency (ties:
+    * token asc); every vocabulary token scores log10(count / total),
+    * out-of-vocabulary tokens score the floor log10(1 / total). A
+    * document's score is the mean per-token log-probability — low means
+    * "unlike the corpus", the usual junk-filter signal.
+    *
+    * Determinism at scale: per-token log-probs are quantized to 1e-4
+    * fixed-point BIGINTs BEFORE summation, so the per-doc sum is exact
+    * integer arithmetic — independent of partition/merge order (the
+    * float-sum nondeterminism every distributed mean hits otherwise).
+    *
+    * Scale shape: one groupBy(token) aggregate for counts; the vocab
+    * (vocabSize rows) and the 1-row total cross-broadcast onto the
+    * exploded token stream; one groupBy(doc_id) to finish. The corpus
+    * shuffles once, on token — everything else is broadcast.
+    *
+    * Output: (doc_id, n_tokens, sum_logp_e4, avg_logp). */
+  def unigramLmScore(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts
+      .orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        // 1e-4 fixed-point of log10 p(tok); OOV floor is computed the
+        // same way with cnt = 1 at the scoring site below
+        round(log(10.0, col("cnt").cast("double") / col("total")) * 10000)
+          .cast("long").as("logp_e4"))
+    val floorLogp =
+      round(log(10.0, lit(1.0) / col("total")) * 10000).cast("long")
+    val floorRow = total.select(floorLogp.as("floor_e4"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(floorRow))
+      .select(col("doc_id"),
+        coalesce(col("logp_e4"), col("floor_e4")).as("tok_e4"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tok_e4")).as("sum_logp_e4"))
+      // no decimal rounding on the mean: the sum is an exact integer and
+      // the two divisions are IEEE-correctly-rounded in every engine, so
+      // the unrounded double is bit-identical cross-engine — rounding
+      // would REINTRODUCE half-way-boundary divergence (observed: a
+      // mean landing exactly on .xxxx5 rounds differently in Spark
+      // HALF_UP vs DuckDB)
+      .select(col("doc_id"), col("n_tokens"), col("sum_logp_e4"),
+        (col("sum_logp_e4").cast("double") / 10000 / col("n_tokens"))
+          .as("avg_logp"))
+  }
+
   /** N-gram-profile language ID.
     *
     * Profiles are derived from the corpus itself: the top `profileSize`

@@ -388,8 +388,29 @@ object TierR {
       .orderBy("event_id")
   }
 
+  /** Type-2 slowly-changing dimension over the events log: each user's
+    * event_type run-collapsed into effective-dated intervals (see
+    * [[graft.operators.ChangeCapture.scd2]]). Timestamps surface as
+    * second-resolution strings for cross-engine hashing; ordering and
+    * interval arithmetic stay at full precision. */
+  private val rScd2: Q = (s, d) =>
+    graft.operators.ChangeCapture.scd2(
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      attrCols = Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("eff_from"), "yyyy-MM-dd HH:mm:ss").as("eff_from_s"),
+        date_format(col("eff_to"), "yyyy-MM-dd HH:mm:ss").as("eff_to_s"),
+        col("is_current"),
+        col("eff_from"))
+      .orderBy("user_id", "eff_from")
+      .drop("eff_from")
+
   val queries: Map[String, Q] = Map(
     "r_agg_group" -> rAggGroup,
+    "r_scd2" -> rScd2,
     "r_agg_distinct" -> rAggDistinct,
     "r_agg_approx_distinct" -> rAggApproxDistinct,
     "r_agg_approx_percentile" -> rAggApproxPercentile,
@@ -619,5 +640,21 @@ object TierR {
         |       json_keys(props)[1] AS key_name,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_from_map,
         |       CAST(len(json_keys(props)) AS BIGINT) AS n_keys
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // run-collapse (null-safe lag-compare) then effective-dating via
+    // lead — the standard SCD2 build replayed over the raw change log
+    "r_scd2" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                  event_type FROM events),
+        |l AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM x),
+        |c AS (SELECT * FROM l WHERE prev IS NULL OR event_type <> prev),
+        |e AS (SELECT user_id, event_type, ts AS eff_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS eff_to FROM c)
+        |SELECT user_id, event_type,
+        |       strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS eff_from_s,
+        |       strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS eff_to_s,
+        |       eff_to IS NULL AS is_current
+        |FROM e ORDER BY user_id, eff_from""".stripMargin)
 }

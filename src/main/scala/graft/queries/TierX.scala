@@ -180,6 +180,33 @@ object TierX {
           .otherwise(col("text")))
       TextAnalysis.redact(injected).orderBy("doc_id")
     }),
+    "x_cdc_apply" -> ((s, d) =>
+      // current-state materialization from a change log with tombstones:
+      // 'error' events delete the user, everything else upserts — one
+      // max-struct aggregate then a tombstone filter over one row/key
+      graft.operators.ChangeCapture.cdcApply(
+        Tables(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            col("event_type"), col("value")),
+        keyCols = Seq("user_id"),
+        versionCols = Seq("ts", "event_id"),
+        opCol = "op",
+        payloadCols = Seq("event_type", "value"))
+        .select(col("user_id"), col("op"), col("event_type"), col("value"),
+          org.apache.spark.sql.functions
+            .date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("n_versions"))
+        .orderBy("user_id")),
+    "x_domain_mix" -> ((s, d) =>
+      Curation.domainMix(docs(s, d), groupCol = "lang").orderBy("doc_id")),
+    "x_dedup_substring" -> ((s, d) =>
+      Dedup.sharedSpans(docs(s, d), k = 8, maxDf = 10, minShared = 3)
+        .orderBy("d1", "d2")),
+    "x_ngram_lm" -> ((s, d) =>
+      // vocabSize = 20 < |corpus vocab| so the OOV floor path is real
+      TextAnalysis.unigramLmScore(docs(s, d), vocabSize = 20)
+        .orderBy("doc_id")),
     "x_pipeline_curate" -> ((s, d) =>
       Curation.curate(docs(s, d), k = 3, threshold = 0.8, quota = 50,
         trainPct = 80, valPct = 10, maxTokens = 50, stride = 25)
@@ -875,5 +902,80 @@ object TierX {
         |       CAST(CASE res WHEN 1 THEN 8000 + (doc_id % 8) * 500 ELSE 0 END AS BIGINT) AS sample_rate,
         |       CAST(CASE res WHEN 1 THEN ch ELSE 0 END AS BIGINT) AS channels,
         |       lang
-        |FROM w ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin,
+    // latest-by-(ts,event_id) per user, then drop keys whose winning op
+    // is a tombstone — MERGE INTO semantics replayed over the full log
+    "x_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(1) OVER (PARTITION BY user_id) AS n_versions
+        |      FROM log)
+        |SELECT user_id, op, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    // keep-rate_g = floor(1000*sqrt(n_min/n_g)) per-mille — sqrt and
+    // double division are IEEE-exact, so the rate table is
+    // bit-identical cross-engine; row fate is the same hash32 draw
+    "x_domain_mix" ->
+      s"""WITH c AS (SELECT lang, count(1) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |r AS (SELECT lang,
+        |        CAST(floor(1000 * sqrt(CAST(n_min AS DOUBLE) / n)) AS BIGINT)
+        |          AS rate
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(${hash32("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS INT) AS bucket,
+        |       r.rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ${hash32("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < r.rate
+        |ORDER BY doc_id""".stripMargin,
+    // 8-token spans as hash32 keys, df-capped before the pairing join —
+    // the same stop-span logic as the Spark side, re-derived end-to-end
+    "x_dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 8
+        |       THEN list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+        |                           for i in range(1, len(w) - 6)])
+        |       ELSE [array_to_string(w, ' ')] END AS shingles
+        |FROM w),
+        |ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |ex AS (SELECT doc_id, ${hash32("s")} AS h FROM ex0),
+        |df AS (SELECT h, count(1) AS df FROM ex GROUP BY 1),
+        |good AS (SELECT h FROM df WHERE df BETWEEN 2 AND 10),
+        |hg AS (SELECT doc_id, e.h FROM ex e JOIN good USING (h)),
+        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS n_shared
+        |      FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, n_shared FROM p WHERE n_shared >= 3
+        |ORDER BY d1, d2""".stripMargin,
+    // top-20 vocab by (cnt desc, tok asc); per-token log10-prob
+    // quantized to 1e-4 fixed point BEFORE summing, so the per-doc sum
+    // is order-free integer arithmetic in both engines
+    "x_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(1) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |v AS (SELECT tok,
+        |        CAST(round(log10(CAST(cnt AS DOUBLE) / total) * 10000) AS BIGINT)
+        |          AS logp_e4
+        |      FROM c, tot ORDER BY cnt DESC, tok LIMIT 20),
+        |f AS (SELECT CAST(round(log10(1.0 / total) * 10000) AS BIGINT)
+        |        AS floor_e4 FROM tot),
+        |s AS (SELECT t.doc_id,
+        |        coalesce(v.logp_e4, f.floor_e4) AS tok_e4
+        |      FROM t LEFT JOIN v USING (tok), f)
+        |SELECT doc_id, count(1) AS n_tokens,
+        |       CAST(sum(tok_e4) AS BIGINT) AS sum_logp_e4,
+        |       CAST(sum(tok_e4) AS DOUBLE) / 10000 / count(1) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

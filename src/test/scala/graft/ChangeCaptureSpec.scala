@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChangeCapture
+
+/** CDC materialization specs: SCD2 interval semantics and tombstone-
+  * aware current-state apply, on crafted logs + tiling invariants over
+  * the events corpus. */
+class ChangeCaptureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: A, A (collapses), B, A; user 2: one row
+  private lazy val log = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+    (1L, ts("2024-01-01 11:00:00"), 2L, "A"),
+    (1L, ts("2024-01-01 12:00:00"), 3L, "B"),
+    (1L, ts("2024-01-01 13:00:00"), 4L, "A"),
+    (2L, ts("2024-01-02 09:00:00"), 5L, "X")
+  ).toDF("user_id", "ts", "event_id", "event_type")
+
+  test("scd2: run-collapse + effective-dated intervals + current flag") {
+    val out = ChangeCapture.scd2(log,
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      attrCols = Seq("event_type"))
+      .orderBy("user_id", "eff_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00")), false),
+      (1L, "B", ts("2024-01-01 12:00:00"), Some(ts("2024-01-01 13:00:00")), false),
+      (1L, "A", ts("2024-01-01 13:00:00"), None, true),
+      (2L, "X", ts("2024-01-02 09:00:00"), None, true)))
+  }
+
+  test("scd2 on the corpus: intervals tile per user, one current row each") {
+    val events = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val out = ChangeCapture.scd2(events,
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_type")).cache()
+    // exactly one open-ended current row per user
+    val users = events.select("user_id").distinct().count()
+    assert(out.filter(col("is_current")).count() == users)
+    assert(out.filter(col("eff_to").isNull && !col("is_current")).count() == 0)
+    // gap-free tiling: each row's eff_to equals the next row's eff_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("eff_from")
+    val broken = out
+      .withColumn("next_from", lead(col("eff_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("eff_to") =!= col("next_from"))
+    assert(broken.count() == 0)
+    // partition invariance
+    val re = ChangeCapture.scd2(events.repartition(7),
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_type"))
+    assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
+    out.unpersist()
+  }
+
+  // ops log: k1 upserted then deleted; k2 deleted then re-upserted;
+  // k3 upsert-only
+  private lazy val opsLog = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1L, "U", 10.0),
+    (1L, ts("2024-01-01 11:00:00"), 2L, "D", 0.0),
+    (2L, ts("2024-01-01 10:00:00"), 3L, "D", 0.0),
+    (2L, ts("2024-01-01 11:00:00"), 4L, "U", 20.0),
+    (3L, ts("2024-01-01 10:00:00"), 5L, "U", 30.0)
+  ).toDF("user_id", "ts", "event_id", "op", "value")
+
+  test("cdcApply: tombstone wins/loses by version order; n_versions audits all") {
+    val out = ChangeCapture.cdcApply(opsLog,
+      keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+      opCol = "op", payloadCols = Seq("value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("value"),
+        r.getAs[Long]("n_versions")))
+    // k1 deleted (absent), k2 re-created after tombstone, k3 plain
+    assert(out.toSeq == Seq((2L, 20.0, 2L), (3L, 30.0, 1L)))
+  }
+
+  test("cdcApply equals windowed recompute on the events corpus") {
+    val logC = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type"), col("value"))
+    val got = ChangeCapture.cdcApply(logC, Seq("user_id"),
+      Seq("ts", "event_id"), "op", Seq("event_type", "value"))
+      .select("user_id", "op", "event_type", "value", "n_versions")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val exp = logC
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select("user_id", "op", "event_type", "value", "n_versions")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+  }
+}

@@ -21,12 +21,16 @@ class PlanGuardSpec extends SparkSpec {
   /** Queries whose plan legitimately contains a BNLJ, all with a
     * provably tiny broadcast side (see Bench.planMetrics notes):
     * ANN query sets, lang-ID profile grid, IVF centroid grid, TF-IDF
-    * scalar corpus count, and the CSV quarantine count (a broadcast of
+    * scalar corpus count, the CSV quarantine count (a broadcast of
     * ONE global-aggregate row cross-joined onto the per-priority
-    * aggregate — ≤ |priorities| rows streamed). */
+    * aggregate — ≤ |priorities| rows streamed), the domain-mix n_min
+    * scalar (1 row, cross-joined onto the |groups|-row rate table),
+    * and the unigram-LM OOV-floor scalar (1 row onto the token
+    * stream). */
   private val bnljAllowed = Set(
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
-    "x_lang_id", "x_tfidf_topterms", "f_csv_ingest")
+    "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
+    "x_domain_mix", "x_ngram_lm")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {

@@ -554,4 +554,74 @@ class TierXSpec extends SparkSpec {
     assert(r(2L).getLong(1) == 0 && r(2L).getLong(2) == 0 &&
       r(2L).getString(3) == "nothing here")
   }
+
+  test("domainMix: smallest group kept whole, rates follow sqrt(n_min/n)") {
+    val docs = Tables(spark, sf, "documents")
+    val mixed = graft.operators.Curation.domainMix(docs).cache()
+    val n = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = n.values.min
+    val rates = mixed.select("lang", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rates.foreach { case (lang, rate) =>
+      assert(rate ==
+        math.floor(1000 * math.sqrt(nMin.toDouble / n(lang))).toLong)
+    }
+    // the smallest group's rate is exactly 1000 — kept in full
+    val minLang = n.minBy { case (l, c) => (c, l) }._1
+    assert(rates(minLang) == 1000L)
+    assert(mixed.filter(col("lang") === minLang).count() == nMin)
+    // deterministic: stable under repartitioning
+    val re = graft.operators.Curation.domainMix(docs.repartition(7))
+    assert(re.exceptAll(mixed).count() == 0 && mixed.exceptAll(re).count() == 0)
+    mixed.unpersist()
+  }
+
+  test("sharedSpans: finds the copied span pair, df-cap kills corpus templates") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val crafted = Seq(
+      (0L, s"intro words then $span and a tail", "en", "s", 0L),
+      (1L, s"other opening $span closing remarks here", "en", "s", 0L),
+      (2L, "entirely unrelated content with no overlap at all once", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.sharedSpans(crafted, k = 8, maxDf = 10, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    // a span present in MORE than maxDf docs is a corpus template: the
+    // df-cap drops it before pairing, so no pairs survive
+    val template = (0L until 12L).map(i =>
+      (i, s"doc $i shares $span always", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.sharedSpans(template, k = 8, maxDf = 10, minShared = 1)
+      .count() == 0)
+    // minShared thresholds: the crafted pair shares exactly 2 spans of
+    // k=8 within the copied 9-token run, so minShared = 3 excludes it
+    assert(Dedup.sharedSpans(crafted, k = 8, maxDf = 10, minShared = 3)
+      .count() == 0)
+  }
+
+  test("unigramLmScore: ML probs for vocab, OOV floor, exact fixed-point sums") {
+    import spark.implicits._
+    // corpus: a×4, c×4, total 8; vocabSize=1 keeps only 'a' (tie on
+    // cnt broken token-asc), so every 'c' hits the OOV floor 1/total
+    val crafted = Seq(
+      (0L, "a a a a", "en", "s", 0L),
+      (1L, "c c c c", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.unigramLmScore(crafted, vocabSize = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val logpA = math.round(math.log10(4.0 / 8.0) * 10000)  // -3010
+    val floor = math.round(math.log10(1.0 / 8.0) * 10000)  // -9031
+    assert(out(0L) == ((4L, 4 * logpA, 4 * logpA / 10000.0 / 4)))
+    assert(out(1L) == ((4L, 4 * floor, 4 * floor / 10000.0 / 4)))
+    // corpus-scale invariants: in-vocab docs always outscore a doc of
+    // pure floor tokens; scores are partition-invariant
+    val docs = Tables(spark, sf, "documents")
+    val base = TextAnalysis.unigramLmScore(docs, vocabSize = 20).cache()
+    val re = TextAnalysis.unigramLmScore(docs.repartition(7), vocabSize = 20)
+    assert(re.exceptAll(base).count() == 0 && base.exceptAll(re).count() == 0)
+    base.unpersist()
+  }
 }
