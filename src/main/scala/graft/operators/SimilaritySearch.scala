@@ -80,6 +80,36 @@ object SimilaritySearch {
         round(col("mx"), 4).as("mx"), col("qsum"), col("qdot"))
   }
 
+  /** Per-label elementwise centroids — the class-prototype step of
+    * embedding pipelines (cluster representatives, k-means init,
+    * prototype classification, semantic-dedup medoid seeds).
+    *
+    * Determinism at scale: each float component is widened to double
+    * (exact) and quantized to a 1e-6 fixed-point BIGINT BEFORE
+    * aggregation, so the per-(label, dimension) sum is exact integer
+    * arithmetic — the mean is independent of partition/merge order,
+    * where a naive float sum would differ run-to-run. The final
+    * division chain (sum → /1e6 → /n) is IEEE-correctly-rounded from
+    * identical inputs in every engine.
+    *
+    * Shape: posexplode fans each vector into (label, dim, q) rows; one
+    * partial+final aggregate on (label, dim) — the shuffle carries
+    * |labels| × dim combiner cells, never the vectors. Long-form output
+    * (one row per (label, dim)) keeps the result engine-portable.
+    *
+    * Output: (label, pos, n_vecs, centroid). */
+  def labelCentroids(vecs: DataFrame, labelCol: String = "label"): DataFrame =
+    vecs
+      .select(col(labelCol).as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        round(col("x").cast("double") * 1000000).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        (col("sum_q").cast("double") / 1000000 / col("n_vecs"))
+          .as("centroid"))
+
   /** Exact top-k neighbors for each query vector (queries = vec_id <
     * nQueries), excluding self. Output: (q_id, vec_id, rank, cos). */
   def bruteTopK(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {

@@ -266,24 +266,28 @@ object TextAnalysis {
     * `repetitive` = dup2_frac > threshold. Documents shorter than n
     * tokens have no n-grams ⇒ fraction 0. */
   def repetitionScore(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val toks = split(col("text"), " ")
+    // materialize the token array ONCE: higher-order-function lambdas
+    // are interpreted (not codegen'd) and get no subexpression
+    // elimination, so an inlined split(text) re-tokenizes the document
+    // for every gram position — O(tokens²) per doc (measured 23 s for
+    // the declared query at sf0.1; this form runs it in ~1 s). Grams
+    // via slice+concat_ws for the same reason as [[Dedup.shingleExpr]]:
+    // ArrayData slicing is a cheap copy, repeated element_at is not.
     def dupFrac(n: Int): Column = {
-      // i ranges over gram START positions: 0 .. size-n inclusive,
-      // size-n+1 grams total (guarded below for size < n)
-      val grams = transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ",
-          (0 until n).map(j => element_at(toks, (i + j + 1).cast("int"))): _*))
-      when(size(toks) < n, lit(0d))
+      val grams = expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")
+      when(size(col("w")) < n, lit(0d))
         .otherwise(round(
           lit(1d) - size(array_distinct(grams)).cast("double")
             / size(grams), 4))
     }
-    docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      dupFrac(2).as("dup2_frac"),
-      dupFrac(3).as("dup3_frac"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        dupFrac(2).as("dup2_frac"),
+        dupFrac(3).as("dup3_frac"))
       .withColumn("repetitive", col("dup2_frac") > threshold)
   }
 

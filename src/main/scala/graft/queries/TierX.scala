@@ -97,6 +97,8 @@ object TierX {
         .orderBy("bucket")),
     "x_embed_quant" -> ((s, d) =>
       SimilaritySearch.quantizeInt8(vecs(s, d)).orderBy("vec_id")),
+    "x_embed_centroid" -> ((s, d) =>
+      SimilaritySearch.labelCentroids(vecs(s, d)).orderBy("label", "pos")),
     "x_quota_cap" -> ((s, d) =>
       Curation.quotaCap(docs(s, d), quota = 50).orderBy("doc_id")),
     "x_dedup_embed" -> ((s, d) =>
@@ -546,6 +548,19 @@ object TierX {
         |      FROM e)
         |SELECT vec_id, round(mn, 4) AS mn, round(mx, 4) AS mx, qsum, qdot
         |FROM q ORDER BY vec_id""".stripMargin,
+    // float components widen to double exactly, quantize to 1e-6
+    // fixed point, and sum as integers — the mean is order-free; the
+    // parallel unnests zip (position = range element)
+    "x_embed_centroid" ->
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |                  unnest(range(0, len(embedding))) AS pos
+        |           FROM embeddings),
+        |q AS (SELECT label, pos,
+        |        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+        |      FROM e)
+        |SELECT label, pos, count(1) AS n_vecs,
+        |       CAST(sum(q) AS DOUBLE) / 1000000 / count(1) AS centroid
+        |FROM q GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x_quota_cap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |m AS (SELECT doc_id,

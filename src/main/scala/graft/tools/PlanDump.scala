@@ -54,7 +54,17 @@ object PlanDump {
     "f_csv_ingest" ->
       "declared-schema CSV read with quarantine: one cached scan feeds the clean per-priority aggregate and the 1-row corrupt count, cross-joined back as a broadcast scalar",
     "x_ingest_incremental" ->
-      "star refresh over checkpoint-ingested bronze: latest-per-key as one partial+final max(struct) aggregate, dim broadcast — the scan side is the incremental sink, never the source files")
+      "star refresh over checkpoint-ingested bronze: latest-per-key as one partial+final max(struct) aggregate, dim broadcast — the scan side is the incremental sink, never the source files",
+    "r_scd2" ->
+      "one shuffle on user_id serves BOTH windows (run-collapse lag, effective-dating lead) — the second window reuses the first's partitioning over the already-filtered change rows",
+    "x_cdc_apply" ->
+      "tombstone-aware current state: one partial+final max(struct) aggregate, then the delete filter over one row per key — the log never window-sorts",
+    "x_domain_mix" ->
+      "the corpus never shuffles: the |groups|-row rate table (group counts × broadcast 1-row n_min) broadcast-joins onto the scan, filter is a projection",
+    "x_dedup_substring" ->
+      "span pairing after the df-cap: spans travel as 8-byte hashes, the persisted span frame feeds the df aggregate and both join sides, fan-out bounded by maxDf²",
+    "x_ngram_lm" ->
+      "one shuffle (token counts); vocab + OOV floor return as broadcasts onto the token stream; the per-doc mean is an integer-sum aggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

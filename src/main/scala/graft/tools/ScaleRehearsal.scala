@@ -124,7 +124,14 @@ object ScaleRehearsal {
       "embed_cluster" -> (() => Dedup.clusters(
         SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
           nBits = 64, rowsPerBand = 8)
-          .select(col("v1").as("d1"), col("v2").as("d2")).persist())))
+          .select(col("v1").as("d1"), col("v2").as("d2")).persist())),
+      // the span pairing join is the newest quadratic-potential site:
+      // 5 verbatim replicas per source doc push every span's df to ≥5,
+      // so the rehearsal exercises the df-cap doing real work — spans
+      // shared beyond maxDf docs (corpus templates) must die BEFORE
+      // the self-join, keeping fan-out ≤ maxDf² per span
+      "shared_spans" -> (() =>
+        Dedup.sharedSpans(docs, k = 8, maxDf = 10, minShared = 3)))
 
     Captured.drain()
     val results = ops.map { case (name, f) =>

@@ -91,6 +91,23 @@ class NullEdgeSpec extends SparkSpec {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
     assert(graft.operators.SimilaritySearch.quantizeInt8(emptyVecs).count() == 0)
+    // round-4 operators: empty corpora / empty change logs pass through
+    assert(Dedup.sharedSpans(empty).count() == 0)
+    assert(Curation.domainMix(empty).count() == 0)
+    assert(TextAnalysis.unigramLmScore(empty).count() == 0)
+    val emptyLog = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_id", LongType),
+        StructField("op", StringType),
+        StructField("event_type", StringType))))
+    import graft.operators.ChangeCapture
+    assert(ChangeCapture.scd2(emptyLog, Seq("user_id"),
+      Seq("ts", "event_id"), Seq("event_type")).count() == 0)
+    assert(ChangeCapture.cdcApply(emptyLog, Seq("user_id"),
+      Seq("ts", "event_id"), "op", Seq("event_type")).count() == 0)
   }
 
   test("distinct treats null as a value (one null group)") {

@@ -555,6 +555,30 @@ class TierXSpec extends SparkSpec {
       r(2L).getString(3) == "nothing here")
   }
 
+  test("labelCentroids: exact fixed-point means per (label, dim)") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array(3.0f, 6.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.labelCentroids(crafted)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0, 0L)) == ((2L, 2.0)) && out((0, 1L)) == ((2L, 4.0)))
+    assert(out((1, 0L)) == ((1L, 10.0)) && out((1, 1L)) == ((1L, 20.0)))
+    // corpus invariants: one row per (label, dim); partition-invariant
+    val vecs = Tables(spark, sf, "embeddings")
+    val base = SimilaritySearch.labelCentroids(vecs).cache()
+    val dims = vecs.select(size(col("embedding"))).distinct()
+      .collect().map(_.getInt(0))
+    val labels = vecs.select("label").distinct().count()
+    assert(base.count() == labels * dims.head)
+    val re = SimilaritySearch.labelCentroids(vecs.repartition(7))
+    assert(re.exceptAll(base).count() == 0 && base.exceptAll(re).count() == 0)
+    base.unpersist()
+  }
+
   test("domainMix: smallest group kept whole, rates follow sqrt(n_min/n)") {
     val docs = Tables(spark, sf, "documents")
     val mixed = graft.operators.Curation.domainMix(docs).cache()
