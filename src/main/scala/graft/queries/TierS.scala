@@ -44,7 +44,20 @@ object TierS {
     "x_stream_join" -> ((s, d) =>
       StreamOps.streamStreamJoinRun(s, d).orderBy("a_id", "b_id")),
     "x_ingest_incremental" -> ((s, d) =>
-      StreamOps.incrementalIngestRun(s, d).orderBy("user_id")))
+      StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
+    "x_ingest_scd" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // the HISTORY view over the same checkpointed bronze: SCD2
+      // effective-dating replayed over incrementally ingested changes;
+      // exactly-once ingest makes it equal SCD2 over the raw table
+      StreamOps.incrementalScdRun(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("eff_from"), "yyyy-MM-dd HH:mm:ss").as("eff_from_s"),
+          date_format(col("eff_to"), "yyyy-MM-dd HH:mm:ss").as("eff_to_s"),
+          col("is_current"), col("eff_from"))
+        .orderBy("user_id", "eff_from")
+        .drop("eff_from")
+    }))
 
   val oracle: Map[String, String] = Map(
     "x_stream_tumbling" ->
@@ -123,5 +136,8 @@ object TierS {
         |       CAST(l.n_versions AS BIGINT) AS n_versions
         |FROM latest l JOIN dim d USING (event_type)
         |WHERE l.rn = 1
-        |ORDER BY l.user_id""".stripMargin)
+        |ORDER BY l.user_id""".stripMargin,
+    // exactly-once bronze ≡ the raw events table, so the composed
+    // ingest→SCD2 equals the batch SCD2 — literally the same oracle
+    "x_ingest_scd" -> TierR.oracle("r_scd2"))
 }

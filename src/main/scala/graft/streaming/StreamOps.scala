@@ -232,7 +232,29 @@ object StreamOps {
     * state from the raw table. Restart/exactly-once behavior is pinned
     * by StreamingSpec (a third pass over an unchanged source must be a
     * no-op). */
-  def incrementalIngestRun(spark: SparkSession, sfDir: String): DataFrame = {
+  def incrementalIngestRun(spark: SparkSession, sfDir: String): DataFrame =
+    starRefresh(spark.read.parquet(twoPassBronze(spark, sfDir)))
+
+  /** The same incrementally ingested bronze feeding the HISTORY view:
+    * [[graft.operators.ChangeCapture.scd2]] builds the effective-dated
+    * type-2 dimension over bronze — the scheduled-pipeline pattern
+    * where each batch appends raw changes and the silver layer derives
+    * validity intervals. Exactly-once bronze (offset-log restart, no
+    * re-read) makes the result equal to SCD2 over the raw table, which
+    * is the oracle. */
+  def incrementalScdRun(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.ChangeCapture.scd2(
+      spark.read.parquet(twoPassBronze(spark, sfDir))
+        .select("user_id", "ts", "event_id", "event_type"),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      attrCols = Seq("event_type"))
+
+  /** Two-pass checkpointed ingest of the events table into a fresh
+    * bronze dir: batch 0 (even event_ids) lands and drains via
+    * AvailableNow; batch 1 (odd) lands; a RESTARTED pass with the same
+    * checkpoint ingests only the new files. Returns the bronze path. */
+  private def twoPassBronze(spark: SparkSession, sfDir: String): String = {
     val events = graft.Tables(spark, sfDir, "events")
     val work = java.nio.file.Files
       .createTempDirectory("graft_ingest").toString
@@ -243,7 +265,7 @@ object StreamOps {
     events.filter(col("event_id") % 2 =!= 0)
       .write.mode("append").parquet(src)
     ingestAvailableNow(spark, src, events.schema, bronze, ckpt)
-    starRefresh(spark.read.parquet(bronze))
+    bronze
   }
 
   /** File-source stream over the events parquet (ns → µs timestamp

@@ -82,6 +82,27 @@ class ChangeCaptureSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 20.0, 2L), (3L, 30.0, 1L)))
   }
 
+  test("cross-operator: scd2's current row agrees with cdcApply's state") {
+    // the two views of the same log must tell one story: for every key
+    // cdcApply keeps (last op not a tombstone), its surviving attrs
+    // equal the scd2 current interval's attrs
+    val logC = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type"))
+    val state = ChangeCapture.cdcApply(logC, Seq("user_id"),
+      Seq("ts", "event_id"), "op", Seq("event_type"))
+      .select(col("user_id"), col("event_type").as("state_type"))
+    val current = ChangeCapture.scd2(
+      logC.select("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), Seq("ts", "event_id"), Seq("event_type"))
+      .filter(col("is_current"))
+      .select(col("user_id"), col("event_type").as("hist_type"))
+    val joined = state.join(current, "user_id")
+    assert(joined.count() == state.count()) // every surviving key has history
+    assert(joined.filter(col("state_type") =!= col("hist_type")).count() == 0)
+  }
+
   test("cdcApply equals windowed recompute on the events corpus") {
     val logC = Tables(spark, sf, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
