@@ -221,6 +221,61 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Longest duplicated substring per document pair — the full output
+    * of span-level dedup (Lee et al. ACL 2022 report duplicated spans,
+    * not just span counts): pairs of documents whose longest shared
+    * token run is at least `minRun + k - 1` tokens, with the run length
+    * and the number of distinct maximal runs.
+    *
+    * Matched k-token spans at positions (p1, p2) lie on "diagonal"
+    * p1 − p2; consecutive positions on one diagonal are one contiguous
+    * shared substring, recovered with a gaps-and-islands pass (the
+    * classic duplicate-text alignment, shuffled once on the pair). A
+    * shared run of L tokens yields L − k + 1 consecutive spans, so
+    * `longest_tokens = max_run + k − 1` exactly.
+    *
+    * Scale: same df-capped span index as [[sharedSpans]] (templates die
+    * before pairing); the islands window partitions by
+    * (d1, d2, diagonal) — worst-case partition size is one document's
+    * span count, never corpus-sized.
+    *
+    * Output: (d1, d2, longest_tokens, n_runs) with d1 < d2. */
+  def sharedSpanRuns(
+      docs: DataFrame,
+      k: Int = 8,
+      maxDf: Int = 10,
+      minRun: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // positions are 1-based span starts; no array_distinct here — a
+    // span repeated inside one doc occupies several diagonals and each
+    // must align independently
+    val pos = toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $k)))")).as(Seq("p", "s")))
+      .select(col("doc_id"), col("p"), Hashing.hash32(col("s")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keep = pos.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("h")
+    val idx = pos.join(keep, "h")
+    val matches = idx.as("a").join(idx.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.p").as("p1"), (col("a.p") - col("b.p")).as("diag"))
+    val wDiag = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+    matches
+      .withColumn("grp", col("p1") - row_number().over(wDiag))
+      .groupBy("d1", "d2", "diag", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("d1", "d2")
+      .agg(max(col("run")).as("max_run"), count(lit(1)).as("n_runs"))
+      .filter(col("max_run") >= minRun)
+      .select(col("d1"), col("d2"),
+        (col("max_run") + lit(k - 1)).as("longest_tokens"), col("n_runs"))
+  }
+
   /** MinHash + banded LSH near-dup.
     *
     * numHashes hash functions via Kirsch-Mitzenmacher double hashing

@@ -205,6 +205,9 @@ object TierX {
     "x_dedup_substring" -> ((s, d) =>
       Dedup.sharedSpans(docs(s, d), k = 8, maxDf = 10, minShared = 3)
         .orderBy("d1", "d2")),
+    "x_dedup_span_runs" -> ((s, d) =>
+      Dedup.sharedSpanRuns(docs(s, d), k = 8, maxDf = 10, minRun = 2)
+        .orderBy("d1", "d2")),
     "x_ngram_lm" -> ((s, d) =>
       // vocabSize = 20 < |corpus vocab| so the OOV floor path is real
       TextAnalysis.unigramLmScore(docs(s, d), vocabSize = 20)
@@ -972,6 +975,36 @@ object TierX {
         |      GROUP BY 1, 2)
         |SELECT d1, d2, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY d1, d2""".stripMargin,
+    // matched spans at (p1, p2) lie on diagonal p1-p2; consecutive
+    // positions per diagonal are one shared substring (gaps-and-islands)
+    // — a shared L-token run is L-k+1 consecutive spans, so
+    // longest_tokens = max_run + k - 1 exactly
+    "x_dedup_span_runs" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p0 AS (SELECT doc_id,
+        |         unnest([array_to_string(list_slice(w, i, i + 7), ' ')
+        |                 for i in range(1, len(w) - 6)]) AS s,
+        |         unnest(range(1, len(w) - 6)) AS p
+        |       FROM w WHERE len(w) >= 8),
+        |pos AS (SELECT doc_id, p, ${hash32("s")} AS h FROM p0),
+        |df AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+        |                      FROM pos GROUP BY 1)
+        |       WHERE df BETWEEN 2 AND 10),
+        |idx AS (SELECT doc_id, p, pos.h FROM pos JOIN df USING (h)),
+        |m AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1,
+        |             a.p - b.p AS diag
+        |      FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |r AS (SELECT d1, d2, diag,
+        |        p1 - row_number() OVER (PARTITION BY d1, d2, diag
+        |                                ORDER BY p1) AS grp
+        |      FROM m),
+        |runs AS (SELECT d1, d2, diag, grp, count(1) AS run
+        |         FROM r GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT d1, d2, max(run) AS max_run, count(1) AS n_runs
+        |        FROM runs GROUP BY 1, 2)
+        |SELECT d1, d2, CAST(max_run + 7 AS BIGINT) AS longest_tokens,
+        |       CAST(n_runs AS BIGINT) AS n_runs
+        |FROM agg WHERE max_run >= 2 ORDER BY d1, d2""".stripMargin,
     // top-20 vocab by (cnt desc, tok asc); per-token log10-prob
     // quantized to 1e-4 fixed point BEFORE summing, so the per-doc sum
     // is order-free integer arithmetic in both engines

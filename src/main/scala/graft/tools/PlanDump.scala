@@ -64,7 +64,9 @@ object PlanDump {
     "x_dedup_substring" ->
       "span pairing after the df-cap: spans travel as 8-byte hashes, the persisted span frame feeds the df aggregate and both join sides, fan-out bounded by maxDf²",
     "x_ngram_lm" ->
-      "one shuffle (token counts); vocab + OOV floor return as broadcasts onto the token stream; the per-doc mean is an integer-sum aggregate")
+      "one shuffle (token counts); vocab + OOV floor return as broadcasts onto the token stream; the per-doc mean is an integer-sum aggregate",
+    "x_dedup_span_runs" ->
+      "diagonal alignment: df-capped span index self-joins on the hash, then the islands window partitions by (pair, diagonal) — worst-case window partition is one document's spans, never corpus-sized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -625,6 +625,34 @@ class TierXSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("sharedSpanRuns: recovers the exact longest duplicated substring") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota"  // 9 tokens
+    val crafted = Seq(
+      (0L, s"intro words then $span and a tail", "en", "s", 0L),
+      (1L, s"other opening $span closing remarks here", "en", "s", 0L),
+      (2L, "entirely unrelated content with no overlap at all once", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.sharedSpanRuns(crafted, k = 8, maxDf = 10, minRun = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // the 9-token copy = 2 consecutive 8-token spans on one diagonal:
+    // longest_tokens = 2 + 8 - 1 = 9, exactly the copied run, 1 run
+    assert(out == Map((0L, 1L) -> ((9L, 1L))))
+    // minRun = 3 (≥ 10-token runs) excludes the 9-token copy
+    assert(Dedup.sharedSpanRuns(crafted, k = 8, maxDf = 10, minRun = 3)
+      .count() == 0)
+    // a doc containing the span TWICE aligns on two diagonals: still
+    // longest 9, but two distinct maximal runs
+    val twice = Seq(
+      (0L, s"$span filler $span", "en", "s", 0L),
+      (1L, s"prefix $span suffix", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t = Dedup.sharedSpanRuns(twice, k = 8, maxDf = 10, minRun = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).head
+    assert(t == ((9L, 2L)))
+  }
+
   test("unigramLmScore: ML probs for vocab, OOV floor, exact fixed-point sums") {
     import spark.implicits._
     // corpus: a×4, c×4, total 8; vocabSize=1 keeps only 'a' (tie on
