@@ -34,4 +34,17 @@ object Hashing {
     * higher-order function lambdas where Column composition can't reach. */
   def hash32Sql(inner: String): String =
     s"cast(conv(substr(md5($inner), 1, 8), 16, 10) as bigint)"
+
+  /** Driver-side hash32 of a literal string — same function as the
+    * column form (first 8 hex chars of MD5, as an unsigned int), for
+    * precomputing small deterministic constants (e.g. a random-sign
+    * projection matrix) that both the Spark plan and the DuckDB oracle
+    * re-derive identically. Equality with the column form is pinned by
+    * ExpressionSpec. */
+  def hash32Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
 }

@@ -180,6 +180,30 @@ object Curation {
         "chunk_id", "n_chunk_tokens", "chunk_text")
   }
 
+  /** Deterministic corpus shuffle: assign every document a stable
+    * pseudo-random training order. order key = hash32(salt ':' doc_id)
+    * (tie-broken by doc_id), position = dense 0..n-1 rank in that
+    * order — the "shuffle the corpus once, reproducibly" step before
+    * sequence packing / epoch sharding.
+    *
+    * Same RNG-free rationale as [[hashSplit]]: the permutation depends
+    * only on keys, never on partition placement, so reruns and engines
+    * agree. Dense positions come from [[DenseId.withDenseId]] — a
+    * range-partitioned parallel sort + per-partition offsets, NOT a
+    * single-partition row_number window — so the pass has no
+    * one-task stage at any corpus size.
+    *
+    * Output: (doc_id, shuf_key, position). */
+  def corpusShuffle(docs: DataFrame, salt: String = "shuffle"): DataFrame = {
+    val keyed = docs.select(
+      col("doc_id"),
+      Hashing.hash32(concat(lit(s"$salt:"), col("doc_id").cast("string")))
+        .as("shuf_key"))
+    DenseId.withDenseId(
+      keyed, "position", Seq(col("shuf_key"), col("doc_id")))
+      .select("doc_id", "shuf_key", "position")
+  }
+
   def quotaCap(docs: DataFrame, quota: Int = 100): DataFrame = {
     val scored = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"))

@@ -80,6 +80,40 @@ object SimilaritySearch {
         round(col("mx"), 4).as("mx"), col("qsum"), col("qdot"))
   }
 
+  /** Johnson–Lindenstrauss sign random projection (Achlioptas JCSS'03:
+    * ±1 entries suffice for JL): reduce `inDim`-dimensional embeddings
+    * to `outDim` components, p_i = Σ_j v_j · s(i,j), with the sign
+    * matrix s(i,j) = ±1 derived from the portable hash32 of "proj:i:j" —
+    * no stored model, and any engine (the DuckDB oracle included)
+    * re-derives the identical matrix from MD5.
+    *
+    * The outDim×inDim sign matrix is precomputed DRIVER-SIDE
+    * ([[Hashing.hash32Local]]) and embedded as literal arrays, so the
+    * per-row cost is a pure multiply-add over the vector — no per-row
+    * hashing, no shuffle, no broadcast: the ideal 100 TB projection
+    * pass (row-local, whole-partition streaming).
+    *
+    * Determinism: each component is quantized to a 1e-6 fixed-point
+    * BIGINT before the ±1-weighted sum (`zip_with` + `aggregate` — the
+    * sum order is the array order, but quantizing first makes it exact
+    * integer arithmetic anyway); the final /1e6 double divide is
+    * IEEE-deterministic.
+    *
+    * Output: (vec_id, p0 .. p<outDim-1>) as doubles. */
+  def signProject(vecs: DataFrame, inDim: Int, outDim: Int = 8): DataFrame = {
+    require(inDim >= 1 && outDim >= 1,
+      s"invalid projection: inDim=$inDim outDim=$outDim")
+    val projCols = (0 until outDim).map { i =>
+      val signs = (0 until inDim)
+        .map(j => if (Hashing.hash32Local(s"proj:$i:$j") % 2 == 0) 1L else -1L)
+      expr(
+        s"CAST(aggregate(zip_with(embedding, array(${signs.mkString(",")}), " +
+          "(x, s) -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * s), " +
+          "0L, (a, x) -> a + x) AS DOUBLE) / 1000000").as(s"p$i")
+    }
+    vecs.select(col("vec_id") +: projCols: _*)
+  }
+
   /** Per-label elementwise centroids — the class-prototype step of
     * embedding pipelines (cluster representatives, k-means init,
     * prototype classification, semantic-dedup medoid seeds).

@@ -291,6 +291,174 @@ object TextAnalysis {
       .withColumn("repetitive", col("dup2_frac") > threshold)
   }
 
+  /** Tokenizer-vocabulary preparation: the top `vocabSize` corpus tokens
+    * by frequency (ties: token asc) behind a fixed block of special
+    * tokens, each with a dense contiguous id — the table a tokenizer
+    * training run (or an id-mapping encode pass) consumes.
+    *
+    * Scale shape: one groupBy(token) count shuffle, then the top-N comes
+    * out through `orderBy(...).limit(N)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition N-row heaps merged once), NOT
+    * a global sort. The final row_number window runs over the N-row
+    * frame only, never the corpus.
+    *
+    * Output: (token_id, tok, cnt, is_special) with special ids first. */
+  def buildVocab(
+      docs: DataFrame,
+      vocabSize: Int = 50,
+      specials: Seq[String] = Seq("<pad>", "<unk>", "<bos>", "<eos>"))
+      : DataFrame = {
+    require(vocabSize >= 1, s"invalid vocabSize=$vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(vocabSize)
+      .select(col("tok"), col("cnt"), lit(false).as("is_special"))
+    val specialRows = specials.zipWithIndex
+      .map { case (t, _) => (t, 0L, true) }
+      .toDF("tok", "cnt", "is_special")
+    // ids: specials in declaration order, then corpus tokens by rank.
+    // The window is over vocabSize + |specials| rows — bounded by
+    // construction, same defense as the unigram-LM vocab.
+    val w = Window.orderBy(
+      col("is_special").desc, col("cnt").desc, col("tok"))
+    specialRows.unionByName(counts)
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .select("token_id", "tok", "cnt", "is_special")
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD'03
+    * "local algorithms for document fingerprinting", the MOSS scheme):
+    * hash every word k-gram, slide a window of `w` consecutive gram
+    * hashes, record the minimum of each window (rightmost position on
+    * ties, per the paper), dedup the selections. Guarantees any shared
+    * run of ≥ w+k-1 tokens between two documents shares a fingerprint —
+    * the robust version of the single-min content fingerprint
+    * ([[fingerprints]]).
+    *
+    * Entirely row-local: gram hashes and window minima are
+    * higher-order-function lambdas over the token array; no shuffle, no
+    * generator blow-up before the final explode of the (small) selected
+    * set. The rightmost-tie-break is packed into one integer key —
+    * key = h·2²⁰ + (2²⁰−1−p) — so a single `array_min` resolves both
+    * the hash minimum and the positional tie; positions must fit 20
+    * bits (docs beyond 2²⁰ tokens are not supported — enforce upstream
+    * chunking first).
+    *
+    * Output: (doc_id, fp, pos) — fingerprint hash + 0-based gram
+    * position of each selection. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"invalid winnowing: k=$k w=$w")
+    val gramHash = Hashing.hash32Sql(s"concat_ws(' ', slice(wd, i, $k))")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
+      // docs too short for one full window contribute nothing (the
+      // paper's guarantee window is w + k - 1 tokens)
+      .filter(size(col("wd")) >= k + w - 1)
+      .withColumn("keys", expr(
+        s"transform(sequence(1, size(wd) - ${k - 1}), " +
+          s"i -> $gramHash * ${1L << 20}L + (${(1L << 20) - 1}L - (i - 1)))"))
+      .withColumn("fps", expr(
+        s"array_distinct(transform(sequence(1, size(keys) - ${w - 1}), " +
+          s"q -> array_min(slice(keys, q, $w))))"))
+      .select(col("doc_id"), explode(col("fps")).as("key"))
+      .select(
+        col("doc_id"),
+        expr(s"key div ${1L << 20}").as("fp"),
+        (lit((1L << 20) - 1) - pmod(col("key"), lit(1L << 20))).as("pos"))
+  }
+
+  /** Boilerplate stripping (the CCNet/C4 "remove text duplicated across
+    * many pages" pass, at token-span granularity): any word n-gram
+    * occurring in ≥ `minDocs` distinct documents is boilerplate; every
+    * token position covered by a boilerplate gram is removed and the
+    * remaining tokens are re-joined.
+    *
+    * Scale shape: the gram stream shuffles twice on gram (document
+    * frequency, then the semi-join back onto positions) and once on
+    * doc_id to assemble covered-position sets — never docs². The
+    * covered set per document is bounded by the document's own token
+    * count, so the `collect_set` is row-bounded, not corpus-bounded.
+    * Documents shorter than n tokens take the left-join null path and
+    * pass through untouched.
+    *
+    * Output: (doc_id, n_tokens, n_removed, clean_text). */
+  def boilerplateStrip(
+      docs: DataFrame, n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, s"invalid strip: n=$n minDocs=$minDocs")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("wd"))
+    val gramPos = toks
+      .filter(size(col("wd")) >= n)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(wd) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(wd, i, $n)))"))
+          .as(Seq("p0", "gram")))
+    val hot = gramPos
+      .select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gram")
+    val covered = gramPos.join(hot, "gram")
+      // gram at 0-based index p0 covers 1-based token positions
+      // p0+1 .. p0+n
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p0 + 1, p0 + $n)")).as("cp"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("cp"))).as("cov"))
+    toks.join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("wd")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        expr("concat_ws(' ', filter(wd, (t, i) -> " +
+          "cov IS NULL OR NOT array_contains(cov, i + 1)))")
+          .as("clean_text"))
+  }
+
+  /** Per-source dataset card: the summary block a corpus release ships
+    * (docs, chars, language mix, Shannon entropy of the language
+    * distribution). Two aggregate shuffles — (source, lang) counts,
+    * then per-source rollup — grouping cardinality bounded by
+    * |sources| × |langs|, so the plan is flat at any corpus size.
+    *
+    * Entropy H = Σ_l (c_l/t)·log2(t/c_l) is computed from exact integer
+    * counts with each language's term quantized to a 1e-6 fixed-point
+    * BIGINT before the cross-language sum — partition/merge order can't
+    * change the result (same defense as [[unigramLmScore]]); the final
+    * two divisions are IEEE-deterministic, so the double is
+    * bit-identical cross-engine unrounded.
+    *
+    * Output: (source, n_docs, n_chars_total, n_langs, top_lang,
+    * lang_entropy). */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val sl = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+    val totals = sl.groupBy("source")
+      .agg(sum(col("cnt")).as("t"), sum(col("chars")).as("n_chars_total"))
+    sl.join(totals, "source")
+      .withColumn("term_e6",
+        round(col("cnt").cast("double")
+          * log(2.0, col("t").cast("double") / col("cnt")) * 1000000)
+          .cast("long"))
+      .groupBy("source")
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        first(col("n_chars_total")).as("n_chars_total"),
+        count(lit(1)).as("n_langs"),
+        // top language by doc count, ties to the lexicographically
+        // smallest lang: min of (-cnt, lang) sorts cnt desc, lang asc
+        min(struct((-col("cnt")).as("neg"), col("lang"))).getField("lang")
+          .as("top_lang"),
+        (sum(col("term_e6")).cast("double") / 1000000d
+          / first(col("t")).cast("double")).as("lang_entropy"))
+      .select("source", "n_docs", "n_chars_total", "n_langs",
+        "top_lang", "lang_entropy")
+  }
+
   /** Pattern redaction (the PII-scrub shape): replace email-like and
     * phone-like substrings with typed placeholder tokens, counting the
     * hits per document. Pure codegen'd regex projections — row-local,

@@ -204,6 +204,24 @@ object TierF {
     clean.crossJoin(broadcast(quarantined)).orderBy("o_orderpriority")
   }
 
+  /** K1/K2 companion on ORC (fotmob-dag.py:179-183's warehouse write,
+    * re-aimed at Spark's second native columnar format): write the
+    * orders table to an ORC layout once per JVM, read it back through
+    * the vectorized ORC source with a pushed filter, and aggregate.
+    * Oracle-checked against the SAME aggregate over the parquet
+    * original, so the round-trip must preserve every value exactly. */
+  private val fOrcIngest: Q = (s, d) => {
+    val dir = graft.sources.Sinks.ensureOrcOrders(s, d)
+    s.read.orc(dir)
+      // pushed into the ORC scan (PushedFilters; pinned by SinkSpec)
+      .filter(col("o_totalprice") > 1000d)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        graft.Conventions.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** S3/P1 (fotmob-dag.py:39-44,74-77): JSON document parse + nested field
     * access. `from_json` with a declared schema, then struct-path
     * projection — the Spark shape of the reference's dict indexing. */
@@ -228,7 +246,8 @@ object TierF {
     "f_join_composite" -> fJoinComposite,
     "f_explode_json" -> fExplodeJson,
     "f_star_join_sql" -> fStarJoinSql,
-    "f_csv_ingest" -> fCsvIngest)
+    "f_csv_ingest" -> fCsvIngest,
+    "f_orc_ingest" -> fOrcIngest)
 
   val oracle: Map[String, String] = Map(
     "f_scan_project" ->
@@ -316,5 +335,10 @@ object TierF {
         |FROM orders, bad
         |WHERE o_orderkey % 100 <> 0
         |GROUP BY o_orderpriority, bad.n_quarantined
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "f_orc_ingest" ->
+      s"""SELECT o_orderstatus, count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS sum_price
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

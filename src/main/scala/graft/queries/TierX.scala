@@ -265,7 +265,27 @@ object TierX {
         .agg(count(lit(1)).as("n_orders"),
           Conventions.moneySum(col("o_totalprice")).as("total_price"))
         .orderBy("c_custkey")
-    }))
+    }),
+    "x_vocab_build" -> ((s, d) =>
+      // vocabSize=20 < |corpus vocabulary| so the frequency cutoff and
+      // its (cnt desc, tok asc) tie-break are both exercised
+      TextAnalysis.buildVocab(docs(s, d), vocabSize = 20)
+        .orderBy("token_id")),
+    "x_fingerprint_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(docs(s, d), k = 3, w = 4)
+        .orderBy("doc_id", "pos")),
+    "x_boilerplate_strip" -> ((s, d) =>
+      // minDocs=4 strips ~25% of corpus tokens at sf0.01 — enough
+      // coverage to exercise both the removal and the pass-through path
+      TextAnalysis.boilerplateStrip(docs(s, d), n = 3, minDocs = 4)
+        .orderBy("doc_id")),
+    "x_data_card" -> ((s, d) =>
+      TextAnalysis.dataCard(docs(s, d)).orderBy("source")),
+    "x_embed_project" -> ((s, d) =>
+      SimilaritySearch.signProject(vecs(s, d), inDim = 64, outDim = 8)
+        .orderBy("vec_id")),
+    "x_corpus_shuffle" -> ((s, d) =>
+      Curation.corpusShuffle(docs(s, d)).orderBy("doc_id")))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
@@ -1025,5 +1045,112 @@ object TierX {
         |SELECT doc_id, count(1) AS n_tokens,
         |       CAST(sum(tok_e4) AS BIGINT) AS sum_logp_e4,
         |       CAST(sum(tok_e4) AS DOUBLE) / 10000 / count(1) AS avg_logp
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // specials (cnt 0) ahead of the top-20 corpus tokens; ids from one
+    // rank over the combined ≤24-row frame
+    "x_vocab_build" ->
+      """WITH c AS (SELECT tok, count(1) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) GROUP BY tok
+        |           ORDER BY cnt DESC, tok LIMIT 20),
+        |v AS (SELECT tok, CAST(0 AS BIGINT) AS cnt, true AS is_special
+        |      FROM (VALUES ('<pad>'), ('<unk>'), ('<bos>'), ('<eos>')) s(tok)
+        |      UNION ALL
+        |      SELECT tok, cnt, false FROM c)
+        |SELECT CAST(row_number() OVER
+        |         (ORDER BY is_special DESC, cnt DESC, tok) - 1 AS BIGINT)
+        |         AS token_id,
+        |       tok, cnt, is_special
+        |FROM v ORDER BY token_id""".stripMargin,
+    // winnowing: per-window min over packed (hash, rightmost-pos) keys;
+    // k=3-gram hashes, window w=4, key = h*2^20 + (2^20-1-pos)
+    "x_fingerprint_winnow" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |k AS (SELECT doc_id,
+        |        [${hash32("array_to_string(list_slice(wd, i, i + 2), ' ')")}
+        |           * 1048576 + (1048575 - (i - 1))
+        |         for i in range(1, len(wd) - 1)] AS keys
+        |      FROM t WHERE len(wd) >= 6),
+        |f AS (SELECT doc_id,
+        |        list_distinct([list_min(keys[q:q + 3])
+        |                       for q in range(1, len(keys) - 2)]) AS fps
+        |      FROM k)
+        |SELECT doc_id, key // 1048576 AS fp,
+        |       1048575 - (key % 1048576) AS pos
+        |FROM (SELECT doc_id, unnest(fps) AS key FROM f)
+        |ORDER BY doc_id, pos""".stripMargin,
+    // boilerplate = 3-grams in ≥4 distinct docs; covered 1-based token
+    // positions removed, survivors re-joined in order
+    "x_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |g AS (SELECT doc_id, i AS p,
+        |        array_to_string(list_slice(wd, i, i + 2), ' ') AS gram
+        |      FROM t, unnest(range(1, len(wd) - 1)) s(i)
+        |      WHERE len(wd) >= 3),
+        |hot AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df
+        |                          FROM g GROUP BY gram)
+        |        WHERE df >= 4),
+        |covt AS (SELECT doc_id, list_sort(list(DISTINCT cp)) AS cov
+        |         FROM (SELECT DISTINCT doc_id, p + o AS cp
+        |               FROM g JOIN hot USING (gram),
+        |                    unnest(range(0, 3)) z(o))
+        |         GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(wd) AS BIGINT) AS n_tokens,
+        |       CAST(COALESCE(len(cov), 0) AS BIGINT) AS n_removed,
+        |       array_to_string([wd[i] for i in range(1, len(wd) + 1)
+        |                        if cov IS NULL OR NOT list_contains(cov, i)],
+        |                       ' ') AS clean_text
+        |FROM t LEFT JOIN covt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // entropy terms mirror the Spark formula exactly (ln/ln(2), e6
+    // fixed-point per language BEFORE the cross-language sum)
+    "x_data_card" ->
+      """WITH sl AS (SELECT source, lang, count(1) AS cnt,
+        |              sum(n_chars) AS chars
+        |            FROM documents GROUP BY source, lang),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS t,
+        |          CAST(sum(chars) AS BIGINT) AS n_chars_total
+        |        FROM sl GROUP BY source),
+        |top AS (SELECT source, lang AS top_lang FROM (
+        |          SELECT source, lang, row_number() OVER
+        |            (PARTITION BY source ORDER BY cnt DESC, lang) AS r
+        |          FROM sl) WHERE r = 1),
+        |terms AS (SELECT sl.source,
+        |            CAST(round(CAST(sl.cnt AS DOUBLE)
+        |              * ln(CAST(tot.t AS DOUBLE) / sl.cnt) / ln(2.0)
+        |              * 1000000) AS BIGINT) AS term_e6
+        |          FROM sl JOIN tot USING (source))
+        |SELECT tot.source, tot.t AS n_docs, tot.n_chars_total,
+        |       (SELECT count(1) FROM sl WHERE sl.source = tot.source)
+        |         AS n_langs,
+        |       top.top_lang,
+        |       CAST((SELECT sum(term_e6) FROM terms
+        |             WHERE terms.source = tot.source) AS DOUBLE)
+        |         / 1000000 / tot.t AS lang_entropy
+        |FROM tot JOIN top USING (source)
+        |ORDER BY source""".stripMargin,
+    "x_embed_project" -> projOracle,
+    "x_corpus_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+        |             ${hash32("'shuffle:' || CAST(doc_id AS VARCHAR)")}
+        |               AS shuf_key
+        |           FROM documents)
+        |SELECT doc_id, shuf_key,
+        |       CAST(row_number() OVER (ORDER BY shuf_key, doc_id) - 1
+        |            AS BIGINT) AS position
+        |FROM k ORDER BY doc_id""".stripMargin)
+
+  /** Sign-projection oracle: re-derives the ±1 matrix from the same
+    * md5-based hash32 the Spark side precomputes driver-side, then the
+    * identical e6 fixed-point multiply-add per output component. */
+  private lazy val projOracle: String = {
+    val cols = (0 until 8).map { i =>
+      "CAST(list_sum([CAST(round(CAST(embedding[j + 1] AS DOUBLE)" +
+        " * 1000000) AS BIGINT) * (CASE WHEN " +
+        hash32(s"'proj:$i:' || CAST(j AS VARCHAR)") +
+        s" % 2 = 0 THEN 1 ELSE -1 END) for j in range(0, 64)])" +
+        s" AS DOUBLE) / 1000000 AS p$i"
+    }.mkString(",\n       ")
+    s"SELECT vec_id,\n       $cols\nFROM embeddings ORDER BY vec_id"
+  }
 }

@@ -59,6 +59,25 @@ object Sinks {
 
   private val writtenLayouts = scala.collection.mutable.Set[String]()
 
+  /** ORC copy of the orders table for the `f_orc_ingest` round-trip
+    * query, written once per JVM per scale factor. ORC is the second
+    * columnar warehouse format Spark ships a native vectorized
+    * reader/writer for — the round-trip proves the engine's source
+    * matrix isn't parquet-only, with the same pushdown machinery
+    * (PushedFilters in the ORC scan is asserted by SinkSpec). */
+  def ensureOrcOrders(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_orc/" +
+        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      if (!writtenLayouts.contains(dir)) {
+        graft.Tables(spark, sfDir, "orders")
+          .write.mode(SaveMode.Overwrite).orc(dir)
+        writtenLayouts += dir
+      }
+      dir
+    }
+
   /** Bucketed orders/customer pair for the `x_join_bucket`
     * demonstration query, written once per JVM per scale factor into
     * the session catalog. Both tables bucket (and sort) on the join

@@ -10,6 +10,19 @@ class ExpressionSpec extends SparkSpec {
 
   private lazy val vecs = Tables(spark, sf, "embeddings")
 
+  test("hash32Local equals the hash32 column form on varied strings") {
+    import spark.implicits._
+    import graft.functions.Hashing
+    val samples = Seq("", "a", "proj:0:0", "proj:7:63", "shuffle:12345",
+      "multi word string", "ünïcodé ✓")
+    val viaColumn = samples.toDF("s")
+      .select(col("s"), Hashing.hash32(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(Hashing.hash32Local(s) == viaColumn(s), s"mismatch on '$s'")
+    }
+  }
+
   test("DotProductFloat is bit-identical to the composable form") {
     val df = vecs.limit(200).select(
       DotProductFloat(col("embedding"), col("embedding")).as("fused"),

@@ -48,6 +48,17 @@ class SinkSpec extends SparkSpec {
       s"no partition pruning in:\n$plan")
   }
 
+  test("f_orc_ingest: ORC round-trip pushes the price filter into the scan") {
+    val df = SparkEntry.queries("f_orc_ingest")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("orc") || plan.contains("Orc"),
+      s"no ORC scan in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice)" +
+      ", GreaterThan(o_totalprice,1000.0)]"),
+      s"price filter not pushed into the ORC scan:\n$plan")
+  }
+
   test("x_join_bucket declared query: only the final sort exchanges") {
     val df = SparkEntry.queries("x_join_bucket")(spark, sf)
     df.collect()

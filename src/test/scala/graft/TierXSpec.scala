@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SimilaritySearch, TextAnalysis}
+import graft.operators.{Curation, Dedup, SimilaritySearch, TextAnalysis}
 
 /** Tier X operator specs: semantics on crafted inputs + invariants on
   * the corpus. */
@@ -675,5 +675,149 @@ class TierXSpec extends SparkSpec {
     val re = TextAnalysis.unigramLmScore(docs.repartition(7), vocabSize = 20)
     assert(re.exceptAll(base).count() == 0 && base.exceptAll(re).count() == 0)
     base.unpersist()
+  }
+
+  test("buildVocab: specials lead, frequency cutoff + tie-break, dense ids") {
+    import spark.implicits._
+    // counts: b×3, a×2, c×2, d×1 — vocabSize=3 keeps b,a,c (tie a<c)
+    val crafted = Seq(
+      (0L, "b b a c", "en", "s", 0L),
+      (1L, "b a c d", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val v = TextAnalysis.buildVocab(crafted, vocabSize = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(v.length == 7)
+    // ids are dense 0..n-1, specials first (lexicographic), then rank
+    assert(v.map(_._1).toSeq == (0L until 7L))
+    assert(v.take(4).forall(_._4) && v.drop(4).forall(!_._4))
+    assert(v.drop(4).map(t => (t._2, t._3)).toSeq ==
+      Seq(("b", 3L), ("a", 2L), ("c", 2L)))   // d is cut
+    // corpus invariant: ids unique + dense regardless of partitioning
+    val docs = Tables(spark, sf, "documents")
+    val ids = TextAnalysis.buildVocab(docs.repartition(7), vocabSize = 20)
+      .select("token_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until ids.length))
+  }
+
+  test("winnow: shared runs >= w+k-1 tokens share a fingerprint; rightmost tie") {
+    import spark.implicits._
+    // doc 1 embeds a 6-token run of doc 0 (w+k-1 = 6 with k=3,w=4):
+    // winnowing GUARANTEES at least one common fingerprint
+    val crafted = Seq(
+      (0L, "u v w x y z p q r s t", "en", "s", 0L),
+      (1L, "m n o u v w x y z k l", "en", "s", 0L),
+      (2L, "completely different words here now again ok yes", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fps = TextAnalysis.winnow(crafted, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def of(id: Long) = fps.filter(_._1 == id).map(_._2)
+    assert(of(0L).intersect(of(1L)).nonEmpty)
+    assert(of(0L).intersect(of(2L)).isEmpty)
+    // rightmost tie-break: all-identical grams -> ONE selection per
+    // window at the window's last position each time, deduped to the
+    // run's rightmost-most selections (positions strictly increase)
+    val tie = Seq((9L, "a a a a a a a a", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sel = TextAnalysis.winnow(tie, k = 3, w = 4)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    // 6 gram positions 0..5, windows [0..3],[1..4],[2..5]: identical
+    // hashes, so each window picks its RIGHTMOST gram: 3, 4, 5
+    assert(sel == Seq(3L, 4L, 5L))
+    // corpus: fingerprints are a subset of gram positions and
+    // partition-invariant
+    val docs = Tables(spark, sf, "documents")
+    val base = TextAnalysis.winnow(docs, k = 3, w = 4).cache()
+    val re = TextAnalysis.winnow(docs.repartition(7), k = 3, w = 4)
+    assert(re.exceptAll(base).count() == 0 && base.exceptAll(re).count() == 0)
+    base.unpersist()
+  }
+
+  test("boilerplateStrip removes cross-doc template spans, keeps unique text") {
+    import spark.implicits._
+    // 'copyright all rights reserved' appears in 3 docs (>= minDocs=3);
+    // everything else is unique per doc
+    val crafted = Seq(
+      (0L, "alpha beta copyright all rights reserved gamma", "en", "s", 0L),
+      (1L, "delta copyright all rights reserved epsilon zeta", "en", "s", 0L),
+      (2L, "copyright all rights reserved eta theta iota", "en", "s", 0L),
+      (3L, "totally original content with no template", "en", "s", 0L),
+      (4L, "hi", "en", "s", 0L)   // shorter than n: pass-through path
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.boilerplateStrip(crafted, n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((7L, 4L, "alpha beta gamma")))
+    assert(out(1L) == ((7L, 4L, "delta epsilon zeta")))
+    assert(out(2L) == ((7L, 4L, "eta theta iota")))
+    assert(out(3L) == ((6L, 0L, "totally original content with no template")))
+    assert(out(4L) == ((1L, 0L, "hi")))
+    // corpus invariant: n_removed <= n_tokens, clean token count checks out
+    val docs = Tables(spark, sf, "documents")
+    val bad = TextAnalysis.boilerplateStrip(docs, n = 3, minDocs = 4)
+      .filter(col("n_removed") > col("n_tokens") ||
+        size(split(col("clean_text"), " ")) =!=
+          when(col("n_removed") === col("n_tokens"), lit(1)) // split("")=[""]
+            .otherwise(col("n_tokens") - col("n_removed")))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("dataCard: hand-computed entropy, top-lang tie to smallest lang") {
+    import spark.implicits._
+    // srcA: 2 en + 2 fr -> H = 1 bit exactly, top_lang tie -> 'en'
+    // srcB: 4 en -> H = 0
+    val crafted = Seq(
+      (0L, "x", "en", "srcA", 10L), (1L, "x", "en", "srcA", 20L),
+      (2L, "x", "fr", "srcA", 30L), (3L, "x", "fr", "srcA", 40L),
+      (4L, "x", "en", "srcB", 5L), (5L, "x", "en", "srcB", 6L),
+      (6L, "x", "en", "srcB", 7L), (7L, "x", "en", "srcB", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.dataCard(crafted)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getDouble(5))).toMap
+    assert(out("srcA") == ((4L, 100L, 2L, "en", 1.0)))
+    assert(out("srcB") == ((4L, 26L, 1L, "en", 0.0)))
+    // corpus invariants: entropy within [0, log2(n_langs)], doc counts roll up
+    val card = TextAnalysis.dataCard(Tables(spark, sf, "documents"))
+    assert(card.filter(col("lang_entropy") < 0 ||
+      col("lang_entropy") > expr("log2(n_langs) + 1e-9")).count() == 0)
+    assert(card.agg(sum("n_docs")).head.getLong(0) ==
+      Tables(spark, sf, "documents").count())
+  }
+
+  test("signProject: matches direct +-1 dot product, partition-invariant") {
+    import graft.functions.Hashing
+    val vecs = Tables(spark, sf, "embeddings")
+    val out = SimilaritySearch.signProject(vecs, inDim = 64, outDim = 2)
+    val row = out.orderBy("vec_id").head
+    val emb = vecs.orderBy("vec_id").head
+      .getSeq[Float](vecs.columns.indexOf("embedding"))
+    // re-derive p0/p1 with the same driver-side hash + fixed-point walk
+    def direct(i: Int): Double =
+      emb.zipWithIndex.map { case (x, j) =>
+        val s = if (Hashing.hash32Local(s"proj:$i:$j") % 2 == 0) 1L else -1L
+        math.round(x.toDouble * 1e6) * s
+      }.sum.toDouble / 1e6
+    assert(row.getDouble(1) == direct(0) && row.getDouble(2) == direct(1))
+    val re = SimilaritySearch.signProject(
+      vecs.repartition(7), inDim = 64, outDim = 2)
+    assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
+  }
+
+  test("corpusShuffle: dense permutation, key-determined, repartition-stable") {
+    val docs = Tables(spark, sf, "documents")
+    val out = Curation.corpusShuffle(docs).cache()
+    val n = docs.count()
+    assert(out.count() == n)
+    // positions are exactly 0..n-1 (a permutation)
+    assert(out.agg(min("position"), max("position"),
+      countDistinct("position")).head.toSeq == Seq(0L, n - 1, n))
+    // shuffled: the position order differs from doc_id order
+    assert(out.filter(col("position") =!= col("doc_id")).count() > 0)
+    val re = Curation.corpusShuffle(docs.repartition(7))
+    assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
+    out.unpersist()
   }
 }
