@@ -80,6 +80,26 @@ object SimilaritySearch {
         round(col("mx"), 4).as("mx"), col("qsum"), col("qdot"))
   }
 
+  /** k-NN graph assembly from a near-dup pair frame (e.g.
+    * [[cosinePairsLsh]] output): symmetrize the (v1, v2, cos) edges and
+    * keep each vector's top `k` neighbors by cosine (ties: neighbor id
+    * asc). The per-vector window is bounded by the vector's LSH
+    * candidate degree — bucket-bounded by construction, so the rank
+    * never concentrates into one task the way a global window would.
+    *
+    * Output: (src, dst, cos, rank). */
+  def knnGraph(pairs: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"invalid knnGraph k=$k")
+    val sym = pairs
+      .select(col("v1").as("src"), col("v2").as("dst"), col("cos"))
+      .unionByName(
+        pairs.select(col("v2").as("src"), col("v1").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    sym
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Johnson–Lindenstrauss sign random projection (Achlioptas JCSS'03:
     * ±1 entries suffice for JL): reduce `inDim`-dimensional embeddings
     * to `outDim` components, p_i = Σ_j v_j · s(i,j), with the sign

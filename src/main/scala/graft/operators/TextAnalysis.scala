@@ -370,6 +370,105 @@ object TextAnalysis {
         (lit((1L << 20) - 1) - pmod(col("key"), lit(1L << 20))).as("pos"))
   }
 
+  /** Token-id encoding against a [[buildVocab]] vocabulary — the encode
+    * pass that turns curated text into model-ready id sequences.
+    * Out-of-vocabulary tokens map to the `<unk>` id and are counted.
+    *
+    * The emitted per-document columns are exact integer checksums of
+    * the id sequence (plain sum and position-weighted sum — the
+    * [[SimilaritySearch.quantizeInt8]] trick), which pin every id at
+    * every position cross-engine without comparing array columns.
+    *
+    * Scale shape: the vocabulary (vocabSize + specials rows) broadcasts
+    * onto the exploded token stream; one groupBy(doc_id) finishes. The
+    * corpus never shuffles on token.
+    *
+    * Output: (doc_id, n_tokens, n_oov, ids_sum, ids_dot). */
+  def encodeIds(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val vocab = buildVocab(docs, vocabSize)
+    val unk = vocab.filter(col("tok") === "<unk>")
+      .select(col("token_id").as("unk_id"))
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab.select("tok", "token_id")), Seq("tok"), "left")
+      .crossJoin(broadcast(unk))
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), col("unk_id")).as("id"),
+        col("token_id").isNull.as("is_oov"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("is_oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("id")).as("ids_sum"),
+        sum(col("id") * (col("pos") + 1)).as("ids_dot"))
+  }
+
+  /** Multinomial naive-Bayes language classifier, trained from the
+    * corpus's own labels — the cheap stand-in for the fastText-style
+    * classifiers production pipelines run for language/quality routing
+    * (same scoring shape; swapping in external (tok, lang, weight)
+    * rows is the same broadcast join).
+    *
+    * Train: add-1-smoothed token likelihoods per language,
+    * logp(tok|l) = log10((c_lt + 1) / (t_l + V)) with V = corpus
+    * distinct-token count; OOV floor log10(1 / (t_l + V)); priors
+    * log10(n_l / N). Score: per-token log-probs quantized to 1e-4
+    * fixed-point BIGINTs before summation (exact, order-free — the
+    * [[unigramLmScore]] defense), argmax over the full language grid
+    * (ties: lang asc).
+    *
+    * Scale shape: one groupBy(lang, tok) training shuffle; the model
+    * (langs × vocab rows) broadcasts onto the exploded token stream —
+    * past broadcast memory bounds the same join runs as a shuffle join
+    * on tok; one groupBy(doc_id, lang) and a |langs|-bounded per-doc
+    * window finish.
+    *
+    * Output: (doc_id, actual_lang, pred_lang, score_e4, match). */
+  def nbClassify(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("lang").as("plang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vsize = toks.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val langStats = docs.groupBy(col("lang").as("plang"))
+      .agg(count(lit(1)).as("n_l"))
+      .join(counts.groupBy("plang").agg(sum(col("c")).as("t_l")), "plang")
+    val nTotal = docs.agg(count(lit(1)).as("n_corpus"))
+    val langs = langStats
+      .crossJoin(broadcast(vsize)).crossJoin(broadcast(nTotal))
+      .select(
+        col("plang"),
+        round(log(10.0, col("n_l").cast("double") / col("n_corpus")) * 10000)
+          .cast("long").as("prior_e4"),
+        round(log(10.0, lit(1.0) / (col("t_l") + col("v"))) * 10000)
+          .cast("long").as("floor_e4"))
+    val model = counts
+      .join(langStats.select("plang", "t_l"), "plang")
+      .crossJoin(broadcast(vsize))
+      .select(col("tok"), col("plang"),
+        round(log(10.0,
+          (col("c") + 1).cast("double") / (col("t_l") + col("v"))) * 10000)
+          .cast("long").as("logp_e4"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_e4").desc, col("plang"))
+    toks
+      .crossJoin(broadcast(langs))
+      .join(broadcast(model), Seq("tok", "plang"), "left")
+      .select(col("doc_id"), col("lang"), col("plang"), col("prior_e4"),
+        coalesce(col("logp_e4"), col("floor_e4")).as("tok_e4"))
+      .groupBy("doc_id", "plang")
+      .agg(
+        first(col("lang")).as("actual_lang"),
+        (first(col("prior_e4")) + sum(col("tok_e4"))).as("score_e4"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(
+        col("doc_id"), col("actual_lang"),
+        col("plang").as("pred_lang"), col("score_e4"),
+        (col("plang") === col("actual_lang")).as("match"))
+  }
+
   /** Boilerplate stripping (the CCNet/C4 "remove text duplicated across
     * many pages" pass, at token-span granularity): any word n-gram
     * occurring in ≥ `minDocs` distinct documents is boilerplate; every

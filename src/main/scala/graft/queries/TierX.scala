@@ -285,7 +285,23 @@ object TierX {
       SimilaritySearch.signProject(vecs(s, d), inDim = 64, outDim = 8)
         .orderBy("vec_id")),
     "x_corpus_shuffle" -> ((s, d) =>
-      Curation.corpusShuffle(docs(s, d)).orderBy("doc_id")))
+      Curation.corpusShuffle(docs(s, d)).orderBy("doc_id")),
+    "x_encode_ids" -> ((s, d) =>
+      TextAnalysis.encodeIds(docs(s, d), vocabSize = 20)
+        .orderBy("doc_id")),
+    "x_nb_classify" -> ((s, d) =>
+      TextAnalysis.nbClassify(docs(s, d)).orderBy("doc_id")),
+    "x_knn_graph" -> ((s, d) =>
+      // same LSH candidate pairs as x_dedup_embed, re-consumed as a
+      // graph: symmetrize + per-vector top-3. The pair frame persists
+      // because knnGraph reads it twice (both union branches)
+      SimilaritySearch.knnGraph(
+        SimilaritySearch
+          .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16,
+            rowsPerBand = 2)
+          .persist(),
+        k = 3)
+        .orderBy("src", "rank")))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
@@ -1130,6 +1146,89 @@ object TierX {
         |FROM tot JOIN top USING (source)
         |ORDER BY source""".stripMargin,
     "x_embed_project" -> projOracle,
+    // vocab ids re-derived, then per-doc exact integer checksums of the
+    // encoded id sequence (sum + position-weighted sum)
+    "x_encode_ids" ->
+      """WITH c AS (SELECT tok, count(1) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) GROUP BY tok
+        |           ORDER BY cnt DESC, tok LIMIT 20),
+        |v AS (SELECT tok, CAST(0 AS BIGINT) AS cnt, true AS is_special
+        |      FROM (VALUES ('<pad>'), ('<unk>'), ('<bos>'), ('<eos>')) s(tok)
+        |      UNION ALL
+        |      SELECT tok, cnt, false FROM c),
+        |ids AS (SELECT CAST(row_number() OVER
+        |          (ORDER BY is_special DESC, cnt DESC, tok) - 1 AS BIGINT)
+        |          AS token_id, tok
+        |        FROM v),
+        |unk AS (SELECT token_id AS unk_id FROM ids WHERE tok = '<unk>'),
+        |t AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS wd
+        |            FROM documents),
+        |           unnest([{'pos': i - 1, 'tok': wd[i]}
+        |                   for i in range(1, len(wd) + 1)]) z(u)),
+        |e AS (SELECT doc_id, pos,
+        |        COALESCE(ids.token_id, unk.unk_id) AS id,
+        |        ids.token_id IS NULL AS is_oov
+        |      FROM t LEFT JOIN ids USING (tok), unk)
+        |SELECT doc_id, count(1) AS n_tokens,
+        |       CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       CAST(sum(id) AS BIGINT) AS ids_sum,
+        |       CAST(sum(id * (pos + 1)) AS BIGINT) AS ids_dot
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // add-1-smoothed multinomial NB: same log10 + 1e-4 fixed-point
+    // walk as the Spark side; argmax ties to lang asc
+    "x_nb_classify" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |cnt AS (SELECT lang AS plang, tok, count(1) AS c
+        |        FROM tok GROUP BY 1, 2),
+        |vs AS (SELECT count(DISTINCT tok) AS v FROM tok),
+        |ls AS (SELECT plang, sum(c) AS t_l FROM cnt GROUP BY 1),
+        |nl AS (SELECT lang AS plang, count(1) AS n_l
+        |       FROM documents GROUP BY 1),
+        |nt AS (SELECT count(1) AS n_corpus FROM documents),
+        |langs AS (SELECT nl.plang,
+        |            CAST(round(log10(CAST(n_l AS DOUBLE) / n_corpus)
+        |              * 10000) AS BIGINT) AS prior_e4,
+        |            CAST(round(log10(1.0 / (t_l + v)) * 10000) AS BIGINT)
+        |              AS floor_e4
+        |          FROM nl JOIN ls USING (plang), vs, nt),
+        |model AS (SELECT tok, cnt.plang,
+        |            CAST(round(log10(CAST(c + 1 AS DOUBLE) / (t_l + v))
+        |              * 10000) AS BIGINT) AS logp_e4
+        |          FROM cnt JOIN ls USING (plang), vs),
+        |sc AS (SELECT t.doc_id, t.lang AS actual_lang, l.plang,
+        |         l.prior_e4, COALESCE(m.logp_e4, l.floor_e4) AS tok_e4
+        |       FROM tok t CROSS JOIN langs l
+        |       LEFT JOIN model m ON m.tok = t.tok AND m.plang = l.plang),
+        |ag AS (SELECT doc_id, any_value(actual_lang) AS actual_lang,
+        |         plang,
+        |         CAST(any_value(prior_e4) + sum(tok_e4) AS BIGINT)
+        |           AS score_e4
+        |       FROM sc GROUP BY doc_id, plang),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_e4 DESC, plang) AS rk FROM ag)
+        |SELECT doc_id, actual_lang, plang AS pred_lang, score_e4,
+        |       plang = actual_lang AS match
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // the x_dedup_embed candidate pairs, symmetrized and ranked into a
+    // per-vector top-3 neighbor list
+    "x_knn_graph" ->
+      s"""WITH $embedPairsCte,
+        |mp AS (SELECT v1, v2, round(cos_raw, 4) AS cos
+        |       FROM p WHERE cos_raw >= 0.4),
+        |sym AS (SELECT v1 AS src, v2 AS dst, cos FROM mp
+        |        UNION ALL
+        |        SELECT v2 AS src, v1 AS dst, cos FROM mp),
+        |r AS (SELECT src, dst, cos,
+        |        CAST(row_number() OVER (PARTITION BY src
+        |          ORDER BY cos DESC, dst) AS BIGINT) AS rank
+        |      FROM sym)
+        |SELECT src, dst, cos, rank FROM r WHERE rank <= 3
+        |ORDER BY src, rank""".stripMargin,
     "x_corpus_shuffle" ->
       s"""WITH k AS (SELECT doc_id,
         |             ${hash32("'shuffle:' || CAST(doc_id AS VARCHAR)")}

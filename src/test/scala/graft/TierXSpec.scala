@@ -806,6 +806,80 @@ class TierXSpec extends SparkSpec {
     assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
   }
 
+  test("encodeIds: checksums match a hand-encoded doc, OOV maps to <unk>") {
+    import spark.implicits._
+    // counts: b×3, a×2 — vocabSize=2 keeps {b, a}; specials get 0..3
+    // (lexicographic: <bos> <eos> <pad> <unk>), then b=4, a=5; 'z' is OOV
+    val crafted = Seq(
+      (0L, "b b a", "en", "s", 0L),
+      (1L, "a b z", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.encodeIds(crafted, vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // <unk> id = 3; doc0 ids [4,4,5]: sum 13, dot 4*1+4*2+5*3 = 27
+    assert(out(0L) == ((3L, 0L, 13L, 27L)))
+    // doc1 ids [5,4,3]: sum 12, dot 5*1+4*2+3*3 = 22, one OOV
+    assert(out(1L) == ((3L, 1L, 12L, 22L)))
+    // corpus invariants: n_oov <= n_tokens; partition-invariant
+    val docs = Tables(spark, sf, "documents")
+    val base = TextAnalysis.encodeIds(docs, vocabSize = 20).cache()
+    assert(base.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    val re = TextAnalysis.encodeIds(docs.repartition(7), vocabSize = 20)
+    assert(re.exceptAll(base).count() == 0 && base.exceptAll(re).count() == 0)
+    base.unpersist()
+  }
+
+  test("nbClassify: separable languages classify correctly, scores exact") {
+    import spark.implicits._
+    // two perfectly separable languages
+    val crafted = Seq(
+      (0L, "bonjour le monde", "fr", "s", 0L),
+      (1L, "le monde bonjour", "fr", "s", 0L),
+      (2L, "hello the world", "en", "s", 0L),
+      (3L, "world the hello", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.nbClassify(crafted)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(out.values.forall(_._4), s"misclassified: $out")
+    // hand-check doc0's winning score: V=6, t_fr=6, prior log10(2/4),
+    // each of the 3 tokens logp = log10((2+1)/(6+6))
+    val tokE4 = math.round(math.log10(3.0 / 12.0) * 10000)
+    val expected = math.round(math.log10(0.5) * 10000) + 3 * tokE4
+    assert(out(0L)._3 == expected)
+    // corpus: the labels are random word soup, so don't assert accuracy
+    // — only that every doc gets exactly one prediction from the grid
+    val docs = Tables(spark, sf, "documents")
+    val preds = TextAnalysis.nbClassify(docs).cache()
+    assert(preds.count() == docs.count())
+    assert(preds.select("pred_lang").distinct().count() <=
+      docs.select("lang").distinct().count())
+    preds.unpersist()
+  }
+
+  test("knnGraph: symmetric top-k, ranks dense from 1, cos descending") {
+    import spark.implicits._
+    val pairs = Seq(
+      (0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, 0.7), (1L, 2L, 0.6)
+    ).toDF("v1", "v2", "cos")
+    val g = SimilaritySearch.knnGraph(pairs, k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val bySrc = g.groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // src 0 keeps its 2 best of 3 candidates
+    assert(bySrc(0L).map(t => (t._2, t._4)).toSeq == Seq((1L, 1L), (2L, 2L)))
+    // src 3 has exactly one edge (from symmetrization of (0,3))
+    assert(bySrc(3L).map(_._2).toSeq == Seq(0L))
+    // every src's ranks are 1..n and cos is non-increasing
+    bySrc.values.foreach { es =>
+      assert(es.map(_._4).toSeq == (1L to es.length))
+      assert(es.map(_._3).toSeq.sliding(2).forall(
+        s => s.length < 2 || s(0) >= s(1)))
+    }
+  }
+
   test("corpusShuffle: dense permutation, key-determined, repartition-stable") {
     val docs = Tables(spark, sf, "documents")
     val out = Curation.corpusShuffle(docs).cache()
