@@ -55,6 +55,49 @@ object ChangeCapture {
     Dedup.latestByKey(log, keyCols, versionCols, opCol +: payloadCols)
       .filter(col(opCol) =!= lit("D"))
 
+  /** Keyed diff between two snapshots, each given as a change log
+    * compacted to latest-per-key — the regression check a pipeline runs
+    * between yesterday's and today's build of a table: which keys were
+    * added, which disappeared, which changed payload.
+    *
+    * Both sides ride [[Dedup.latestByKey]] (one max-struct aggregate
+    * each), then a single full-outer join on the keys decides each
+    * key's fate; `unchanged` keys are dropped (the overwhelming
+    * majority at scale — output is |delta|, not |table|). Value
+    * comparison uses null-safe equality, so a payload legitimately
+    * transitioning to/from NULL reads as `changed`, not `unchanged`.
+    *
+    * Output: keyCols ++ (status, old_<v>..., new_<v>...), one row per
+    * non-identical key. */
+  def snapshotDiff(
+      older: DataFrame,
+      newer: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_in_a", "_in_b", "status")
+    require(!older.columns.exists(reserved.contains),
+      s"snapshotDiff: input must not contain ${reserved.mkString("/")}")
+    def side(log: DataFrame, tag: String, flag: String) =
+      Dedup.latestByKey(log, keyCols, versionCols, valueCols)
+        .select(keyCols.map(col) ++
+          valueCols.map(c => col(c).as(s"${tag}_$c")) :+
+          lit(true).as(flag): _*)
+    val a = side(older, "old", "_in_a")
+    val b = side(newer, "new", "_in_b")
+    val changed = valueCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    a.join(b, keyCols, "full_outer")
+      .withColumn("status",
+        when(col("_in_a").isNull, "added")
+          .when(col("_in_b").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .drop("_in_a", "_in_b")
+  }
+
   /** Build a type-2 slowly-changing dimension from a change log: one row
     * per (key, run of identical tracked attributes), effective-dated
     * [eff_from, eff_to) with `eff_to` NULL on the current row.

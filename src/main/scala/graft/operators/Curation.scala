@@ -180,6 +180,41 @@ object Curation {
         "chunk_id", "n_chunk_tokens", "chunk_text")
   }
 
+  /** Perplexity-quantile quality filter (the CCNet shape: score every
+    * document against a language model, keep the best fraction per
+    * language): scores come from [[TextAnalysis.unigramLmScore]]; within
+    * each language documents rank by score (ties: doc_id asc) and the
+    * top ceil(keepFrac·n) survive.
+    *
+    * The rank cutoff is an ORDER STATISTIC, not an interpolated
+    * percentile — pure integer logic over scores that are already
+    * bit-identical cross-engine (fixed-point sums), so row fate is
+    * exactly re-derivable. The per-language window is the exactness
+    * contract of the declared query; at corpus scale the standard
+    * production swap is an approx-percentile cutoff VALUE broadcast
+    * against the scan (one pass, no window), trading exact boundary
+    * rows for flatness.
+    *
+    * Output: (doc_id, lang, n_tokens, sum_logp_e4, avg_logp, lang_rank).
+    */
+  def perplexityFilter(
+      docs: DataFrame,
+      vocabSize: Int = 20,
+      keepFrac: Double = 0.75): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"invalid keepFrac=$keepFrac")
+    val scores = TextAnalysis.unigramLmScore(docs, vocabSize)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    val wn = Window.partitionBy("lang")
+    docs.select("doc_id", "lang")
+      .join(scores, "doc_id")
+      .withColumn("lang_rank", row_number().over(w).cast("long"))
+      .withColumn("n_lang", count(lit(1)).over(wn))
+      .filter(col("lang_rank") <= ceil(col("n_lang") * keepFrac))
+      .select("doc_id", "lang", "n_tokens", "sum_logp_e4", "avg_logp",
+        "lang_rank")
+  }
+
   /** Deterministic corpus shuffle: assign every document a stable
     * pseudo-random training order. order key = hash32(salt ':' doc_id)
     * (tie-broken by doc_id), position = dense 0..n-1 rank in that

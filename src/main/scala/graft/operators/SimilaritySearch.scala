@@ -164,6 +164,52 @@ object SimilaritySearch {
         (col("sum_q").cast("double") / 1000000 / col("n_vecs"))
           .as("centroid"))
 
+  /** Label-outlier detection: each vector's cosine to its OWN label's
+    * centroid ([[labelCentroids]]), keeping the `k` least-similar
+    * vectors per label — the mislabeled-example / noisy-cluster sweep
+    * an embedding-curation pass runs before training a classifier.
+    *
+    * Determinism: dot(v, c), ‖v‖² and ‖c‖² are all sums of per-element
+    * products quantized to 1e-6 fixed-point BIGINTs before aggregation
+    * (order-free exact); the e6 factors cancel in the cosine ratio, and
+    * the rank ties on (rounded cosine, vec_id).
+    *
+    * Shape: the centroid table (|labels| × dim rows) broadcasts onto
+    * the posexploded vector components; one (vec_id, label) aggregate
+    * re-assembles per-vector sums; the final window is |label|-bucketed
+    * with per-label row counts, the same boundedness as a grouped
+    * top-k.
+    *
+    * Output: (label, vec_id, cos_c, out_rank). */
+  def embedOutliers(vecs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"invalid embedOutliers k=$k")
+    val cents = labelCentroids(vecs)
+    val sums = vecs
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"),
+        col("pos").cast("long").as("pos"), col("x").cast("double").as("x"))
+      .join(broadcast(cents.select("label", "pos", "centroid")),
+        Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum(round(col("x") * col("centroid") * 1000000).cast("long"))
+          .as("dot_e6"),
+        sum(round(col("x") * col("x") * 1000000).cast("long")).as("vv_e6"))
+    val cn = cents.groupBy("label")
+      .agg(sum(round(col("centroid") * col("centroid") * 1000000)
+        .cast("long")).as("cc_e6"))
+    val w = Window.partitionBy("label").orderBy(col("cos_c").asc, col("vec_id"))
+    sums.join(broadcast(cn), "label")
+      .withColumn("cos_c", round(
+        col("dot_e6").cast("double")
+          / (sqrt(col("vv_e6").cast("double"))
+            * sqrt(col("cc_e6").cast("double"))), 4))
+      .withColumn("out_rank", row_number().over(w).cast("long"))
+      .filter(col("out_rank") <= k)
+      .select("label", "vec_id", "cos_c", "out_rank")
+  }
+
   /** Exact top-k neighbors for each query vector (queries = vec_id <
     * nQueries), excluding self. Output: (q_id, vec_id, rank, cos). */
   def bruteTopK(vecs: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {

@@ -347,23 +347,35 @@ object TextAnalysis {
     * bits (docs beyond 2²⁰ tokens are not supported — enforce upstream
     * chunking first).
     *
+    * The gram-hash array is bound as a LAMBDA VARIABLE (`transform`
+    * over a one-element array) rather than an intermediate column:
+    * `InferFiltersFromGenerate` copies the generator's input expression
+    * into a pushed-down `size(..) > 0` filter, and with the hash array
+    * as a column reference that copy inlines it into every window's
+    * `slice` — O(grams × windows) md5 evaluations per document
+    * (measured 210 s at sf0.1; this form runs in ~2 s). Inside the
+    * lambda the windows reference `ks`, which CANNOT be substituted, so
+    * the inferred filter costs one extra hash pass per row, not a
+    * quadratic one.
+    *
     * Output: (doc_id, fp, pos) — fingerprint hash + 0-based gram
     * position of each selection. */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"invalid winnowing: k=$k w=$w")
     val gramHash = Hashing.hash32Sql(s"concat_ws(' ', slice(wd, i, $k))")
+    val keysExpr =
+      s"transform(sequence(1, size(wd) - ${k - 1}), " +
+        s"i -> $gramHash * ${1L << 20}L + (${(1L << 20) - 1}L - (i - 1)))"
+    val fpsExpr =
+      s"element_at(transform(array($keysExpr), ks -> " +
+        s"array_distinct(transform(sequence(1, size(ks) - ${w - 1}), " +
+        s"q -> array_min(slice(ks, q, $w))))), 1)"
     docs
       .select(col("doc_id"), split(col("text"), " ").as("wd"))
       // docs too short for one full window contribute nothing (the
       // paper's guarantee window is w + k - 1 tokens)
       .filter(size(col("wd")) >= k + w - 1)
-      .withColumn("keys", expr(
-        s"transform(sequence(1, size(wd) - ${k - 1}), " +
-          s"i -> $gramHash * ${1L << 20}L + (${(1L << 20) - 1}L - (i - 1)))"))
-      .withColumn("fps", expr(
-        s"array_distinct(transform(sequence(1, size(keys) - ${w - 1}), " +
-          s"q -> array_min(slice(keys, q, $w))))"))
-      .select(col("doc_id"), explode(col("fps")).as("key"))
+      .select(col("doc_id"), explode(expr(fpsExpr)).as("key"))
       .select(
         col("doc_id"),
         expr(s"key div ${1L << 20}").as("fp"),

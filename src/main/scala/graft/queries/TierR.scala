@@ -408,7 +408,61 @@ object TierR {
       .orderBy("user_id", "eff_from")
       .drop("eff_from")
 
+  // ---- behavioral analytics over the event log ---------------------------
+
+  /** Ordered-funnel analysis: view → click → purchase per user, each
+    * stage's event strictly after the previous stage's FIRST qualifying
+    * event. Three conditional-min aggregates chained by user_id joins —
+    * every shuffle keys on user_id, so the co-partitioning is reused
+    * stage to stage, and no window ever spans more than one user's
+    * events. Stage counts + conversion vs stage 1 (the 1-row stage-1
+    * count re-enters as a broadcast scalar). */
+  private val rFunnel: Q = (s, d) => {
+    val ev = Tables(s, d, "events").select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: org.apache.spark.sql.DataFrame, n: Int, name: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(n.toLong).as("stage"), lit(name).as("event_type"),
+          col("n_users"))
+    val first = s1.agg(count(lit(1)).as("n_first"))
+    stage(s1, 1, "view")
+      .unionByName(stage(s2, 2, "click"))
+      .unionByName(stage(s3, 3, "purchase"))
+      .crossJoin(broadcast(first))
+      .withColumn("pct_of_first",
+        round(col("n_users").cast("double") / col("n_first"), 4))
+      .select("stage", "event_type", "n_users", "pct_of_first")
+      .orderBy("stage")
+  }
+
+  /** Weekly retention cohorts: users bucketed by first-activity week,
+    * counted by distinct activity in each later week. Week ids are
+    * integer epoch-day arithmetic (div 7) — no interpolation, no
+    * timezone/format dependence, exact in any engine. Two user_id
+    * aggregates + one (cohort, offset) aggregate; grouping cardinality
+    * is cohorts × offsets, flat at any event volume. */
+  private val rRetention: Q = (s, d) => {
+    val wk = (floor(datediff(to_date(col("ts")), lit("1970-01-01")) / 7))
+      .cast("long")
+    val ev = Tables(s, d, "events").select(col("user_id"), wk.as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "r_funnel" -> rFunnel,
+    "r_retention" -> rRetention,
     "r_agg_group" -> rAggGroup,
     "r_scd2" -> rScd2,
     "r_agg_distinct" -> rAggDistinct,
@@ -438,6 +492,33 @@ object TierR {
     "r_map_json_fns" -> rMapJsonFns)
 
   val oracle: Map[String, String] = Map(
+    "r_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+        |n AS (SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type,
+        |             count(1) AS n_users FROM s1
+        |      UNION ALL SELECT 2, 'click', count(1) FROM s2
+        |      UNION ALL SELECT 3, 'purchase', count(1) FROM s3),
+        |f AS (SELECT count(1) AS n_first FROM s1)
+        |SELECT stage, event_type, n_users,
+        |       round(CAST(n_users AS DOUBLE) / n_first, 4) AS pct_of_first
+        |FROM n, f ORDER BY stage""".stripMargin,
+    "r_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(datediff('day', DATE '1970-01-01',
+        |                CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+        |            FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "r_agg_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       TRUE AS approx_ok

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, lit, lpad, when}
+import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -301,7 +301,33 @@ object TierX {
             rowsPerBand = 2)
           .persist(),
         k = 3)
-        .orderBy("src", "rank")))
+        .orderBy("src", "rank")),
+    "x_snapshot_diff" -> ((s, d) => {
+      // table-regression diff: the event log compacted to latest state
+      // per (user, type) at a mid-month cutover vs at the end — which
+      // keys appeared, which changed value ('removed' can't occur in an
+      // append-only log; exercised by ChangeCaptureSpec instead)
+      val ev = Tables(s, d, "events")
+        .select("user_id", "event_type", "ts", "event_id", "value")
+      graft.operators.ChangeCapture.snapshotDiff(
+        ev.filter(expr("ts < timestamp'2024-01-16 00:00:00'")), ev,
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"),
+        valueCols = Seq("value"))
+        .orderBy("user_id", "event_type")
+    }),
+    "x_quality_filter" -> ((s, d) =>
+      Curation.perplexityFilter(docs(s, d), vocabSize = 20, keepFrac = 0.75)
+        .orderBy("doc_id")),
+    "x_profile_table" -> ((s, d) =>
+      graft.operators.Profiling.profile(
+        Tables(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+        .orderBy("column_name")),
+    "x_embed_outlier" -> ((s, d) =>
+      SimilaritySearch.embedOutliers(vecs(s, d), k = 5)
+        .orderBy("label", "out_rank")))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
@@ -1214,6 +1240,108 @@ object TierX {
         |SELECT doc_id, actual_lang, plang AS pred_lang, score_e4,
         |       plang = actual_lang AS match
         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // latest-per-key on both sides of the cutover, full-outer joined;
+    // IS DISTINCT FROM mirrors the Spark null-safe value comparison
+    "x_snapshot_diff" ->
+      """WITH a AS (SELECT user_id, event_type, value AS old_value,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |               ORDER BY ts DESC, event_id DESC) AS r
+        |           FROM events
+        |           WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |b AS (SELECT user_id, event_type, value AS new_value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts DESC, event_id DESC) AS r
+        |      FROM events),
+        |al AS (SELECT user_id, event_type, old_value, true AS ina
+        |       FROM a WHERE r = 1),
+        |bl AS (SELECT user_id, event_type, new_value, true AS inb
+        |       FROM b WHERE r = 1),
+        |j AS (SELECT user_id, event_type, old_value, new_value, ina, inb
+        |      FROM al FULL OUTER JOIN bl USING (user_id, event_type)),
+        |t AS (SELECT user_id, event_type, old_value, new_value,
+        |        CASE WHEN ina IS NULL THEN 'added'
+        |             WHEN inb IS NULL THEN 'removed'
+        |             WHEN old_value IS DISTINCT FROM new_value
+        |               THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM j)
+        |SELECT user_id, event_type, old_value, new_value, status
+        |FROM t WHERE status <> 'unchanged'
+        |ORDER BY user_id, event_type""".stripMargin,
+    // the unigram-LM scores re-derived, then the per-lang order-statistic
+    // cutoff: keep rank <= ceil(0.75 * n_lang)
+    "x_quality_filter" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |c AS (SELECT tok, count(1) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |v AS (SELECT tok,
+        |        CAST(round(log10(CAST(cnt AS DOUBLE) / total) * 10000) AS BIGINT)
+        |          AS logp_e4
+        |      FROM c, tot ORDER BY cnt DESC, tok LIMIT 20),
+        |f AS (SELECT CAST(round(log10(1.0 / total) * 10000) AS BIGINT)
+        |        AS floor_e4 FROM tot),
+        |s AS (SELECT t.doc_id,
+        |        coalesce(v.logp_e4, f.floor_e4) AS tok_e4
+        |      FROM t LEFT JOIN v USING (tok), f),
+        |sc AS (SELECT doc_id, count(1) AS n_tokens,
+        |         CAST(sum(tok_e4) AS BIGINT) AS sum_logp_e4,
+        |         CAST(sum(tok_e4) AS DOUBLE) / 10000 / count(1) AS avg_logp
+        |       FROM s GROUP BY doc_id),
+        |j AS (SELECT d.doc_id, d.lang, sc.n_tokens, sc.sum_logp_e4,
+        |        sc.avg_logp
+        |      FROM documents d JOIN sc USING (doc_id)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS lang_rank,
+        |        count(1) OVER (PARTITION BY lang) AS n_lang
+        |      FROM j)
+        |SELECT doc_id, lang, n_tokens, sum_logp_e4, avg_logp, lang_rank
+        |FROM r WHERE lang_rank <= ceil(n_lang * 0.75)
+        |ORDER BY doc_id""".stripMargin,
+    // one row per profiled column: nulls + exact distincts
+    "x_profile_table" ->
+      ("SELECT * FROM (" +
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS column_name, count(1) AS n_rows,
+            |CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            |  AS n_null,
+            |count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+        }.mkString("\n UNION ALL \n") +
+        ") ORDER BY column_name"),
+    // centroids re-derived (x_embed_centroid's CTE), then fixed-point
+    // dot/norm sums and the per-label bottom-5 by cosine
+    "x_embed_outlier" ->
+      """WITH e AS (SELECT vec_id, label, unnest(embedding) AS x,
+        |                  unnest(range(0, len(embedding))) AS pos
+        |           FROM embeddings),
+        |cent AS (SELECT label, pos,
+        |           CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000)
+        |             AS BIGINT)) AS DOUBLE) / 1000000 / count(1) AS centroid
+        |         FROM e GROUP BY label, pos),
+        |vc AS (SELECT e.vec_id, e.label,
+        |         CAST(sum(CAST(round(CAST(e.x AS DOUBLE) * c.centroid
+        |           * 1000000) AS BIGINT)) AS BIGINT) AS dot_e6,
+        |         CAST(sum(CAST(round(CAST(e.x AS DOUBLE)
+        |           * CAST(e.x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+        |           AS vv_e6
+        |       FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+        |       GROUP BY 1, 2),
+        |cn AS (SELECT label,
+        |         CAST(sum(CAST(round(centroid * centroid * 1000000)
+        |           AS BIGINT)) AS BIGINT) AS cc_e6
+        |       FROM cent GROUP BY 1),
+        |sc AS (SELECT vc.label, vec_id,
+        |         round(CAST(dot_e6 AS DOUBLE)
+        |           / (sqrt(CAST(vv_e6 AS DOUBLE))
+        |              * sqrt(CAST(cc_e6 AS DOUBLE))), 4) AS cos_c
+        |       FROM vc JOIN cn USING (label)),
+        |r AS (SELECT label, vec_id, cos_c,
+        |        CAST(row_number() OVER (PARTITION BY label
+        |          ORDER BY cos_c, vec_id) AS BIGINT) AS out_rank
+        |      FROM sc)
+        |SELECT label, vec_id, cos_c, out_rank FROM r
+        |WHERE out_rank <= 5 ORDER BY label, out_rank""".stripMargin,
     // the x_dedup_embed candidate pairs, symmetrized and ranked into a
     // per-vector top-3 neighbor list
     "x_knn_graph" ->

@@ -122,4 +122,34 @@ class ChangeCaptureSpec extends SparkSpec {
       .select("user_id", "op", "event_type", "value", "n_versions")
     assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
   }
+
+  test("snapshotDiff: added/removed/changed fates, unchanged dropped") {
+    // older log: k1=10, k2=20, k3=30; newer log: k1=10 (unchanged),
+    // k2=25 (changed), k4=40 (added); k3 absent from newer (removed)
+    val older = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 09:00:00"), 0L, 99.0), // superseded version
+      (2L, ts("2024-01-01 10:00:00"), 2L, 20.0),
+      (3L, ts("2024-01-01 10:00:00"), 3L, 30.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val newer = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 4L, 10.0),
+      (2L, ts("2024-01-02 10:00:00"), 5L, 25.0),
+      (4L, ts("2024-01-02 10:00:00"), 6L, 40.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = ChangeCapture.snapshotDiff(older, newer,
+      Seq("user_id"), Seq("ts", "event_id"), Seq("value"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // k1 unchanged (latest value equal despite version bump) -> absent
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // corpus: diff vs ITSELF is empty; diff against a prefix flags only
+    // added/changed (append-only log can't lose keys)
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "event_type", "ts", "event_id", "value")
+    val self = ChangeCapture.snapshotDiff(ev, ev,
+      Seq("user_id", "event_type"), Seq("ts", "event_id"), Seq("value"))
+    assert(self.count() == 0)
+    val declared = SparkEntry.queries("x_snapshot_diff")(spark, sf)
+    assert(declared.filter(col("status") === "removed").count() == 0)
+  }
 }

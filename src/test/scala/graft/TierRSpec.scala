@@ -124,6 +124,53 @@ class TierRSpec extends SparkSpec {
     assert(e.intersect(i).count() == 0)
   }
 
+  test("funnel: stages require strict ordering, counts monotone") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 completes in order; user 2 clicks BEFORE viewing (click
+    // must not count); user 3 views only
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    // run the same chain as the declared query on the crafted frame
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    assert(s1.count() == 3 && s2.count() == 1)
+    assert(s2.head.getLong(0) == 1L)
+    // corpus: declared query's stage counts are monotone non-increasing
+    // and pct starts at 1.0
+    val out = q("r_funnel").collect()
+    val byStage = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byStage(1L) >= byStage(2L) && byStage(2L) >= byStage(3L))
+    assert(out.find(_.getLong(0) == 1L).get.getDouble(3) == 1.0)
+  }
+
+  test("retention: cohort 0-offset row counts every cohort member") {
+    val out = q("r_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // offsets are non-negative; offset-0 exists for every cohort and is
+    // the cohort's max (a user is always active in their first week)
+    assert(out.forall(_._2 >= 0))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val zero = rows.find(_._2 == 0L)
+      assert(zero.isDefined)
+      assert(rows.forall(_._3 <= zero.get._3))
+    }
+    // cohort sizes sum to the distinct-user count
+    val users = Tables(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(out.filter(_._2 == 0L).map(_._3).sum == users)
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)

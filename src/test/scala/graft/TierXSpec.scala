@@ -880,6 +880,77 @@ class TierXSpec extends SparkSpec {
     }
   }
 
+  test("perplexityFilter: per-lang keep fraction honored, best docs kept") {
+    val docs = Tables(spark, sf, "documents")
+    val kept = Curation.perplexityFilter(docs, vocabSize = 20,
+      keepFrac = 0.75).cache()
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allByLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    allByLang.foreach { case (lang, n) =>
+      assert(keptByLang(lang) == math.ceil(n * 0.75).toLong,
+        s"lang $lang: kept ${keptByLang.get(lang)} of $n")
+    }
+    // kept docs strictly dominate dropped docs within each language
+    val dropped = docs.select("doc_id", "lang")
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val scores = graft.operators.TextAnalysis
+      .unigramLmScore(docs, vocabSize = 20).select("doc_id", "avg_logp")
+    val worstKept = kept
+      .groupBy("lang").agg(min("avg_logp").as("worst_kept"))
+    val bestDropped = dropped.join(scores, "doc_id")
+      .groupBy("lang").agg(max("avg_logp").as("best_dropped"))
+    assert(worstKept.join(bestDropped, "lang")
+      .filter(col("best_dropped") > col("worst_kept")).count() == 0)
+    kept.unpersist()
+  }
+
+  test("profile: nulls and distincts per column on a crafted frame") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (None, Some("b"))
+    ).toDF("num", "txt")
+    val out = graft.operators.Profiling.profile(df, Seq("num", "txt"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("num") == ((3L, 1L, 1L)))
+    assert(out("txt") == ((3L, 1L, 2L)))
+    // corpus: declared query profiles every requested column, no nulls
+    // in the synthetic orders table, keys fully distinct
+    val prof = SparkEntry.queries("x_profile_table")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof.size == 6)
+    val orders = Tables(spark, sf, "orders").count()
+    assert(prof("o_orderkey") == ((orders, 0L, orders)))
+  }
+
+  test("embedOutliers: planted far vector ranks as its label's top outlier") {
+    import spark.implicits._
+    // label 0: three near-identical vectors + one OPPOSITE-direction
+    // outlier; label 1: two identical vectors (both cos 1 to centroid)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Seq(0.95f, 0.05f, 0f, 0f), 0),
+      (3L, Seq(-1f, 0f, 0f, 0f), 0),
+      (4L, Seq(0f, 1f, 0f, 0f), 1),
+      (5L, Seq(0f, 1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.embedOutliers(vecs, k = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(0) == 3L) // the flipped vector is label 0's worst fit
+    // corpus invariants: k rows per label, cosine within [-1, 1]
+    val emb = Tables(spark, sf, "embeddings")
+    val res = SimilaritySearch.embedOutliers(emb, k = 5).cache()
+    val perLabel = res.groupBy("label").count()
+      .filter(col("count") =!= 5).count()
+    assert(perLabel == 0)
+    assert(res.filter(col("cos_c") < -1 || col("cos_c") > 1).count() == 0)
+    res.unpersist()
+  }
+
   test("corpusShuffle: dense permutation, key-determined, repartition-stable") {
     val docs = Tables(spark, sf, "documents")
     val out = Curation.corpusShuffle(docs).cache()
