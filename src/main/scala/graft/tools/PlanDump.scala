@@ -66,7 +66,19 @@ object PlanDump {
     "x_ngram_lm" ->
       "one shuffle (token counts); vocab + OOV floor return as broadcasts onto the token stream; the per-doc mean is an integer-sum aggregate",
     "x_dedup_span_runs" ->
-      "diagonal alignment: df-capped span index self-joins on the hash, then the islands window partitions by (pair, diagonal) — worst-case window partition is one document's spans, never corpus-sized")
+      "diagonal alignment: df-capped span index self-joins on the hash, then the islands window partitions by (pair, diagonal) — worst-case window partition is one document's spans, never corpus-sized",
+    "x_fingerprint_winnow" ->
+      "row-local winnowing: the gram-hash array is lambda-bound (one-element transform) so the inferred size()>0 generate filter can't inline it per window — one extra hash pass per row instead of grams×windows",
+    "x_nb_classify" ->
+      "NB scoring: one (lang, tok) training shuffle; model + priors + floors broadcast onto the token stream; per-doc argmax window bounded by |langs|",
+    "x_knn_graph" ->
+      "LSH pair frame persisted, read by both union branches; per-vector rank window bounded by candidate degree — no all-pairs anywhere",
+    "x_boilerplate_strip" ->
+      "gram df + semi-join back on gram, covered positions assembled per doc (row-bounded collect_set), untouched docs ride the left-join null path",
+    "x_snapshot_diff" ->
+      "two latest-per-key max(struct) aggregates, one full-outer sort-merge join on the keys — output is the delta, unchanged keys drop before the sort",
+    "x_embed_project" ->
+      "JL sign projection: driver-derived ±1 literal matrix, pure row-local multiply-add — a single scan, one exchange for the final sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
