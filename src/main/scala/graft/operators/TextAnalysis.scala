@@ -291,6 +291,56 @@ object TextAnalysis {
       .withColumn("repetitive", col("dup2_frac") > threshold)
   }
 
+  /** Count-min-sketch heavy hitters (Cormode & Muthukrishnan '05): a
+    * depth × width counter grid over the token stream, each row keyed
+    * by an independent member of the portable hash32 family, plus the
+    * sketch ESTIMATE (min over rows) for the exact top-`topK` tokens.
+    *
+    * Because the hash family is engine-portable md5 ([[Hashing]]), the
+    * whole sketch — not a bounded check, the exact counter values — is
+    * re-derivable by the DuckDB oracle: a rare property for a sketch
+    * operator, and the reason this one is exactly verified while
+    * HLL/approx-percentile get tolerance oracles.
+    *
+    * Scale shape: counters are one partial+final aggregate over
+    * depth × width ≤ a few thousand groups — combiners collapse the
+    * token stream map-side, so the shuffle carries grid cells, not
+    * tokens. The top-K side is the [[buildVocab]] TakeOrdered path, and
+    * the probe join broadcasts the (tiny) counter grid.
+    *
+    * Output: (tok, exact_cnt, cms_est, overcount) — `cms_est ≥
+    * exact_cnt` always (CMS never underestimates; collisions only add).
+    */
+  def heavyHittersCms(
+      docs: DataFrame,
+      depth: Int = 4,
+      width: Int = 64,
+      topK: Int = 10): DataFrame = {
+    require(depth >= 1 && width >= 1 && topK >= 1,
+      s"invalid CMS: depth=$depth width=$width topK=$topK")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    def buckets = (0 until depth).map { i =>
+      struct(lit(i).as("row"),
+        (Hashing.hash32(col("tok"), i) % width).cast("int").as("bucket"))
+    }
+    val counters = toks
+      .select(explode(array(buckets: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("tok")).limit(topK)
+    top
+      .select(col("tok"), col("exact_cnt"),
+        explode(array(buckets: _*)).as("rb"))
+      .select(col("tok"), col("exact_cnt"),
+        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("row", "bucket"))
+      .groupBy("tok")
+      .agg(first(col("exact_cnt")).as("exact_cnt"),
+        min(col("cnt")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+  }
+
   /** Tokenizer-vocabulary preparation: the top `vocabSize` corpus tokens
     * by frequency (ties: token asc) behind a fixed block of special
     * tokens, each with a dense contiguous id — the table a tokenizer

@@ -327,7 +327,22 @@ object TierX {
         .orderBy("column_name")),
     "x_embed_outlier" -> ((s, d) =>
       SimilaritySearch.embedOutliers(vecs(s, d), k = 5)
-        .orderBy("label", "out_rank")))
+        .orderBy("label", "out_rank")),
+    "x_graph_rank" -> ((s, d) =>
+      // hub detection over the similarity graph: integer-fixed-point
+      // PageRank (3 rounds) on the same k-NN edges as x_knn_graph
+      graft.operators.GraphRank.pageRank(
+        SimilaritySearch.knnGraph(
+          SimilaritySearch
+            .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16,
+              rowsPerBand = 2)
+            .persist(),
+          k = 3).select("src", "dst"),
+        iterations = 3)
+        .orderBy("id")),
+    "x_heavy_cms" -> ((s, d) =>
+      TextAnalysis.heavyHittersCms(docs(s, d), depth = 4, width = 64,
+        topK = 10).orderBy("tok")))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
@@ -1172,6 +1187,29 @@ object TierX {
         |FROM tot JOIN top USING (source)
         |ORDER BY source""".stripMargin,
     "x_embed_project" -> projOracle,
+    "x_graph_rank" -> graphRankOracle,
+    // CMS counter grid from the portable seeded hash32 — the sketch
+    // itself is exactly re-derived, estimate = min over the 4 rows
+    "x_heavy_cms" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |rb AS (SELECT tok, i AS ri,
+        |         CAST(${hash32("i || ':' || tok")} % 64 AS INT) AS bucket
+        |       FROM tok, range(4) r(i)),
+        |counters AS (SELECT ri, bucket, count(1) AS cnt
+        |             FROM rb GROUP BY 1, 2),
+        |top AS (SELECT tok, count(1) AS exact_cnt FROM tok GROUP BY 1
+        |        ORDER BY exact_cnt DESC, tok LIMIT 10),
+        |probes AS (SELECT t.tok, t.exact_cnt, i AS ri,
+        |             CAST(${hash32("i || ':' || t.tok")} % 64 AS INT)
+        |               AS bucket
+        |           FROM top t, range(4) r(i)),
+        |est AS (SELECT tok, any_value(exact_cnt) AS exact_cnt,
+        |          min(cnt) AS cms_est
+        |        FROM probes JOIN counters USING (ri, bucket)
+        |        GROUP BY tok)
+        |SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
+        |FROM est ORDER BY tok""".stripMargin,
     // vocab ids re-derived, then per-doc exact integer checksums of the
     // encoded id sequence (sum + position-weighted sum)
     "x_encode_ids" ->
@@ -1366,6 +1404,40 @@ object TierX {
         |       CAST(row_number() OVER (ORDER BY shuf_key, doc_id) - 1
         |            AS BIGINT) AS position
         |FROM k ORDER BY doc_id""".stripMargin)
+
+  /** PageRank oracle: the k-NN edge CTE (as in `x_knn_graph`) plus the
+    * three integer fixed-point iterations unrolled — floor division
+    * everywhere, exactly the Spark-side arithmetic. */
+  private lazy val graphRankOracle: String = {
+    def round(i: Int, prev: String) =
+      s"""c$i AS (SELECT ed.dst AS id, sum($prev.r_e9 // deg.deg) AS in_e9
+        |      FROM ed JOIN $prev ON ed.src = $prev.id
+        |              JOIN deg ON ed.src = deg.src GROUP BY 1),
+        |r$i AS (SELECT nodes.id,
+        |          (150000000 // n_nodes)
+        |            + (85 * COALESCE(c$i.in_e9, 0)) // 100 AS r_e9
+        |        FROM nodes LEFT JOIN c$i USING (id), nn)""".stripMargin
+    s"""WITH $embedPairsCte,
+      |mp AS (SELECT v1, v2, round(cos_raw, 4) AS cos
+      |       FROM p WHERE cos_raw >= 0.4),
+      |sym AS (SELECT v1 AS src, v2 AS dst, cos FROM mp
+      |        UNION ALL SELECT v2 AS src, v1 AS dst, cos FROM mp),
+      |kr AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+      |         ORDER BY cos DESC, dst) AS rk FROM sym),
+      |ed AS (SELECT src, dst FROM kr WHERE rk <= 3),
+      |nodes AS (SELECT DISTINCT id FROM
+      |           (SELECT src AS id FROM ed
+      |            UNION ALL SELECT dst AS id FROM ed)),
+      |nn AS (SELECT count(1) AS n_nodes FROM nodes),
+      |deg AS (SELECT src, count(1) AS deg FROM ed GROUP BY 1),
+      |r0 AS (SELECT id, 1000000000 // n_nodes AS r_e9 FROM nodes, nn),
+      |${round(1, "r0")},
+      |${round(2, "r1")},
+      |${round(3, "r2")}
+      |SELECT id, CAST(r_e9 AS BIGINT) AS r_e9,
+      |       CAST(r_e9 AS DOUBLE) / 1000000000 AS rank
+      |FROM r3 ORDER BY id""".stripMargin
+  }
 
   /** Sign-projection oracle: re-derives the ±1 matrix from the same
     * md5-based hash32 the Spark side precomputes driver-side, then the

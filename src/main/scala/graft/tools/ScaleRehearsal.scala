@@ -131,7 +131,24 @@ object ScaleRehearsal {
       // shared beyond maxDf docs (corpus templates) must die BEFORE
       // the self-join, keeping fan-out ≤ maxDf² per span
       "shared_spans" -> (() =>
-        Dedup.sharedSpans(docs, k = 8, maxDf = 10, minShared = 3)))
+        Dedup.sharedSpans(docs, k = 8, maxDf = 10, minShared = 3)),
+      // row-local winnowing at 10× volume: guards the lambda-binding fix
+      // (an InferFiltersFromGenerate regression would blow this up
+      // ~100×, not ~10%)
+      "winnow" -> (() =>
+        graft.operators.TextAnalysis.winnow(docs, k = 3, w = 4)),
+      // boilerplate strip under maximal template pressure: 5 verbatim
+      // replicas push every gram's df ≥ 5, so nearly every position is
+      // covered — the covered-set aggregate does its worst-case work
+      "boilerplate_strip" -> (() =>
+        graft.operators.TextAnalysis.boilerplateStrip(docs, n = 3,
+          minDocs = 4)),
+      // k-NN graph over the scale-sized LSH pairs: per-vector degree
+      // stays bucket-bounded even with 5-member duplicate clusters
+      "knn_graph" -> (() =>
+        SimilaritySearch.knnGraph(
+          SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
+            nBits = 64, rowsPerBand = 8).persist(), k = 3)))
 
     Captured.drain()
     val results = ops.map { case (name, f) =>

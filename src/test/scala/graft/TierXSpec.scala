@@ -951,6 +951,46 @@ class TierXSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("pageRank: hand-computed star graph, stationary cycle, mass bounded") {
+    import spark.implicits._
+    import graft.operators.GraphRank
+    // 2-cycle: uniform rank is stationary under the integer arithmetic
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    GraphRank.pageRank(cyc, iterations = 3).collect()
+      .foreach(r => assert(r.getLong(1) == 500000000L))
+    // 3-node star (a<->b, a<->c): three rounds replayed by hand with
+    // the same floor divisions
+    val star = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = GraphRank.pageRank(star, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 580541666L)
+    assert(got(2L) == 209729166L && got(3L) == 209729166L)
+    // declared query: ranks positive, total mass ≤ 1 (floor drift only
+    // ever loses mass), hubs exist (some node above the uniform rank)
+    val pr = q("x_graph_rank").cache()
+    assert(pr.filter(col("r_e9") <= 0).count() == 0)
+    val n = pr.count()
+    val mass = pr.agg(sum("r_e9")).head.getLong(0)
+    assert(mass <= 1000000000L + n) // ≤ 1 + rounding headroom
+    assert(pr.filter(col("r_e9") > lit(1000000000L / n)).count() > 0)
+    pr.unpersist()
+  }
+
+  test("CMS heavy hitters: never underestimates; width-1 degenerates to total") {
+    val docs = Tables(spark, sf, "documents")
+    val est = TextAnalysis.heavyHittersCms(docs, depth = 4, width = 64,
+      topK = 10)
+    assert(est.filter(col("cms_est") < col("exact_cnt")).count() == 0)
+    assert(est.count() == 10)
+    // width=1: every token lands in the single bucket, so the estimate
+    // for EVERY probe is exactly the corpus token count
+    val total = docs.select(explode(split(col("text"), " "))).count()
+    val degenerate = TextAnalysis.heavyHittersCms(docs, depth = 2,
+      width = 1, topK = 5)
+    assert(degenerate.collect().forall(_.getAs[Long]("cms_est") == total))
+  }
+
   test("corpusShuffle: dense permutation, key-determined, repartition-stable") {
     val docs = Tables(spark, sf, "documents")
     val out = Curation.corpusShuffle(docs).cache()
