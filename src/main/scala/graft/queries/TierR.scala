@@ -408,6 +408,51 @@ object TierR {
       .orderBy("user_id", "eff_from")
       .drop("eff_from")
 
+  /** RANGE-frame window (vs [[rWindowRunning]]'s ROWS frame): per
+    * supplier, revenue within the trailing 7-day VALUE window of each
+    * ship date. The frame is keyed on integer epoch days, so the bound
+    * arithmetic is exact in any engine; peers (same-day rows) all see
+    * the same total — the semantic difference from a ROWS frame that
+    * this query exists to pin. */
+  private val rWindowRangeFrame: Q = (s, d) => {
+    val epochDay = datediff(col("l_shipdate"), lit("1970-01-01"))
+    val w = Window.partitionBy("l_suppkey").orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables(s, d, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        epochDay.as("day"),
+        col("l_extendedprice"), col("l_discount"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("day"),
+        Conventions.moneySumOver(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), w)
+          .as("rev_7d"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "day", "rev_7d")
+  }
+
+  /** First-order Markov transition matrix over the event stream: for
+    * each user the lead-1 next event type, then corpus-wide
+    * P(next | current) with 1e-4 fixed-point probabilities (exact
+    * integer counts, one IEEE division — cross-engine deterministic).
+    * One shuffle on user_id for the lead window, one (from, to)
+    * aggregate — grouping cardinality |types|², flat at any volume. */
+  private val rTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"),
+        lead("event_type", 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .withColumn("p",
+        round(col("n").cast("double") / col("n_from"), 4))
+      .select("from_type", "to_type", "n", "n_from", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   // ---- behavioral analytics over the event log ---------------------------
 
   /** Ordered-funnel analysis: view → click → purchase per user, each
@@ -463,6 +508,8 @@ object TierR {
   val queries: Map[String, Q] = Map(
     "r_funnel" -> rFunnel,
     "r_retention" -> rRetention,
+    "r_window_range_frame" -> rWindowRangeFrame,
+    "r_transitions" -> rTransitions,
     "r_agg_group" -> rAggGroup,
     "r_scd2" -> rScd2,
     "r_agg_distinct" -> rAggDistinct,
@@ -519,6 +566,32 @@ object TierR {
         |       count(DISTINCT user_id) AS n_users
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r_window_range_frame" ->
+      """WITH t AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |             datediff('day', DATE '1970-01-01',
+        |               CAST(l_shipdate AS DATE)) AS day,
+        |             l_extendedprice, l_discount FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, day,
+        |       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount))
+        |                * 1e6) AS DECIMAL(28,0)))
+        |            OVER (PARTITION BY l_suppkey ORDER BY day
+        |                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) / 1e6 AS rev_7d
+        |FROM t
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, day, rev_7d""".stripMargin,
+    "r_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS from_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT from_type, to_type, count(1) AS n FROM s
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |         AS n_from,
+        |       round(CAST(n AS DOUBLE)
+        |             / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "r_agg_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |       TRUE AS approx_ok

@@ -18,7 +18,11 @@ class DeterminismSpec extends SparkSpec {
     "x_tfidf_topterms",  // rank over rounded scores
     "x_dedup_simhash64", // two-word sketch, 64-column bit-sum agg
     "x_pipeline_curate", // the composed lineage: every suspect at once
-    "x_join_bucket")     // bucketed distribution vs shuffle conf
+    "x_join_bucket",     // bucketed distribution vs shuffle conf
+    "x_corpus_shuffle",  // zipWithIndex offsets across partition counts
+    "x_graph_rank",      // iterative join+agg rounds, integer fixed-point
+    "x_quality_filter",  // rank window over cross-engine double scores
+    "x_heavy_cms")       // sketch counter grid across merge orders
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {

@@ -108,6 +108,29 @@ class NullEdgeSpec extends SparkSpec {
       Seq("ts", "event_id"), Seq("event_type")).count() == 0)
     assert(ChangeCapture.cdcApply(emptyLog, Seq("user_id"),
       Seq("ts", "event_id"), "op", Seq("event_type")).count() == 0)
+    // round-4b operators on empty inputs
+    assert(TextAnalysis.winnow(empty).count() == 0)
+    assert(TextAnalysis.boilerplateStrip(empty).count() == 0)
+    assert(TextAnalysis.buildVocab(empty).count() == 4) // specials only
+    assert(TextAnalysis.encodeIds(empty).count() == 0)
+    assert(TextAnalysis.dataCard(empty).count() == 0)
+    assert(TextAnalysis.heavyHittersCms(empty).count() == 0)
+    assert(Curation.corpusShuffle(empty).count() == 0)
+    assert(Curation.perplexityFilter(empty).count() == 0)
+    assert(graft.operators.SimilaritySearch
+      .signProject(emptyVecs, inDim = 64).count() == 0)
+    assert(ChangeCapture.snapshotDiff(emptyLog, emptyLog, Seq("user_id"),
+      Seq("ts", "event_id"), Seq("event_type")).count() == 0)
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("v1", LongType), StructField("v2", LongType),
+        StructField("cos", org.apache.spark.sql.types.DoubleType))))
+    assert(graft.operators.SimilaritySearch
+      .knnGraph(emptyPairs).count() == 0)
+    assert(graft.operators.GraphRank.pageRank(
+      emptyPairs.select(col("v1").as("src"), col("v2").as("dst")))
+      .count() == 0)
   }
 
   test("distinct treats null as a value (one null group)") {

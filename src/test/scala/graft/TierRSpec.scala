@@ -124,6 +124,43 @@ class TierRSpec extends SparkSpec {
     assert(e.intersect(i).count() == 0)
   }
 
+  test("range frame: same-day peers share one total; differs from rows frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // two same-day rows: a RANGE frame gives both the day's full total,
+    // a ROWS frame gives the first row only its own revenue
+    val t = Seq((1L, 10, 100.0), (1L, 10, 50.0), (1L, 12, 30.0))
+      .toDF("k", "day", "rev")
+    val range = Window.partitionBy("k").orderBy("day")
+      .rangeBetween(-6, Window.currentRow)
+    val rows = Window.partitionBy("k").orderBy("day", "rev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = t.select(col("day"), col("rev"),
+      sum("rev").over(range).as("range_sum"),
+      sum("rev").over(rows).as("rows_sum")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val day10 = out.filter(_._1 == 10)
+    assert(day10.forall(_._3 == 150.0))           // peers see the day total
+    assert(day10.map(_._4).sorted.toSeq == Seq(50.0, 150.0)) // rows don't
+    assert(out.find(_._1 == 12).get._3 == 180.0)  // 7-day trailing window
+    // declared query: the 7-day window total is >= the row's own revenue
+    val q1 = q("r_window_range_frame")
+    assert(q1.count() == Tables(spark, sf, "lineitem").count())
+  }
+
+  test("transitions: per-from probabilities sum to 1, counts conserve") {
+    val out = q("r_transitions").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      // n sums to n_from within each from_type
+      assert(rows.map(_._2).sum == rows.head._3)
+      // probabilities sum to ~1 (rounding at 4 decimals)
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 0.001)
+    }
+    // every (from, to) pair count is positive
+    assert(out.forall(_._2 > 0))
+  }
+
   test("funnel: stages require strict ordering, counts monotone") {
     import spark.implicits._
     import java.sql.Timestamp
