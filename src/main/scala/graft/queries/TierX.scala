@@ -342,7 +342,23 @@ object TierX {
         .orderBy("id")),
     "x_heavy_cms" -> ((s, d) =>
       TextAnalysis.heavyHittersCms(docs(s, d), depth = 4, width = 64,
-        topK = 10).orderBy("tok")))
+        topK = 10).orderBy("tok")),
+    "x_join_fuzzy" -> ((s, d) => {
+      // entity resolution: nation names with a deterministic one-char
+      // deletion (at position key mod length) matched back to the
+      // clean dimension by blocked bigram Jaccard — no key equality
+      val nat = Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val pos = "CAST(n_nationkey % length(n_name) AS INT)"
+      val dirty = nat.select(
+        col("n_nationkey").as("d_key"),
+        expr(s"concat(substring(n_name, 1, $pos), " +
+          s"substring(n_name, $pos + 2))").as("d_name"))
+      graft.operators.FuzzyMatch.bestMatch(
+        dirty, nat, "d_key", "d_name", "n_nationkey", "n_name",
+        k = 2, threshold = 0.3)
+        .orderBy("d_key")
+    }))
 
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
@@ -1380,6 +1396,43 @@ object TierX {
         |      FROM sc)
         |SELECT label, vec_id, cos_c, out_rank FROM r
         |WHERE out_rank <= 5 ORDER BY label, out_rank""".stripMargin,
+    // gram-blocked entity resolution re-derived end-to-end: the same
+    // deterministic one-char deletion, bigram sets, blocking join,
+    // set-Jaccard, and (jacc desc, key asc) best-match rank
+    "x_join_fuzzy" ->
+      """WITH nat AS (SELECT n_nationkey, n_name FROM nation),
+        |dirty AS (SELECT n_nationkey AS d_key,
+        |            substr(n_name, 1,
+        |              CAST(n_nationkey % length(n_name) AS INT))
+        |            || substr(n_name,
+        |              CAST(n_nationkey % length(n_name) AS INT) + 2)
+        |              AS d_name
+        |          FROM nat),
+        |lg AS (SELECT d_key, d_name,
+        |         list_distinct([substr(d_name, i, 2)
+        |           for i in range(1, greatest(length(d_name) - 1, 1) + 1)])
+        |           AS g
+        |       FROM dirty),
+        |rg AS (SELECT n_nationkey, n_name,
+        |         list_distinct([substr(n_name, i, 2)
+        |           for i in range(1, greatest(length(n_name) - 1, 1) + 1)])
+        |           AS g
+        |       FROM nat),
+        |cand AS (SELECT DISTINCT d_key, n_nationkey
+        |         FROM (SELECT d_key, unnest(g) AS gram FROM lg) a
+        |         JOIN (SELECT n_nationkey, unnest(g) AS gram FROM rg) b
+        |         USING (gram)),
+        |sc AS (SELECT c.d_key, lg.d_name, c.n_nationkey, rg.n_name,
+        |         round(CAST(len(list_intersect(lg.g, rg.g)) AS DOUBLE)
+        |           / (len(lg.g) + len(rg.g)
+        |              - len(list_intersect(lg.g, rg.g))), 4) AS jacc
+        |       FROM cand c JOIN lg ON c.d_key = lg.d_key
+        |                   JOIN rg ON c.n_nationkey = rg.n_nationkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY d_key
+        |        ORDER BY jacc DESC, n_nationkey) AS rk
+        |      FROM sc WHERE jacc >= 0.3)
+        |SELECT d_key, d_name, n_nationkey, n_name, jacc
+        |FROM r WHERE rk = 1 ORDER BY d_key""".stripMargin,
     // the x_dedup_embed candidate pairs, symmetrized and ranked into a
     // per-vector top-3 neighbor list
     "x_knn_graph" ->

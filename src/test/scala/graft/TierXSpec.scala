@@ -991,6 +991,26 @@ class TierXSpec extends SparkSpec {
     assert(degenerate.collect().forall(_.getAs[Long]("cms_est") == total))
   }
 
+  test("fuzzyMatch: typo'd names resolve to their source, exact names to self") {
+    import spark.implicits._
+    import graft.operators.FuzzyMatch
+    val clean = Seq((1L, "ARGENTINA"), (2L, "AUSTRALIA"), (3L, "BRAZIL"))
+      .toDF("id", "name")
+    val dirty = Seq((10L, "ARGENTNA"), (20L, "AUSTRALIA"), (30L, "BRAZIIL"))
+      .toDF("d_id", "d_name")
+    val m = FuzzyMatch.bestMatch(dirty, clean, "d_id", "d_name",
+      "id", "name", k = 2, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(m(10L)._1 == 1L && m(30L)._1 == 3L)
+    assert(m(20L) == ((2L, 1.0)))                 // exact match: jacc 1
+    // declared query: most one-char deletions resolve to their source
+    // nation (shared NATION_ prefixes make a few ties legitimate)
+    val q1 = SparkEntry.queries("x_join_fuzzy")(spark, sf)
+    val hits = q1.filter(col("d_key") === col("n_nationkey")).count()
+    assert(hits >= 20, s"only $hits/25 typo'd nations resolved")
+  }
+
   test("corpusShuffle: dense permutation, key-determined, repartition-stable") {
     val docs = Tables(spark, sf, "documents")
     val out = Curation.corpusShuffle(docs).cache()
