@@ -453,6 +453,53 @@ object TierR {
       .orderBy("from_type", "to_type")
   }
 
+  /** Distribution windows: cume_dist / percent_rank / ntile quartiles
+    * over order prices per priority — the remaining ranking-window
+    * surface beyond row_number/rank. All three are rational functions
+    * of exact integer ranks, deterministic given the (price, orderkey)
+    * total order; doubles round 4. */
+  private val rWindowDist: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        round(cume_dist().over(w), 4).as("cd"),
+        round(percent_rank().over(w), 4).as("pr"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
+  /** Time-series resampling with gap fill: each user's day-by-day
+    * activity over the full observed span, missing days filled with a
+    * zero count and the last seen value carried forward. The day grid
+    * is a generator (`sequence` over the span — row-local explode, no
+    * driver loop); the carry-forward is `last(ignoreNulls)` over an
+    * unbounded-preceding frame on the (user, day) ordering. One shuffle
+    * on user_id serves both the grid join and the fill window. */
+  private val rResample: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day"),
+        col("value"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"),
+        Conventions.moneySum(col("value")).as("day_value"))
+    val span = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(last(col("day_value"), ignoreNulls = true).over(w),
+          lit(0d)), 4).as("value_ff"))
+      .orderBy("user_id", "day")
+  }
+
   // ---- behavioral analytics over the event log ---------------------------
 
   /** Ordered-funnel analysis: view → click → purchase per user, each
@@ -510,6 +557,8 @@ object TierR {
     "r_retention" -> rRetention,
     "r_window_range_frame" -> rWindowRangeFrame,
     "r_transitions" -> rTransitions,
+    "r_window_dist" -> rWindowDist,
+    "r_resample" -> rResample,
     "r_agg_group" -> rAggGroup,
     "r_scd2" -> rScd2,
     "r_agg_distinct" -> rAggDistinct,
@@ -579,6 +628,36 @@ object TierR {
         |            AS DOUBLE) / 1e6 AS rev_7d
         |FROM t
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, day, rev_7d""".stripMargin,
+    "r_window_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |       round(cume_dist() OVER w, 4) AS cd,
+        |       round(percent_rank() OVER w, 4) AS pr,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "r_resample" ->
+      s"""WITH ev AS (SELECT user_id,
+        |              CAST(datediff('day', DATE '1970-01-01',
+        |                CAST(ts AS DATE)) AS BIGINT) AS day,
+        |              value FROM events),
+        |daily AS (SELECT user_id, day, count(1) AS n_events,
+        |            ${moneySumSql("value")} AS day_value
+        |          FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |         FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+        |         FROM span),
+        |f AS (SELECT g.user_id, g.day,
+        |        CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+        |        round(COALESCE(last_value(d.day_value IGNORE NULLS) OVER
+        |          (PARTITION BY g.user_id ORDER BY g.day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |          0), 4) AS value_ff
+        |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, day, n_events, value_ff
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "r_transitions" ->
       """WITH s AS (SELECT user_id, event_type AS from_type,
         |             lead(event_type, 1) OVER (PARTITION BY user_id

@@ -161,6 +161,39 @@ class TierRSpec extends SparkSpec {
     assert(out.forall(_._2 > 0))
   }
 
+  test("resample: continuous day grid per user, zero-fill + carry-forward") {
+    val out = q("r_resample").cache()
+    // grid is gap-free: per user, row count == day span
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val bad = out.groupBy("user_id")
+      .agg(fmin("day").as("d0"), fmax("day").as("d1"),
+        count(lit(1)).as("n"))
+      .filter(col("n") =!= col("d1") - col("d0") + 1).count()
+    assert(bad == 0)
+    // gap rows are zero-count but carry the last seen value
+    val gaps = out.filter(col("n_events") === 0)
+    if (gaps.count() > 0)
+      assert(gaps.filter(col("value_ff") === 0d).count() < gaps.count() ||
+        out.filter(col("n_events") > 0).count() > 0)
+    // totals conserve: sum of n_events equals the event count
+    assert(out.agg(sum("n_events")).head.getLong(0) ==
+      Tables(spark, sf, "events").count())
+    out.unpersist()
+  }
+
+  test("window dist: cume_dist in (0,1], quartiles balanced within 1") {
+    val out = q("r_window_dist").cache()
+    assert(out.filter(col("cd") <= 0 || col("cd") > 1).count() == 0)
+    assert(out.filter(col("pr") < 0 || col("pr") > 1).count() == 0)
+    // ntile(4) balance: per priority, quartile sizes differ by at most 1
+    val sizes = out.groupBy("o_orderpriority", "quartile").count()
+      .groupBy("o_orderpriority")
+      .agg((org.apache.spark.sql.functions.max("count") -
+        org.apache.spark.sql.functions.min("count")).as("spread"))
+    assert(sizes.filter(col("spread") > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("funnel: stages require strict ordering, counts monotone") {
     import spark.implicits._
     import java.sql.Timestamp
