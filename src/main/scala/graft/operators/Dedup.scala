@@ -378,7 +378,17 @@ object Dedup {
     * per-doc hashes instead of every token occurrence. Natural-text
     * token repetition makes that a multiple-× shrink; results are
     * identical (sum of ±1 per token ≡ sum of ±cnt per distinct hash). */
-  def simHashes(docs: DataFrame): DataFrame = {
+  def simHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.expressions.SimHashWords.of(col("text"))
+        .getField("sim_lo").as("simhash"))
+
+  /** Aggregate-form reference implementation of [[simHashes]] (explode →
+    * (doc, hash) pre-collapse → 32 conditional bit-sums). Kept for the
+    * ExpressionSpec bit-identity pin; the fused
+    * [[graft.expressions.SimHashWords]] expression is the default path
+    * (row-local, no pre-blocking shuffles). */
+  def simHashesAgg(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), Hashing.hash32(col("t")).as("h"))
@@ -640,7 +650,17 @@ object Dedup {
     * (Manku et al., WWW'07): with maxHamming+1 blocks over 64 bits the
     * pigeonhole blocks are ~9 bits wide instead of ~4-5, so block
     * buckets are ~20× more selective at identical plan shape. */
-  def simHashes64(docs: DataFrame): DataFrame = {
+  def simHashes64(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.expressions.SimHashWords.of(col("text")).as("w"))
+      .select(col("doc_id"),
+        col("w").getField("sim_lo").as("sim_lo"),
+        col("w").getField("sim_hi").as("sim_hi"))
+
+  /** Aggregate-form reference implementation of [[simHashes64]] — see
+    * [[simHashesAgg]]. */
+  def simHashes64Agg(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),

@@ -23,6 +23,45 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("SimHashWords is bit-identical to the aggregate form on the corpus") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val fused64 = Dedup.simHashes64(docs)
+    val agg64 = Dedup.simHashes64Agg(docs)
+    assert(fused64.exceptAll(agg64).count() == 0 &&
+      agg64.exceptAll(fused64).count() == 0)
+    val fused32 = Dedup.simHashes(docs)
+    val agg32 = Dedup.simHashesAgg(docs)
+    assert(fused32.exceptAll(agg32).count() == 0 &&
+      agg32.exceptAll(fused32).count() == 0)
+  }
+
+  test("SimHashWords: split keep-empties semantics, null input, codegen") {
+    import spark.implicits._
+    import graft.expressions.SimHashWords
+    import graft.operators.Dedup
+    // consecutive/trailing spaces and the empty string produce empty
+    // tokens in split(text, ' ') — the fused form must match exactly
+    val tricky = Seq((0L, "a  b "), (1L, ""), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val fused = Dedup.simHashes64(tricky)
+    val agg = Dedup.simHashes64Agg(tricky)
+    assert(fused.exceptAll(agg).count() == 0 &&
+      agg.exceptAll(fused).count() == 0)
+    // null text -> null fingerprint
+    val withNull = Seq((0L, Option("x")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = withNull.select(SimHashWords.of(col("text")).as("w")).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+    // runs inside whole-stage codegen (parquet scan source — a local
+    // relation would fold to LocalTableScan and prove nothing)
+    val df = Tables(spark, sf, "documents")
+      .select(SimHashWords.of(col("text")).as("w"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"))
+  }
+
   test("DotProductFloat is bit-identical to the composable form") {
     val df = vecs.limit(200).select(
       DotProductFloat(col("embedding"), col("embedding")).as("fused"),
