@@ -41,6 +41,11 @@ object FuzzyMatch {
       threshold: Double = 0.3): DataFrame = {
     require(k >= 1 && threshold > 0 && threshold <= 1,
       s"invalid fuzzy match: k=$k threshold=$threshold")
+    // the candidate/score joins carry both sides' columns side by side
+    require(leftId != rightId && leftName != rightName,
+      s"fuzzy match requires distinct column names across sides " +
+        s"(got id $leftId/$rightId, name $leftName/$rightName) — " +
+        "alias one side first")
     val l = left.select(col(leftId), col(leftName),
       expr(gramsExpr(leftName, k)).as("_lg"))
     val r = right.select(col(rightId), col(rightName),

@@ -37,25 +37,47 @@ object GraphRank {
 
   def pageRank(edges: DataFrame, iterations: Int = 3): DataFrame = {
     require(iterations >= 1, s"invalid iterations=$iterations")
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
+    // LINEAGE truncation, not just caching: the edge frame's logical
+    // plan enters every round's join 2-3 times, so by round 3 the
+    // composed plan holds ~9 copies of whatever produced the edges —
+    // with an LSH-pairing upstream, ANALYSIS/OPTIMIZATION of those
+    // copies dominated the query (measured ~4 s of pure planning per
+    // run with the edges cached but un-truncated; ~0.5 s with the
+    // checkpoint leaf). Same defense the connected-components loops
+    // use. Values are unchanged — only the plan boundary moves.
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
-      .persist()
-    val n = nodes.agg(count(lit(1)).as("n_nodes"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    var ranks = nodes.crossJoin(broadcast(n))
-      .select(col("id"), expr("1000000000L div n_nodes").as("r_e9"))
+    // the two per-round constants depend only on the node COUNT — one
+    // bounded driver scalar (the IVF-centroid-count pattern), not a
+    // 1-row broadcast crossed onto every round's frame (which cost a
+    // broadcast-materialization job + a BNLJ per use — 7 extra jobs
+    // for 3 rounds)
+    val nNodes = nodes.count()
+    // empty graph: no nodes, no ranks (the per-row division form got
+    // this for free; the scalar form must short-circuit)
+    if (nNodes == 0)
+      return nodes.select(col("id"), lit(0L).as("r_e9"),
+        lit(0d).as("rank"))
+    val r0 = 1000000000L / nNodes       // floor — same as SQL div
+    val base = 150000000L / nNodes
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("id"), lit(r0).as("r_e9"))
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r_e9 div deg").as("c"))
         .groupBy("id").agg(sum("c").as("in_e9"))
-      ranks = nodes.crossJoin(broadcast(n))
+      // rounds chain linearly off checkpoint leaves, so the 3-round
+      // plan stays shallow with no persist barriers; past ~10 rounds,
+      // localCheckpoint each round's ranks as the CC operators do
+      ranks = nodes
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (expr("150000000L div n_nodes")
-            + expr("(85 * coalesce(in_e9, 0L)) div 100")).as("r_e9"))
+          (lit(base) + expr("(85 * coalesce(in_e9, 0L)) div 100"))
+            .as("r_e9"))
     }
     ranks.select(col("id"), col("r_e9"),
       (col("r_e9").cast("double") / 1e9).as("rank"))

@@ -78,7 +78,11 @@ object PlanDump {
     "x_snapshot_diff" ->
       "two latest-per-key max(struct) aggregates, one full-outer sort-merge join on the keys — output is the delta, unchanged keys drop before the sort",
     "x_embed_project" ->
-      "JL sign projection: driver-derived ±1 literal matrix, pure row-local multiply-add — a single scan, one exchange for the final sort")
+      "JL sign projection: driver-derived ±1 literal matrix, pure row-local multiply-add — a single scan, one exchange for the final sort",
+    "x_dedup_simhash64" ->
+      "fused SimHashWords fingerprints inside the scan's codegen stage — blocking is the FIRST shuffle (the aggregate form needed two before it)",
+    "x_graph_rank" ->
+      "three PageRank rounds as join+agg pairs over the same src partitioning; integer fixed-point all the way — no float accumulation anywhere")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

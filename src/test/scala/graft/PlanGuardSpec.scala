@@ -28,14 +28,12 @@ class PlanGuardSpec extends SparkSpec {
     * the unigram-LM OOV-floor scalar (1 row onto the token stream),
     * the encode pass's 1-row `<unk>`-id frame, the NB classifier's
     * 1-row vocabulary-size / corpus-count scalars and |langs|-row
-    * grid, the funnel's 1-row stage-1 count, and PageRank's 1-row
-    * node-count scalar (crossed onto the node list each round). */
+    * grid, and the funnel's 1-row stage-1 count. */
   private val bnljAllowed = Set(
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
     "x_domain_mix", "x_ngram_lm",
-    "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel",
-    "x_graph_rank")
+    "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {

@@ -175,6 +175,51 @@ class PropertySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("winnowing guarantee: docs sharing a w+k-1 token run share a fingerprint") {
+    import graft.operators.TextAnalysis
+    // Schleimer et al. theorem 1: any match of length >= w + k - 1
+    // tokens is caught. Generate a random shared run of exactly that
+    // length and embed it at random offsets inside two otherwise
+    // independent random documents.
+    val tok = Gen.oneOf((0 until 30).map(i => s"t$i"))
+    val docGen = Gen.zip(
+      Gen.listOfN(6, tok),                // the shared run (w+k-1 = 6)
+      Gen.listOfN(8, tok), Gen.listOfN(8, tok),  // doc 1 prefix/suffix
+      Gen.listOfN(8, tok), Gen.listOfN(8, tok))  // doc 2 prefix/suffix
+    forAll(docGen) { case (run, p1, s1, p2, s2) =>
+      val d1 = (p1 ++ run ++ s1).mkString(" ")
+      val d2 = (p2 ++ run ++ s2).mkString(" ")
+      val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val fps = TextAnalysis.winnow(docs, k = 3, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+      val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+      assert(f1.intersect(f2).nonEmpty,
+        s"guarantee violated for run=${run.mkString(" ")}")
+    }
+  }
+
+  test("fuzzy best-match jacc is reflexive-max: a name always matches itself at 1.0") {
+    import graft.operators.FuzzyMatch
+    val name = Gen.listOfN(6, Gen.alphaUpperChar).map(_.mkString)
+    forAll(Gen.listOfN(5, name)) { names =>
+      whenever(names.distinct.size == names.size) {
+        val rows = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        val l = rows.toDF("l_id", "l_name")
+        val r = rows.toDF("r_id", "r_name")
+        val m = FuzzyMatch.bestMatch(l, r, "l_id", "l_name",
+          "r_id", "r_name", k = 2, threshold = 0.1)
+        // self scores 1.0, so every left row's winner must score 1.0
+        // (identical-gram-set doppelgangers can tie, but never beat it)
+        val got = m.collect()
+          .map(x => x.getLong(0) -> (x.getLong(2), x.getDouble(4))).toMap
+        names.indices.foreach { i =>
+          assert(got(i.toLong)._2 == 1.0, s"best for $i not 1.0: $got")
+        }
+      }
+    }
+  }
+
   test("cluster convergence probes cost two executions per round") {
     import graft.operators.Dedup
     // {(1,2),(3,4)} converges in exactly ONE round for both algorithms,
