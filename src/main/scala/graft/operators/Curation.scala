@@ -215,6 +215,39 @@ object Curation {
         "lang_rank")
   }
 
+  /** Composed PREPARATION pipeline — the second end-to-end lineage next
+    * to [[curate]], chaining the quality-side operators: perplexity
+    * quality filter ([[perplexityFilter]]) → cross-document boilerplate
+    * stripping ([[graft.operators.TextAnalysis.boilerplateStrip]], with
+    * the gram document-frequency computed over the FILTERED corpus —
+    * composition changes the df denominator, which is exactly what a
+    * staged pipeline does) → context-window chunking of the cleaned
+    * text ([[graft.operators.TextAnalysis.chunkSplit]]).
+    *
+    * The filtered frame feeds the strip's gram stream, its df
+    * aggregate, and the reassembly projection — persisted once so the
+    * quality scoring runs once, not once per branch (the [[curate]]
+    * pattern). No new shuffle structure beyond the audited component
+    * operators.
+    *
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
+  def prepare(
+      docs: DataFrame,
+      vocabSize: Int = 20,
+      keepFrac: Double = 0.75,
+      n: Int = 3,
+      minDocs: Int = 4,
+      maxTokens: Int = 30,
+      stride: Int = 30): DataFrame = {
+    val kept = perplexityFilter(docs, vocabSize, keepFrac).select("doc_id")
+    val filtered = docs.join(kept, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stripped = TextAnalysis.boilerplateStrip(filtered, n, minDocs)
+    TextAnalysis.chunkSplit(
+      stripped.select(col("doc_id"), col("clean_text").as("text")),
+      maxTokens, stride)
+  }
+
   /** Deterministic corpus shuffle: assign every document a stable
     * pseudo-random training order. order key = hash32(salt ':' doc_id)
     * (tie-broken by doc_id), position = dense 0..n-1 rank in that

@@ -343,6 +343,12 @@ object TierX {
     "x_heavy_cms" -> ((s, d) =>
       TextAnalysis.heavyHittersCms(docs(s, d), depth = 4, width = 64,
         topK = 10).orderBy("tok")),
+    "x_pipeline_prepare" -> ((s, d) =>
+      // the quality-side composition: perplexity filter → boilerplate
+      // strip (df over the filtered corpus) → chunk, one lineage
+      Curation.prepare(docs(s, d), vocabSize = 20, keepFrac = 0.75,
+        n = 3, minDocs = 4, maxTokens = 30, stride = 30)
+        .orderBy("doc_id", "chunk_id")),
     "x_join_fuzzy" -> ((s, d) => {
       // entity resolution: nation names with a deterministic one-char
       // deletion (at position key mod length) matched back to the
@@ -1396,6 +1402,69 @@ object TierX {
         |      FROM sc)
         |SELECT label, vec_id, cos_c, out_rank FROM r
         |WHERE out_rank <= 5 ORDER BY label, out_rank""".stripMargin,
+    // the full prepare lineage re-derived: unigram-LM quality filter
+    // (order-statistic cutoff), boilerplate strip with the gram df over
+    // the FILTERED corpus, then 30/30 chunking of the cleaned text
+    "x_pipeline_prepare" ->
+      """WITH qt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |qc AS (SELECT tok, count(1) AS cnt FROM qt GROUP BY 1),
+        |qtot AS (SELECT sum(cnt) AS total FROM qc),
+        |qv AS (SELECT tok,
+        |         CAST(round(log10(CAST(cnt AS DOUBLE) / total) * 10000)
+        |           AS BIGINT) AS logp_e4
+        |       FROM qc, qtot ORDER BY cnt DESC, tok LIMIT 20),
+        |qf AS (SELECT CAST(round(log10(1.0 / total) * 10000) AS BIGINT)
+        |         AS floor_e4 FROM qtot),
+        |qs AS (SELECT qt.doc_id,
+        |         coalesce(qv.logp_e4, qf.floor_e4) AS tok_e4
+        |       FROM qt LEFT JOIN qv USING (tok), qf),
+        |qsc AS (SELECT doc_id,
+        |          CAST(sum(tok_e4) AS DOUBLE) / 10000 / count(1)
+        |            AS avg_logp
+        |        FROM qs GROUP BY doc_id),
+        |qj AS (SELECT d.doc_id, d.lang, qsc.avg_logp
+        |       FROM documents d JOIN qsc USING (doc_id)),
+        |qr AS (SELECT doc_id, lang, avg_logp,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |           ORDER BY avg_logp DESC, doc_id) AS BIGINT) AS lrank,
+        |         count(1) OVER (PARTITION BY lang) AS n_lang
+        |       FROM qj),
+        |keep AS (SELECT doc_id FROM qr
+        |         WHERE lrank <= ceil(n_lang * 0.75)),
+        |tw AS (SELECT d.doc_id, string_split(d.text, ' ') AS wd
+        |       FROM documents d JOIN keep USING (doc_id)),
+        |bg AS (SELECT doc_id, i AS p,
+        |         array_to_string(list_slice(wd, i, i + 2), ' ') AS gram
+        |       FROM tw, unnest(range(1, len(wd) - 1)) z(i)
+        |       WHERE len(wd) >= 3),
+        |hot AS (SELECT gram FROM (SELECT gram,
+        |          count(DISTINCT doc_id) AS df2 FROM bg GROUP BY gram)
+        |        WHERE df2 >= 4),
+        |covt AS (SELECT doc_id, list_sort(list(DISTINCT cp)) AS cov
+        |         FROM (SELECT DISTINCT doc_id, p + o AS cp
+        |               FROM bg JOIN hot USING (gram),
+        |                    unnest(range(0, 3)) zz(o))
+        |         GROUP BY doc_id),
+        |cl AS (SELECT tw.doc_id,
+        |         array_to_string([wd[i] for i in range(1, len(wd) + 1)
+        |                          if cov IS NULL
+        |                             OR NOT list_contains(cov, i)], ' ')
+        |           AS text
+        |       FROM tw LEFT JOIN covt USING (doc_id)),
+        |w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM cl),
+        |st2 AS (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w), 30)) AS s FROM w2),
+        |c2 AS (SELECT doc_id, w, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+        |           AS chunk_id
+        |       FROM st2)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(w, CAST(s AS INT),
+        |         CAST(s + 29 AS INT))) AS BIGINT) AS n_chunk_tokens,
+        |       array_to_string(list_slice(w, CAST(s AS INT),
+        |         CAST(s + 29 AS INT)), ' ') AS chunk_text
+        |FROM c2 ORDER BY doc_id, chunk_id""".stripMargin,
     // gram-blocked entity resolution re-derived end-to-end: the same
     // deterministic one-char deletion, bigram sets, blocking join,
     // set-Jaccard, and (jacc desc, key asc) best-match rank

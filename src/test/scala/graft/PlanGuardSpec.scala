@@ -33,7 +33,9 @@ class PlanGuardSpec extends SparkSpec {
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
     "x_domain_mix", "x_ngram_lm",
-    "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel")
+    "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel",
+    // inherits x_quality_filter's OOV-floor scalar through its first stage
+    "x_pipeline_prepare")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {

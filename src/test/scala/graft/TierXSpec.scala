@@ -991,6 +991,29 @@ class TierXSpec extends SparkSpec {
     assert(degenerate.collect().forall(_.getAs[Long]("cms_est") == total))
   }
 
+  test("prepare pipeline: stage composition consistent with components") {
+    val docs = Tables(spark, sf, "documents")
+    val out = SparkEntry.queries("x_pipeline_prepare")(spark, sf).cache()
+    // chunked doc set == the quality-filter keep set (filter upstream)
+    val keptIds = Curation.perplexityFilter(docs, vocabSize = 20,
+      keepFrac = 0.75).select("doc_id")
+    val chunkIds = out.select("doc_id").distinct()
+    assert(chunkIds.exceptAll(keptIds).count() == 0 &&
+      keptIds.exceptAll(chunkIds).count() == 0)
+    // non-overlapping 30/30 chunks: per-doc token totals reconstruct
+    // the stripped text's token count exactly
+    val filtered = docs.join(keptIds, "doc_id")
+    val strippedCounts = TextAnalysis
+      .boilerplateStrip(filtered, n = 3, minDocs = 4)
+      .select(col("doc_id"),
+        size(split(col("clean_text"), " ")).cast("long").as("n_clean"))
+    val chunkSums = out.groupBy("doc_id")
+      .agg(sum("n_chunk_tokens").as("n_chunked"))
+    assert(chunkSums.join(strippedCounts, "doc_id")
+      .filter(col("n_chunked") =!= col("n_clean")).count() == 0)
+    out.unpersist()
+  }
+
   test("fuzzyMatch: typo'd names resolve to their source, exact names to self") {
     import spark.implicits._
     import graft.operators.FuzzyMatch
