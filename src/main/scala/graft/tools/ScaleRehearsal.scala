@@ -148,7 +148,17 @@ object ScaleRehearsal {
       "knn_graph" -> (() =>
         SimilaritySearch.knnGraph(
           SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
-            nBits = 64, rowsPerBand = 8).persist(), k = 3)))
+            nBits = 64, rowsPerBand = 8).persist(), k = 3)),
+      // iterative PageRank over the 10× similarity graph: the
+      // localCheckpoint lineage cut + scalar constants must hold at
+      // cluster-like partition counts (3 join+agg rounds, no BNLJ)
+      "graph_rank" -> (() =>
+        graft.operators.GraphRank.pageRank(
+          SimilaritySearch.knnGraph(
+            SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
+              nBits = 64, rowsPerBand = 8).persist(), k = 3)
+            .select("src", "dst"),
+          iterations = 3)))
 
     Captured.drain()
     val results = ops.map { case (name, f) =>
