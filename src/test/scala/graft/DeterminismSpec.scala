@@ -22,7 +22,10 @@ class DeterminismSpec extends SparkSpec {
     "x_corpus_shuffle",  // zipWithIndex offsets across partition counts
     "x_graph_rank",      // iterative join+agg rounds, integer fixed-point
     "x_quality_filter",  // rank window over cross-engine double scores
-    "x_heavy_cms")       // sketch counter grid across merge orders
+    "x_heavy_cms",       // sketch counter grid across merge orders
+    "x_pipeline_prepare", // the composed quality lineage end to end
+    "x_join_fuzzy",      // blocked candidates + rank across partitionings
+    "r_resample")        // span grids + carry-forward frames
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
