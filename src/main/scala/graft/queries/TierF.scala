@@ -222,6 +222,26 @@ object TierF {
       .orderBy("o_orderstatus")
   }
 
+  /** Schema evolution across dataset generations: two parquet
+    * generations of orders (the later one adds `o_totalprice`) read
+    * through `mergeSchema=true` — pre-evolution rows surface NULL for
+    * the added column and the aggregate handles both generations in one
+    * pass. The reader-side contract every long-lived warehouse layout
+    * eventually needs; generation counts + null accounting are
+    * oracle-checked against the unsplit original. */
+  private val fSchemaMerge: Q = (s, d) => {
+    val dir = graft.sources.Sinks.ensureEvolvedOrders(s, d)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+          .as("n_pre_evolution"),
+        graft.Conventions.moneySum(coalesce(col("o_totalprice"), lit(0d)))
+          .as("sum_price_evolved"))
+      .orderBy("o_orderstatus")
+  }
+
   /** S3/P1 (fotmob-dag.py:39-44,74-77): JSON document parse + nested field
     * access. `from_json` with a declared schema, then struct-path
     * projection — the Spark shape of the reference's dict indexing. */
@@ -247,7 +267,8 @@ object TierF {
     "f_explode_json" -> fExplodeJson,
     "f_star_join_sql" -> fStarJoinSql,
     "f_csv_ingest" -> fCsvIngest,
-    "f_orc_ingest" -> fOrcIngest)
+    "f_orc_ingest" -> fOrcIngest,
+    "f_schema_merge" -> fSchemaMerge)
 
   val oracle: Map[String, String] = Map(
     "f_scan_project" ->
@@ -340,5 +361,16 @@ object TierF {
       s"""SELECT o_orderstatus, count(1) AS n_orders,
         |       ${moneySumSql("o_totalprice")} AS sum_price
         |FROM orders WHERE o_totalprice > 1000
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the evolved layout re-derived: even keys are generation v=1
+    // (no price column -> NULL under the merged schema)
+    "f_schema_merge" ->
+      s"""SELECT o_orderstatus, count(1) AS n_orders,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_pre_evolution,
+        |       ${moneySumSql(
+             "CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE o_totalprice END")}
+        |         AS sum_price_evolved
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

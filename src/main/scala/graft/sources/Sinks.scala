@@ -78,6 +78,32 @@ object Sinks {
       dir
     }
 
+  /** Schema-evolved orders layout for the `f_schema_merge` query,
+    * written once per JVM per scale factor: generation v=1 holds the
+    * narrow original schema (key, status, priority — even order keys),
+    * generation v=2 adds the later `o_totalprice` column (odd keys) —
+    * the layout every long-lived dataset grows into as its producer
+    * evolves. Readers opt into `mergeSchema=true` and see the union
+    * schema with NULLs for the pre-evolution rows. */
+  def ensureEvolvedOrders(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_evolved/" +
+        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      if (!writtenLayouts.contains(dir)) {
+        val o = graft.Tables(spark, sfDir, "orders")
+        o.filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/v=1")
+        o.filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice")
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/v=2")
+        writtenLayouts += dir
+      }
+      dir
+    }
+
   /** Bucketed orders/customer pair for the `x_join_bucket`
     * demonstration query, written once per JVM per scale factor into
     * the session catalog. Both tables bucket (and sort) on the join

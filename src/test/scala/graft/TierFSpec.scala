@@ -93,4 +93,20 @@ class TierFSpec extends SparkSpec {
     val totalRows = Tables(spark, sf, "orders").count()
     assert(goodTotal == totalRows - expectedBad)
   }
+
+  test("f_schema_merge unions both generations and nulls the added column") {
+    val rows = q("f_schema_merge").collect()
+    val orders = Tables(spark, sf, "orders")
+    // every row accounted for across the two generations
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders.count())
+    // pre-evolution count = even order keys (generation v=1, no price col)
+    assert(rows.map(_.getAs[Long]("n_pre_evolution")).sum ==
+      orders.filter(col("o_orderkey") % 2 === 0).count())
+    // merged read must surface the evolved column for v=2 rows: the summed
+    // price over the merged layout equals the odd-key sum on the original
+    val evolved = rows.map(_.getAs[Double]("sum_price_evolved")).sum
+    val expected = orders.filter(col("o_orderkey") % 2 =!= 0)
+      .agg(Conventions.moneySum(col("o_totalprice"))).collect()(0).getDouble(0)
+    assert(math.abs(evolved - expected) < 1e-6)
+  }
 }
