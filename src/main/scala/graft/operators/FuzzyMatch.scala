@@ -68,4 +68,41 @@ object FuzzyMatch {
       .select(col(leftId), col(leftName), col(rightId), col(rightName),
         col("jacc"))
   }
+
+  /** Symmetric self-match: every UNORDERED record pair (id₁ < id₂)
+    * whose name Jaccard is at or above `threshold` — the pair
+    * generator for entity-resolution clustering
+    * ([[Dedup.clusters]] over the result assigns canonical entity
+    * ids). Same gram-blocking candidate structure as [[bestMatch]]:
+    * explode distinct k-grams, equi-join on the gram value with an
+    * id-order predicate, so the pairing is Σ_grams C(|bucket|, 2),
+    * never C(|records|, 2).
+    *
+    * Output: (d1, d2, jacc) with d1 < d2 — the column contract
+    * [[Dedup.clusters]] expects. */
+  def matchPairs(
+      records: DataFrame,
+      id: String, name: String,
+      k: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    require(k >= 1 && threshold > 0 && threshold <= 1,
+      s"invalid fuzzy match: k=$k threshold=$threshold")
+    val g = records.select(col(id), expr(gramsExpr(name, k)).as("_g"))
+    val ex = g.select(col(id), explode(col("_g")).as("gram"))
+    val cand = ex.as("a")
+      .join(ex.as("b"),
+        col("a.gram") === col("b.gram") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("d1"), col(s"b.$id").as("d2"))
+      .distinct()
+    cand
+      .join(g.select(col(id).as("d1"), col("_g").as("_ga")), "d1")
+      .join(g.select(col(id).as("d2"), col("_g").as("_gb")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("_ga"), col("_gb"))).cast("double"))
+      .withColumn("jacc", round(
+        col("inter") / (size(col("_ga")) + size(col("_gb"))
+          - col("inter")), 4))
+      .filter(col("jacc") >= threshold)
+      .select("d1", "d2", "jacc")
+  }
 }

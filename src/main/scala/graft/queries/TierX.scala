@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, count, expr, lit, lpad, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, lit, lpad, max, min, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -364,6 +364,71 @@ object TierX {
         dirty, nat, "d_key", "d_name", "n_nationkey", "n_name",
         k = 2, threshold = 0.3)
         .orderBy("d_key")
+    }),
+    "x_expect_constraints" -> ((s, d) => {
+      // Deequ-style admission gate over a batch: 4 single-scan
+      // aggregate constraints + 1 anti-join referential check; the
+      // range and accepted-values constraints are tuned to FAIL on
+      // this data so both verdict paths are exercised
+      import graft.operators.Expectations._
+      validate(Tables(s, d, "orders"), Seq(
+        NotNull("completeness_custkey", "o_custkey"),
+        Unique("uniqueness_orderkey", "o_orderkey"),
+        InRange("range_totalprice", "o_totalprice", 0d, 450000d),
+        InSet("accepted_status", "o_orderstatus", Seq("O", "F")),
+        RefIntegrity("ri_custkey", "o_custkey",
+          Tables(s, d, "customer"), "c_custkey")))
+        .orderBy("check_name")
+    }),
+    "x_split_leakage" -> ((s, d) => {
+      // cluster-aware train/test split: near-dup clusters must not
+      // straddle splits, so the split key is the cluster REPRESENTATIVE
+      // (singletons are their own rep) rather than the doc — shown next
+      // to the naive per-doc split and a per-cluster leakage audit of it
+      val dd = docs(s, d)
+      val cl = Dedup.clusters(
+        Dedup.nearDupMinHash(dd, k = 3, threshold = 0.8))
+      val withRep = dd.select("doc_id")
+        .join(cl.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      val naive = Curation.hashSplit(dd)
+        .select(col("doc_id"), col("split").as("naive_split"))
+      val cb = graft.functions.Hashing.hash32(
+        concat(lit("csplit:"), col("rep_id").cast("string"))) % 100
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("rep_id")
+      withRep.join(naive, "doc_id")
+        .withColumn("split",
+          when(cb < 80, "train").when(cb < 90, "val").otherwise("test"))
+        .withColumn("cluster_leaky",
+          min("naive_split").over(w) =!= max("naive_split").over(w))
+        .select("doc_id", "rep_id", "split", "naive_split", "cluster_leaky")
+        .orderBy("doc_id")
+    }),
+    "x_entity_resolve" -> ((s, d) => {
+      // full entity resolution: gram-blocked fuzzy pairs → connected
+      // components → canonical entity id per record. Entity universe =
+      // distinct part names (id = min partkey); dirty records add the
+      // x_join_fuzzy deterministic one-char deletion at id offset 10000
+      val clean = Tables(s, d, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(min("p_partkey").as("rec_id"))
+        .select(col("rec_id"), col("name"))
+      val pos = "CAST(rec_id % length(name) AS INT)"
+      val dirty = clean.select(
+        (col("rec_id") + 10000L).as("rec_id"),
+        expr(s"concat(substring(name, 1, $pos), " +
+          s"substring(name, $pos + 2))").as("name"))
+      val records = clean.unionByName(dirty)
+      val cl = Dedup.clusters(graft.operators.FuzzyMatch.matchPairs(
+        records, "rec_id", "name", k = 2, threshold = 0.6))
+      records
+        .join(cl.select(col("doc_id").as("rec_id"), col("rep_id"),
+          col("cluster_size")), Seq("rec_id"), "left")
+        .select(col("rec_id"), col("name"),
+          coalesce(col("rep_id"), col("rec_id")).as("entity_id"),
+          coalesce(col("cluster_size"), lit(1L)).as("entity_size"))
+        .orderBy("rec_id")
     }))
 
   /** Shared oracle fragments (DuckDB SQL). */
@@ -1502,6 +1567,103 @@ object TierX {
         |      FROM sc WHERE jacc >= 0.3)
         |SELECT d_key, d_name, n_nationkey, n_name, jacc
         |FROM r WHERE rk = 1 ORDER BY d_key""".stripMargin,
+    "x_expect_constraints" ->
+      """WITH m AS (SELECT count(1) AS n_rows,
+        |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |         count(DISTINCT o_orderkey) AS n_keys,
+        |         sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+        |                       OR o_totalprice > 450000
+        |                  THEN 1 ELSE 0 END) AS v_range,
+        |         sum(CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END)
+        |           AS v_set
+        |       FROM orders),
+        |ri AS (SELECT count(1) AS v
+        |       FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |       WHERE c_custkey IS NULL),
+        |r AS (SELECT 'completeness_custkey' AS check_name,
+        |             CAST(v_null AS BIGINT) AS violations FROM m
+        |      UNION ALL SELECT 'uniqueness_orderkey',
+        |                       CAST(n_rows - n_keys AS BIGINT) FROM m
+        |      UNION ALL SELECT 'range_totalprice',
+        |                       CAST(v_range AS BIGINT) FROM m
+        |      UNION ALL SELECT 'accepted_status',
+        |                       CAST(v_set AS BIGINT) FROM m
+        |      UNION ALL SELECT 'ri_custkey', CAST(v AS BIGINT) FROM ri)
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM r ORDER BY check_name""".stripMargin,
+    // the x_dedup_cluster partition re-derived, then BOTH split
+    // assignments (cluster-rep-keyed and naive doc-keyed) from the same
+    // portable hash32, plus the per-cluster leakage audit of the naive one
+    "x_split_leakage" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |mp AS (SELECT d1, d2 FROM jx
+        |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM mp
+        |          UNION SELECT d2, d1 FROM mp),
+        |reach(id, x) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
+        |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
+        |wr AS (SELECT d.doc_id, coalesce(lab.rep_id, d.doc_id) AS rep_id
+        |       FROM documents d LEFT JOIN lab ON d.doc_id = lab.id),
+        |sp AS (SELECT doc_id, rep_id,
+        |         ${hash32("'csplit:' || CAST(rep_id AS VARCHAR)")} % 100 AS cb,
+        |         ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS nb
+        |       FROM wr),
+        |lbl AS (SELECT doc_id, rep_id,
+        |          CASE WHEN cb < 80 THEN 'train'
+        |               WHEN cb < 90 THEN 'val' ELSE 'test' END AS split,
+        |          CASE WHEN nb < 80 THEN 'train'
+        |               WHEN nb < 90 THEN 'val' ELSE 'test' END AS naive_split
+        |        FROM sp)
+        |SELECT doc_id, rep_id, split, naive_split,
+        |       min(naive_split) OVER (PARTITION BY rep_id)
+        |         <> max(naive_split) OVER (PARTITION BY rep_id)
+        |         AS cluster_leaky
+        |FROM lbl ORDER BY doc_id""".stripMargin,
+    // gram-blocked pair generation (x_join_fuzzy shape, symmetric) +
+    // recursive-CTE connected components (x_dedup_cluster shape) over
+    // the part-name entity universe
+    "x_entity_resolve" ->
+      """WITH RECURSIVE
+        |cleanr AS (SELECT min(p_partkey) AS rec_id, p_name AS name
+        |           FROM part GROUP BY p_name),
+        |dirty AS (SELECT rec_id + 10000 AS rec_id,
+        |            substr(name, 1, CAST(rec_id % length(name) AS INT))
+        |            || substr(name, CAST(rec_id % length(name) AS INT) + 2)
+        |              AS name
+        |          FROM cleanr),
+        |recs AS (SELECT rec_id, name FROM cleanr
+        |         UNION ALL SELECT rec_id, name FROM dirty),
+        |g AS (SELECT rec_id, name,
+        |        list_distinct([substr(name, i, 2)
+        |          for i in range(1, greatest(length(name) - 1, 1) + 1)]) AS g
+        |      FROM recs),
+        |cand AS (SELECT DISTINCT a.rec_id AS d1, b.rec_id AS d2
+        |         FROM (SELECT rec_id, unnest(g) AS gram FROM g) a
+        |         JOIN (SELECT rec_id, unnest(g) AS gram FROM g) b
+        |           USING (gram)
+        |         WHERE a.rec_id < b.rec_id),
+        |pr AS (SELECT d1, d2 FROM cand
+        |       JOIN g ga ON cand.d1 = ga.rec_id
+        |       JOIN g gb ON cand.d2 = gb.rec_id
+        |       WHERE round(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |         / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))),
+        |         4) >= 0.6),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+        |reach(id, x) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
+        |lab AS (SELECT id, least(id, min(x)) AS rep_id FROM reach GROUP BY id),
+        |sz AS (SELECT rep_id, count(1) AS n FROM lab GROUP BY rep_id)
+        |SELECT r.rec_id, r.name,
+        |       coalesce(lab.rep_id, r.rec_id) AS entity_id,
+        |       CAST(coalesce(sz.n, 1) AS BIGINT) AS entity_size
+        |FROM recs r LEFT JOIN lab ON r.rec_id = lab.id
+        |            LEFT JOIN sz ON lab.rep_id = sz.rep_id
+        |ORDER BY r.rec_id""".stripMargin,
     // the x_dedup_embed candidate pairs, symmetrized and ranked into a
     // per-vector top-3 neighbor list
     "x_knn_graph" ->

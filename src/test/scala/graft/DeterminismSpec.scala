@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkSpec {
     "x_heavy_cms",       // sketch counter grid across merge orders
     "x_pipeline_prepare", // the composed quality lineage end to end
     "x_join_fuzzy",      // blocked candidates + rank across partitionings
-    "r_resample")        // span grids + carry-forward frames
+    "r_resample",        // span grids + carry-forward frames
+    "x_split_leakage",   // CC labels + window audit across partitionings
+    "x_entity_resolve")  // blocked pairs -> CC entity ids
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {

@@ -1048,4 +1048,63 @@ class TierXSpec extends SparkSpec {
     assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
     out.unpersist()
   }
+
+  test("Expectations.validate counts nulls, dupes and orphans on a crafted frame") {
+    import graft.operators.Expectations._
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (2L, Option("z"))).toDF("k", "v")
+    val ref = Seq(Tuple1(1L)).toDF("rk")
+    val res = validate(df, Seq(
+      NotNull("v_notnull", "v"),
+      Unique("k_unique", "k"),
+      InSet("v_allowed", "v", Seq("a")),
+      RefIntegrity("k_in_ref", "k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(res("v_notnull") == ((1L, false)))
+    assert(res("k_unique") == ((1L, false)))   // k=2 appears twice
+    assert(res("v_allowed") == ((2L, false)))  // NULL and "z" both fail
+    assert(res("k_in_ref") == ((2L, false)))   // both k=2 rows orphaned
+  }
+
+  test("x_expect_constraints exercises both verdict paths on real data") {
+    val res = q("x_expect_constraints")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(res("completeness_custkey") == ((0L, true)))
+    assert(res("uniqueness_orderkey") == ((0L, true)))
+    assert(res("ri_custkey") == ((0L, true)))
+    // tuned to fail on this data: 'P' orders and prices above 450k exist
+    assert(res("accepted_status")._1 > 0 && !res("accepted_status")._2)
+    assert(res("range_totalprice")._1 > 0 && !res("range_totalprice")._2)
+  }
+
+  test("x_split_leakage: clusters never straddle the cluster-keyed split") {
+    val rows = q("x_split_leakage").collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    val byRep = rows.groupBy(_.getAs[Long]("rep_id"))
+    // the whole point: one split per cluster
+    assert(byRep.values.forall(_.map(_.getAs[String]("split")).toSet.size == 1))
+    // the leak audit is a per-cluster fact, consistent across members,
+    // and true exactly when the naive per-doc split straddles the cluster
+    assert(byRep.values.forall { g =>
+      val naive = g.map(_.getAs[String]("naive_split")).toSet
+      g.map(_.getAs[Boolean]("cluster_leaky")).toSet ==
+        Set(naive.size > 1)
+    })
+  }
+
+  test("x_entity_resolve: canonical min-id entities with consistent sizes") {
+    val rows = q("x_entity_resolve").collect()
+    // entity id is the minimum record id of its cluster
+    assert(rows.forall(r =>
+      r.getAs[Long]("entity_id") <= r.getAs[Long]("rec_id")))
+    // declared entity_size equals actual membership, for every entity
+    val byEnt = rows.groupBy(_.getAs[Long]("entity_id"))
+    assert(rows.forall(r =>
+      r.getAs[Long]("entity_size") ==
+        byEnt(r.getAs[Long]("entity_id")).length))
+    // dirty variants (offset ids) resolve: some entities hold >= 2 records
+    assert(byEnt.values.count(_.length >= 2) > 10)
+  }
 }
