@@ -328,6 +328,67 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Exact n-gram decontamination: every (train doc, eval doc) pair
+    * sharing at least `minShared` DISTINCT word n-grams — the
+    * exact-collision complement of [[crossDupMinHash]] (the published
+    * "training-set n-gram overlap" test used to scrub benchmarks from
+    * pretraining corpora; sketch recall does not apply because the
+    * overlap is exact).
+    *
+    * Candidate-volume control, in order:
+    *  - distinct n-grams per doc (multiplicity never multiplies pairs);
+    *  - a global document-frequency cap (`maxDf`) drops boilerplate
+    *    grams BEFORE pairing — a hot gram in d docs would contribute
+    *    O(d²) pairs, so the cap bounds the join's worst bucket the way
+    *    [[sharedSpans]] bounds its diagonal pairing;
+    *  - a Bloom filter over the eval side's gram hashes
+    *    ([[BloomPrune.pruneLarge]]'s native distributed build +
+    *    codegen'd probe) prunes the train-side gram stream before the
+    *    exchange: the shuffle carries ≈ matching-grams + fpp instead
+    *    of the whole train corpus. Exactness survives because the
+    *    equi-join then removes false positives.
+    *
+    * Grams ride as portable 32-bit hashes ([[Hashing.hash32]]), so the
+    * overlap count is over hash-distinct grams — re-derivable by any
+    * engine with md5, and what the DuckDB oracle re-computes.
+    *
+    * Same id-space contract as [[crossDupMinHash]]: `doc_id` must be
+    * unique across BOTH corpora.
+    *
+    * Output: (train_id, eval_id, n_shared) with n_shared ≥ minShared. */
+  def ngramOverlap(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 5,
+      minShared: Long = 3L,
+      maxDf: Long = 20L,
+      bloomExpectedItems: Long = 1000000L): DataFrame = {
+    // distinct AFTER hashing: two distinct grams may hash-collide, and
+    // both the df count and the overlap count are over hash-distinct
+    // grams — the oracle-portable definition
+    def gramStream(docs: DataFrame): DataFrame =
+      shingles(docs, n).select(col("doc_id"),
+        explode(col("shingles")).as("s"))
+        .select(col("doc_id"), Hashing.hash32(col("s")).as("g"))
+        .distinct()
+    val tg = gramStream(train)
+    val eg = gramStream(eval)
+    // global df over both sides; rows are distinct per doc already, so
+    // count(1) IS the document frequency
+    val hot = tg.union(eg).groupBy("g")
+      .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("g")
+    val egClean = eg.join(hot, Seq("g"), "left_anti")
+    val tgClean = BloomPrune.pruneLarge(
+      tg.join(hot, Seq("g"), "left_anti"), egClean, "g",
+      expectedItems = bloomExpectedItems)
+    tgClean.select(col("doc_id").as("train_id"), col("g"))
+      .join(egClean.select(col("doc_id").as("eval_id"), col("g")), "g")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Cross-corpus contamination detection: documents of corpus B whose
     * shingle-Jaccard against some document of corpus A meets the
     * threshold — the train/test decontamination primitive (is an eval

@@ -408,6 +408,38 @@ object TierR {
       .orderBy("user_id", "eff_from")
       .drop("eff_from")
 
+  /** Point-in-time (as-of) lookup against the SCD2 dimension — the
+    * consumption side of [[rScd2]]'s build: each purchase event joins
+    * the status interval (non-purchase event_type run) that was in
+    * effect AT its timestamp. The join is an equi-join on user_id with
+    * the interval predicate as a residual filter, so it shuffles once
+    * on the key like any hash join; purchases before a user's first
+    * status change keep a NULL status (left join). */
+  private val rScd2Lookup: Q = (s, d) => {
+    val ev = Tables(s, d, "events")
+    val dim = graft.operators.ChangeCapture.scd2(
+      ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      attrCols = Seq("event_type"))
+      .select(col("user_id").as("d_user_id"), col("event_type").as("status"),
+        col("eff_from"), col("eff_to"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user_id") &&
+          dim("eff_from") <= facts("ts") &&
+          (dim("eff_to").isNull || facts("ts") < dim("eff_to")),
+        "left")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("value"), col("status"),
+        date_format(col("eff_from"), "yyyy-MM-dd HH:mm:ss")
+          .as("status_since_s"))
+      .orderBy("event_id")
+  }
+
   /** RANGE-frame window (vs [[rWindowRunning]]'s ROWS frame): per
     * supplier, revenue within the trailing 7-day VALUE window of each
     * ship date. The frame is keyed on integer epoch days, so the bound
@@ -561,6 +593,7 @@ object TierR {
     "r_resample" -> rResample,
     "r_agg_group" -> rAggGroup,
     "r_scd2" -> rScd2,
+    "r_scd2_lookup" -> rScd2Lookup,
     "r_agg_distinct" -> rAggDistinct,
     "r_agg_approx_distinct" -> rAggApproxDistinct,
     "r_agg_approx_percentile" -> rAggApproxPercentile,
@@ -889,5 +922,27 @@ object TierR {
         |       strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS eff_from_s,
         |       strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS eff_to_s,
         |       eff_to IS NULL AS is_current
-        |FROM e ORDER BY user_id, eff_from""".stripMargin)
+        |FROM e ORDER BY user_id, eff_from""".stripMargin,
+    // the SCD2 build replayed over the non-purchase log, then each
+    // purchase left-joined to its containing validity interval
+    "r_scd2_lookup" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                  event_type, value FROM events),
+        |l AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM x WHERE event_type <> 'purchase'),
+        |c AS (SELECT * FROM l WHERE prev IS NULL OR event_type <> prev),
+        |e AS (SELECT user_id, event_type AS status, ts AS eff_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS eff_to FROM c),
+        |f AS (SELECT event_id, user_id, ts, value FROM x
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       f.value, e.status,
+        |       strftime(e.eff_from, '%Y-%m-%d %H:%M:%S') AS status_since_s
+        |FROM f LEFT JOIN e ON f.user_id = e.user_id
+        |       AND e.eff_from <= f.ts
+        |       AND (e.eff_to IS NULL OR f.ts < e.eff_to)
+        |ORDER BY f.event_id""".stripMargin)
 }

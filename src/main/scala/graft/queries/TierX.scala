@@ -365,6 +365,21 @@ object TierX {
         k = 2, threshold = 0.3)
         .orderBy("d_key")
     }),
+    "x_contamination_ngram" -> ((s, d) => {
+      // exact 5-gram decontamination over the same train/eval split as
+      // x_contamination: df-capped gram streams, eval-side Bloom prune
+      // before the exchange, exact equi-join overlap counts
+      val dd = docs(s, d)
+      val sides = dd.join(
+        Curation.hashSplit(dd, trainPct = 80, valPct = 10)
+          .select(col("doc_id"), col("split")), "doc_id")
+      Dedup.ngramOverlap(
+        sides.filter(col("split") === "train"),
+        sides.filter(col("split") =!= "train"),
+        n = 5, minShared = 3L, maxDf = 20L,
+        bloomExpectedItems = 1L << 17)
+        .orderBy("train_id", "eval_id")
+    }),
     "x_expect_constraints" -> ((s, d) => {
       // Deequ-style admission gate over a batch: 4 single-scan
       // aggregate constraints + 1 anti-join referential check; the
@@ -1567,6 +1582,40 @@ object TierX {
         |      FROM sc WHERE jacc >= 0.3)
         |SELECT d_key, d_name, n_nationkey, n_name, jacc
         |FROM r WHERE rk = 1 ORDER BY d_key""".stripMargin,
+    // the exact-overlap complement of x_contamination: 5-gram hash
+    // streams (distinct after hashing), global df cap, then the
+    // cross-split equi-join overlap count — the Bloom prune on the
+    // engine side is result-invariant by construction, so the oracle
+    // simply omits it
+    "x_contamination_ngram" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT doc_id,
+        |         CASE WHEN len(w) >= 5
+        |              THEN list_distinct(
+        |                [array_to_string(list_slice(w, i, i + 4), ' ')
+        |                 for i in range(1, len(w) - 3)])
+        |              ELSE [array_to_string(w, ' ')] END AS grams
+        |       FROM w),
+        |exd AS (SELECT DISTINCT doc_id, g FROM
+        |          (SELECT doc_id, ${hash32("s")} AS g
+        |           FROM (SELECT doc_id, unnest(grams) AS s FROM gr))),
+        |hot AS (SELECT g FROM (SELECT g, count(1) AS df FROM exd GROUP BY g)
+        |        WHERE df > 20),
+        |cl AS (SELECT doc_id, g FROM exd
+        |       WHERE g NOT IN (SELECT g FROM hot)),
+        |sp AS (SELECT doc_id,
+        |         ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+        |           AS is_train
+        |       FROM documents),
+        |j AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        |             count(1) AS n_shared
+        |      FROM cl a JOIN sp sa ON a.doc_id = sa.doc_id
+        |           JOIN cl b ON a.g = b.g
+        |           JOIN sp sb ON b.doc_id = sb.doc_id
+        |      WHERE sa.is_train AND NOT sb.is_train
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT train_id, eval_id, n_shared FROM j
+        |WHERE n_shared >= 3 ORDER BY train_id, eval_id""".stripMargin,
     "x_expect_constraints" ->
       """WITH m AS (SELECT count(1) AS n_rows,
         |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,

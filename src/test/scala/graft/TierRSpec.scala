@@ -241,6 +241,30 @@ class TierRSpec extends SparkSpec {
     assert(out.filter(_._2 == 0L).map(_._3).sum == users)
   }
 
+  test("r_scd2_lookup resolves each purchase to the status in effect at its ts") {
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "user_id", "ts", "event_type").collect()
+    val purchases = ev.filter(_.getString(3) == "purchase")
+    val rows = q("r_scd2_lookup").collect()
+    assert(rows.length == purchases.length) // left join: every purchase kept
+    // brute-force expectation: a purchase's status is the type of the
+    // latest non-purchase event of its user at or before its timestamp
+    val tsById = ev.map(r => r.getLong(0) -> r.getTimestamp(2)).toMap
+    val log = ev.filter(_.getString(3) != "purchase")
+      .groupBy(_.getLong(1))
+      .map { case (u, g) => u -> g.sortBy(r => (r.getTimestamp(2).getTime,
+        r.getLong(0))) }
+    rows.foreach { r =>
+      val ts = tsById(r.getLong(0))
+      val expected = log.getOrElse(r.getLong(1), Array.empty)
+        .takeWhile(e => !e.getTimestamp(2).after(ts)).lastOption
+        .map(_.getString(3))
+      assert(Option(r.getAs[String]("status")) == expected,
+        s"purchase ${r.getLong(0)}: got ${r.getAs[String]("status")}, " +
+          s"expected $expected")
+    }
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)

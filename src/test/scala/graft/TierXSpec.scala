@@ -1049,6 +1049,25 @@ class TierXSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ngramOverlap counts exact shared 5-grams, honoring minShared and the df cap") {
+    val train = Seq((0L, "a b c d e f g h"), (1L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val eval = Seq((10L, "a b c d e f q r")).toDF("doc_id", "text")
+    // docs 0 and 10 share exactly "a b c d e" and "b c d e f"
+    val res = Dedup.ngramOverlap(train, eval, n = 5, minShared = 2,
+      maxDf = 20, bloomExpectedItems = 1024).collect()
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 10L, 2L)))
+    assert(Dedup.ngramOverlap(train, eval, n = 5, minShared = 3,
+      maxDf = 20, bloomExpectedItems = 1024).count() == 0)
+    // a shared gram has df >= 2 by definition, so maxDf = 1 kills all pairs
+    assert(Dedup.ngramOverlap(train, eval, n = 5, minShared = 1,
+      maxDf = 1, bloomExpectedItems = 1024).count() == 0)
+    // declared query materializes with the declared schema
+    assert(q("x_contamination_ngram").columns.toSeq ==
+      Seq("train_id", "eval_id", "n_shared"))
+  }
+
   test("Expectations.validate counts nulls, dupes and orphans on a crafted frame") {
     import graft.operators.Expectations._
     val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
