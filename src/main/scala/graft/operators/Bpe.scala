@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding merge training over a word-frequency vocabulary —
+  * the tokenizer-training step of an LLM data pipeline (Sennrich et al.,
+  * ACL'16), distributed the way published trainers actually run: merges
+  * are learned from the WORD-FREQUENCY table (one corpus-sized shuffle,
+  * once), after which every iteration is one aggregate over the
+  * vocabulary — |vocab| ≪ corpus at any scale.
+  *
+  * Portable-by-construction representation: a word's symbol sequence is
+  * its space-joined symbols with one leading and one trailing space
+  * (`" h a s h "`). Merging pair `(a, s)` is then the literal string
+  * replace of `" a s "` with `" as "` — applied TWICE, because a
+  * leftmost-greedy replace consumes the boundary space the next
+  * overlapping occurrence needs (`" a s a s "` → first pass merges the
+  * 1st and 3rd occurrence of a chain, leaving unmerged occurrences
+  * isolated; the second pass finishes them). Two passes exactly
+  * reproduce the left-to-right non-overlapping merge fold, and both
+  * Spark and DuckDB `replace` are leftmost-greedy, so the oracle
+  * re-derives training bit-for-bit. Symbols never contain spaces, so a
+  * space-delimited pattern cannot match across symbol boundaries.
+  *
+  * Per iteration: adjacent-pair extraction is a row-local lambda over
+  * the symbol array; the weighted pair count is one partial+final
+  * aggregate; the argmax is `orderBy(..).limit(1)` — planned as
+  * TakeOrderedAndProject (per-partition 1-row heaps, never a global
+  * sort) — and the single winning row is the ONLY driver state
+  * (`O(iterations)` total, the same bounded-scalar pattern as the IVF
+  * centroid seed). Ties break on the pair string ascending —
+  * deterministic in any engine.
+  */
+object Bpe {
+
+  /** One merge learned at `iteration`: `pair` ("a s") collapses into
+    * `merged` ("as") with corpus-weighted occurrence count `weight`. */
+  final case class Merge(
+      iteration: Long, pair: String, merged: String, weight: Long)
+
+  /** (word, freq) vocabulary of a documents frame — the one
+    * corpus-sized pass; everything after runs at |vocab|. */
+  def wordVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** `" h a s h "` — char symbols, space-joined, boundary-padded. */
+  private def charSyms(word: Column): Column =
+    concat(lit(" "),
+      concat_ws(" ", filter(split(word, ""), s => length(s) > 0)),
+      lit(" "))
+
+  /** All adjacent symbol pairs (with multiplicity) as `"a s"` strings;
+    * empty for single-symbol words (never a descending `sequence`). */
+  private val adjacentPairs: Column = {
+    val pairs = expr(
+      "transform(sequence(1, size(_s) - 1), " +
+        "i -> concat(element_at(_s, i), ' ', element_at(_s, i + 1)))")
+    when(size(col("_s")) >= 2, pairs).otherwise(array())
+  }
+
+  private def applyMerge(syms: Column, m: Merge): Column = {
+    val pat = lit(s" ${m.pair} ")
+    val rep = lit(s" ${m.merged} ")
+    // twice: see the scaladoc — pass 1 leaves unmerged occurrences
+    // isolated, pass 2 finishes them; fixpoint after 2 by construction
+    replace(replace(syms, pat, rep), pat, rep)
+  }
+
+  /** Learn `iterations` merges from `vocab` (word, freq). */
+  def train(vocab: DataFrame, iterations: Int): Seq[Merge] = {
+    require(iterations >= 1 && iterations <= 64,
+      s"iterations must be in [1, 64], got $iterations")
+    var words = vocab
+      .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val merges = Seq.newBuilder[Merge]
+    var it = 1L
+    var done = false
+    while (it <= iterations && !done) {
+      val top = words
+        .select(col("freq"), split(trim(col("syms")), " ").as("_s"))
+        .select(col("freq"), explode(adjacentPairs).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("w"))
+        .orderBy(col("w").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val m = Merge(it, top(0).getString(0),
+          top(0).getString(0).replace(" ", ""), top(0).getLong(1))
+        merges += m
+        val next = words
+          .withColumn("syms", applyMerge(col("syms"), m))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        words.unpersist()
+        words = next
+        it += 1
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Segment `vocab` with an already-learned merge list: the chained
+    * double-replace per merge is pure row-local string work — one scan,
+    * no shuffle, whatever the corpus size. */
+  def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val syms = merges.foldLeft(charSyms(col("word")))(applyMerge)
+    vocab.select(col("word"), col("freq"), trim(syms).as("segmented"))
+      .withColumn("n_symbols", size(split(col("segmented"), " ")))
+  }
+}

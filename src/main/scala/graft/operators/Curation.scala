@@ -248,6 +248,36 @@ object Curation {
       maxTokens, stride)
   }
 
+  /** Composed tokenization pipeline: vocabulary build → per-document
+    * token-id encoding → context-window sequence packing, ONE lineage
+    * over one input — the encode-and-pack step that turns curated text
+    * into a model-ready training layout (the stage after [[curate]] /
+    * [[prepare]] in a real run).
+    *
+    * Scale shape, mirroring the other composed pipelines: the input
+    * persists because three passes scan it (the vocab aggregate, the
+    * encode explode, the packing prefix sum); the vocab
+    * (vocabSize + specials rows, bounded) rides a broadcast into the
+    * encode join; [[Packing.packSequences]] contributes its documented
+    * O(partitions) driver scalars and nothing else; the final
+    * stats-to-layout join is doc_id-keyed equi-join — no new shuffle
+    * structure beyond the audited component operators.
+    *
+    * Output: (doc_id, n_tokens, n_oov, ids_sum, pack_id, pack_off). */
+  def tokenize(
+      docs: DataFrame,
+      vocabSize: Int = 50,
+      budget: Int = 256): DataFrame = {
+    val d = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    val enc = TextAnalysis.encodeIdsWith(
+      d, TextAnalysis.buildVocab(d, vocabSize))
+    val packed = Packing.packSequences(d, budget)
+      .select("doc_id", "pack_id", "pack_off")
+    enc.join(packed, Seq("doc_id"))
+      .select("doc_id", "n_tokens", "n_oov", "ids_sum",
+        "pack_id", "pack_off")
+  }
+
   /** Deterministic corpus shuffle: assign every document a stable
     * pseudo-random training order. order key = hash32(salt ':' doc_id)
     * (tie-broken by doc_id), position = dense 0..n-1 rank in that

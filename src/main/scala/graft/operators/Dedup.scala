@@ -365,19 +365,26 @@ object Dedup {
       bloomExpectedItems: Long = 1000000L): DataFrame = {
     // distinct AFTER hashing: two distinct grams may hash-collide, and
     // both the df count and the overlap count are over hash-distinct
-    // grams — the oracle-portable definition
+    // grams — the oracle-portable definition. Both streams persist:
+    // each feeds the df aggregate AND its side of the pairing (the
+    // eval stream additionally feeds the Bloom build), and without the
+    // persist the tokenize→hash→distinct derivation re-runs per use.
     def gramStream(docs: DataFrame): DataFrame =
       shingles(docs, n).select(col("doc_id"),
         explode(col("shingles")).as("s"))
         .select(col("doc_id"), Hashing.hash32(col("s")).as("g"))
         .distinct()
-    val tg = gramStream(train)
-    val eg = gramStream(eval)
+    val tg = gramStream(train).persist(StorageLevel.MEMORY_AND_DISK)
+    val eg = gramStream(eval).persist(StorageLevel.MEMORY_AND_DISK)
     // global df over both sides; rows are distinct per doc already, so
     // count(1) IS the document frequency
+    // the hot-gram set is tiny (df-cap survivors' complement) but its
+    // df aggregate reads both full streams — persist so the three
+    // anti-join consumers (train side, eval side × bloom/join) don't
+    // re-aggregate
     val hot = tg.union(eg).groupBy("g")
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      .select("g")
+      .select("g").persist(StorageLevel.MEMORY_AND_DISK)
     val egClean = eg.join(hot, Seq("g"), "left_anti")
     val tgClean = BloomPrune.pruneLarge(
       tg.join(hot, Seq("g"), "left_anti"), egClean, "g",

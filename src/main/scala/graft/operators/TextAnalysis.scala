@@ -446,8 +446,13 @@ object TextAnalysis {
     * corpus never shuffles on token.
     *
     * Output: (doc_id, n_tokens, n_oov, ids_sum, ids_dot). */
-  def encodeIds(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
-    val vocab = buildVocab(docs, vocabSize)
+  def encodeIds(docs: DataFrame, vocabSize: Int = 20): DataFrame =
+    encodeIdsWith(docs, buildVocab(docs, vocabSize))
+
+  /** [[encodeIds]] against an externally built vocabulary frame
+    * (token_id, tok, cnt, is_special) — the composed-pipeline entry
+    * point, where one vocab build is shared across passes. */
+  def encodeIdsWith(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val unk = vocab.filter(col("tok") === "<unk>")
       .select(col("token_id").as("unk_id"))
     docs

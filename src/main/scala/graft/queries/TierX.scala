@@ -349,6 +349,11 @@ object TierX {
       Curation.prepare(docs(s, d), vocabSize = 20, keepFrac = 0.75,
         n = 3, minDocs = 4, maxTokens = 30, stride = 30)
         .orderBy("doc_id", "chunk_id")),
+    "x_pipeline_tokenize" -> ((s, d) =>
+      // the encode-and-pack composition: shared vocab build → per-doc
+      // id-sequence checksums → context-window packing, one lineage
+      Curation.tokenize(docs(s, d), vocabSize = 50, budget = 256)
+        .orderBy("doc_id")),
     "x_join_fuzzy" -> ((s, d) => {
       // entity resolution: nation names with a deterministic one-char
       // deletion (at position key mod length) matched back to the
@@ -364,6 +369,25 @@ object TierX {
         dirty, nat, "d_key", "d_name", "n_nationkey", "n_name",
         k = 2, threshold = 0.3)
         .orderBy("d_key")
+    }),
+    "x_bpe_train" -> ((s, d) => {
+      // tokenizer training: 5 BPE merges learned from the word-frequency
+      // vocabulary; the merge table (one bounded row per iteration) is
+      // the query result
+      import s.implicits._
+      graft.operators.Bpe.train(
+        graft.operators.Bpe.wordVocab(docs(s, d)), iterations = 5)
+        .toDF().orderBy("iteration")
+    }),
+    "x_bpe_segment" -> ((s, d) => {
+      // the apply side: segment the vocabulary with the learned merges —
+      // chained row-local double-replaces, no shuffle after training
+      val vocab = graft.operators.Bpe.wordVocab(docs(s, d))
+      graft.operators.Bpe.segment(
+          vocab, graft.operators.Bpe.train(vocab, iterations = 5))
+        .select(col("word"), col("freq"),
+          col("n_symbols").cast("long").as("n_symbols"), col("segmented"))
+        .orderBy("word")
     }),
     "x_contamination_ngram" -> ((s, d) => {
       // exact 5-gram decontamination over the same train/eval split as
@@ -490,6 +514,40 @@ object TierX {
       s"for i in range(1, len($a) + 1)])"
   private val cosSql = (a: String, b: String) =>
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** One BPE training iteration in DuckDB, mirroring
+    * [[graft.operators.Bpe.train]] bit-for-bit: adjacent-pair weighted
+    * counts over the space-joined symbol strings, argmax with the
+    * (w desc, pair asc) tie-break, then the boundary-space DOUBLE
+    * replace (leftmost-greedy in both engines; two passes = the
+    * non-overlapping merge fold). Emits CTEs p_<out>, m_<out>, <out>. */
+  private def bpeIterSql(prev: String, out: String): String =
+    s"""p_$out AS (SELECT pair, sum(freq) AS w FROM (
+      |    SELECT freq, unnest([s[i] || ' ' || s[i + 1]
+      |        for i in range(1, len(s))]) AS pair
+      |    FROM (SELECT freq, string_split(trim(syms), ' ') AS s FROM $prev))
+      |  GROUP BY pair),
+      |m_$out AS (SELECT pair, replace(pair, ' ', '') AS merged, w
+      |  FROM p_$out ORDER BY w DESC, pair LIMIT 1),
+      |$out AS (SELECT word, freq,
+      |    replace(replace(v.syms, ' ' || m.pair || ' ', ' ' || m.merged || ' '),
+      |            ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS syms
+      |  FROM $prev v CROSS JOIN m_$out m)""".stripMargin
+
+  /** Word-frequency vocab + char-symbol init (v0) shared by the two BPE
+    * oracles, then 5 unrolled training iterations v1..v5. */
+  private val bpeTrainCte: String =
+    s"""vocab AS (SELECT w AS word, count(1) AS freq
+      |          FROM (SELECT unnest(string_split(text, ' ')) AS w
+      |                FROM documents)
+      |          WHERE w <> '' GROUP BY w),
+      |v0 AS (SELECT word, freq,
+      |         ' ' || array_to_string(
+      |           [word[i] for i in range(1, length(word) + 1)], ' ')
+      |         || ' ' AS syms
+      |       FROM vocab),
+      |${(0 until 5).map(i => bpeIterSql(s"v$i", s"v${i + 1}"))
+        .mkString(",\n")}""".stripMargin
 
   /** One Lloyd round in DuckDB, mirroring
     * [[graft.operators.SimilaritySearch.trainIvfCentroids]] bit-for-bit:
@@ -1545,6 +1603,51 @@ object TierX {
         |       array_to_string(list_slice(w, CAST(s AS INT),
         |         CAST(s + 29 AS INT)), ' ') AS chunk_text
         |FROM c2 ORDER BY doc_id, chunk_id""".stripMargin,
+    // the x_encode_ids CTE chain at vocabSize 50 joined on doc_id to
+    // the x_pack_sequences prefix sum at budget 256 — the composed
+    // encode-and-pack stage re-derived end-to-end
+    "x_pipeline_tokenize" ->
+      s"""WITH c AS (SELECT tok, count(1) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents) GROUP BY tok
+        |           ORDER BY cnt DESC, tok LIMIT 50),
+        |v AS (SELECT tok, CAST(0 AS BIGINT) AS cnt, true AS is_special
+        |      FROM (VALUES ('<pad>'), ('<unk>'), ('<bos>'), ('<eos>')) s(tok)
+        |      UNION ALL
+        |      SELECT tok, cnt, false FROM c),
+        |ids AS (SELECT CAST(row_number() OVER
+        |          (ORDER BY is_special DESC, cnt DESC, tok) - 1 AS BIGINT)
+        |          AS token_id, tok
+        |        FROM v),
+        |unk AS (SELECT token_id AS unk_id FROM ids WHERE tok = '<unk>'),
+        |t AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS wd
+        |            FROM documents),
+        |           unnest([{'pos': i - 1, 'tok': wd[i]}
+        |                   for i in range(1, len(wd) + 1)]) z(u)),
+        |e AS (SELECT doc_id,
+        |        COALESCE(ids.token_id, unk.unk_id) AS id,
+        |        ids.token_id IS NULL AS is_oov
+        |      FROM t LEFT JOIN ids USING (tok), unk),
+        |enc AS (SELECT doc_id, count(1) AS n_tokens,
+        |          CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_oov,
+        |          CAST(sum(id) AS BIGINT) AS ids_sum
+        |        FROM e GROUP BY doc_id),
+        |pt AS (SELECT doc_id,
+        |         ${hash32("'pack:' || CAST(doc_id AS VARCHAR)")} AS h,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents),
+        |po AS (SELECT doc_id,
+        |         COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS start_tok
+        |       FROM pt)
+        |SELECT enc.doc_id, enc.n_tokens, n_oov, ids_sum,
+        |       CAST(start_tok // 256 AS BIGINT) AS pack_id,
+        |       CAST(start_tok % 256 AS BIGINT) AS pack_off
+        |FROM enc JOIN po ON enc.doc_id = po.doc_id
+        |ORDER BY enc.doc_id""".stripMargin,
     // gram-blocked entity resolution re-derived end-to-end: the same
     // deterministic one-char deletion, bigram sets, blocking join,
     // set-Jaccard, and (jacc desc, key asc) best-match rank
@@ -1616,6 +1719,31 @@ object TierX {
         |      GROUP BY a.doc_id, b.doc_id)
         |SELECT train_id, eval_id, n_shared FROM j
         |WHERE n_shared >= 3 ORDER BY train_id, eval_id""".stripMargin,
+    // BPE training re-derived in SQL: the 5 unrolled iterations' winning
+    // merges (m_v1..m_v5), stamped with their iteration number
+    // NOTE: bpeTrainCte is concatenated (not interpolated into a
+    // stripMargin string) — its continuation lines start with `||`,
+    // which an outer stripMargin would truncate to a lone `|`
+    "x_bpe_train" ->
+      (s"WITH $bpeTrainCte\n" +
+        """SELECT CAST(iteration AS BIGINT) AS iteration, pair, merged,
+        |       CAST(w AS BIGINT) AS weight
+        |FROM (          SELECT 1 AS iteration, pair, merged, w FROM m_v1
+        |      UNION ALL SELECT 2, pair, merged, w FROM m_v2
+        |      UNION ALL SELECT 3, pair, merged, w FROM m_v3
+        |      UNION ALL SELECT 4, pair, merged, w FROM m_v4
+        |      UNION ALL SELECT 5, pair, merged, w FROM m_v5)
+        |ORDER BY iteration""".stripMargin),
+    // the segmentation the 5 learned merges induce on the vocabulary —
+    // v5 IS the segmented state, so the apply side falls out of the
+    // same unrolled training CTE
+    "x_bpe_segment" ->
+      (s"WITH $bpeTrainCte\n" +
+        """SELECT word, freq,
+        |       CAST(len(string_split(trim(syms), ' ')) AS BIGINT)
+        |         AS n_symbols,
+        |       trim(syms) AS segmented
+        |FROM v5 ORDER BY word""".stripMargin),
     "x_expect_constraints" ->
       """WITH m AS (SELECT count(1) AS n_rows,
         |         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,

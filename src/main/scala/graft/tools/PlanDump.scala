@@ -82,7 +82,23 @@ object PlanDump {
     "x_dedup_simhash64" ->
       "fused SimHashWords fingerprints inside the scan's codegen stage — blocking is the FIRST shuffle (the aggregate form needed two before it)",
     "x_graph_rank" ->
-      "three PageRank rounds as join+agg pairs over the same src partitioning; integer fixed-point all the way — no float accumulation anywhere")
+      "three PageRank rounds as join+agg pairs over the same src partitioning; integer fixed-point all the way — no float accumulation anywhere",
+    "x_expect_constraints" ->
+      "quality gate: 4 constraints as ONE partial+final aggregate over one scan (explode of a literal struct array fans the row out), plus one broadcast left-anti join for referential integrity",
+    "x_split_leakage" ->
+      "cluster-keyed split: the CC label fixpoint enters checkpointed, split fate is hash arithmetic, the leakage audit windows per rep_id (cluster-sized partitions)",
+    "x_entity_resolve" ->
+      "gram-blocked pair generation (equi-join on the gram, id-order predicate), CC label fixpoint checkpointed, canonical ids ride a left join back onto the record universe",
+    "x_contamination_ngram" ->
+      "exact decontamination: df-capped hash-gram streams, eval-side Bloom probe filters the train stream inside its codegen stage BEFORE the exchange, then equi-join + pair count",
+    "r_scd2_lookup" ->
+      "point-in-time lookup: the SCD2 build's user_id shuffle feeds the join's equi-anchor; the validity-interval predicate rides as residual — no range explosion",
+    "f_schema_merge" ->
+      "mergeSchema two-generation read: one unioned file scan with the evolved column NULL-filled for v=1 rows, then partial+final aggregate",
+    "x_bpe_train" ->
+      "BPE training: corpus touched once (word-frequency aggregate); each merge iteration runs at |vocab| with a TakeOrderedAndProject argmax — driver state is O(iterations) merge rows",
+    "x_pipeline_tokenize" ->
+      "composed encode-and-pack: persisted input feeds vocab aggregate + broadcast-vocab encode + prefix-sum packing; final doc_id equi-join — no new shuffle structure")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

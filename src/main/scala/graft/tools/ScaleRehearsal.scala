@@ -149,6 +149,14 @@ object ScaleRehearsal {
         SimilaritySearch.knnGraph(
           SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
             nBits = 64, rowsPerBand = 8).persist(), k = 3)),
+      // exact n-gram decontamination at 10×: the df cap and the
+      // eval-side Bloom prune both do real work — 5 verbatim replicas
+      // per source doc push every gram's df toward ≥10 (so the cap
+      // kills template grams BEFORE pairing), and the Bloom filter
+      // shrinks the train-side gram stream ahead of the exchange
+      "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
+        n = 5, minShared = 3, maxDf = 20,
+        bloomExpectedItems = 1L << 21)),
       // iterative PageRank over the 10× similarity graph: the
       // localCheckpoint lineage cut + scalar constants must hold at
       // cluster-like partition counts (3 join+agg rounds, no BNLJ)

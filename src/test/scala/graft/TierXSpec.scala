@@ -1063,9 +1063,74 @@ class TierXSpec extends SparkSpec {
     // a shared gram has df >= 2 by definition, so maxDf = 1 kills all pairs
     assert(Dedup.ngramOverlap(train, eval, n = 5, minShared = 1,
       maxDf = 1, bloomExpectedItems = 1024).count() == 0)
-    // declared query materializes with the declared schema
-    assert(q("x_contamination_ngram").columns.toSeq ==
-      Seq("train_id", "eval_id", "n_shared"))
+    // declared query materializes with the declared schema, and the
+    // native Bloom probe (not a UDF) guards the train-side stream
+    val dq = q("x_contamination_ngram")
+    assert(dq.columns.toSeq == Seq("train_id", "eval_id", "n_shared"))
+    val plan = dq.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected native probe in:\n$plan")
+    assert(!plan.contains("UDF"))
+  }
+
+  test("tokenize pipeline: encode stats and pack layout stay consistent") {
+    val out = q("x_pipeline_tokenize").persist()
+    val docs = Tables(spark, sf, "documents")
+    // every document gets exactly one row
+    assert(out.count() == docs.count())
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "n_oov",
+      "ids_sum", "pack_id", "pack_off"))
+    // layout invariants: offsets live inside the window budget, oov
+    // never exceeds the token count
+    assert(out.filter(col("pack_off") < 0 || col("pack_off") >= 256)
+      .count() == 0)
+    assert(out.filter(col("n_oov") > col("n_tokens")).count() == 0)
+    // the composed lineage equals the independently chained operators
+    val enc = TextAnalysis.encodeIds(docs, vocabSize = 50)
+      .select("doc_id", "n_tokens", "n_oov", "ids_sum")
+    val packed = graft.operators.Packing.packSequences(docs, 256)
+      .select("doc_id", "pack_id", "pack_off")
+    val chained = enc.join(packed, Seq("doc_id"))
+    assert(out.exceptAll(chained).count() == 0 &&
+      chained.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("BPE training learns the classic merge sequence on a crafted corpus") {
+    // Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
+    // widest:3}; the 5 merges (with the (w desc, pair asc) tie-break)
+    // are hand-derivable
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val vocab = graft.operators.Bpe.wordVocab(corpus)
+    val merges = graft.operators.Bpe.train(vocab, iterations = 5)
+    assert(merges.map(m => (m.iteration, m.pair, m.merged, m.weight)) ==
+      Seq((1L, "e s", "es", 9L), (2L, "es t", "est", 9L),
+        (3L, "l o", "lo", 7L), (4L, "lo w", "low", 7L),
+        (5L, "e w", "ew", 6L)))
+    val seg = graft.operators.Bpe.segment(vocab, merges).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg == Map("low" -> "low", "lower" -> "low e r",
+      "newest" -> "n ew est", "widest" -> "w i d est"))
+  }
+
+  test("BPE double-replace finishes overlapping merge chains") {
+    // one leftmost-greedy replace of " a s " in " a s a s a s " merges
+    // occurrences 1 and 3 (the boundary space of occurrence 2 is
+    // consumed); the second pass finishes it — the non-overlapping fold
+    val vocab = Seq(("asasas", 1L)).toDF("word", "freq")
+    val row = graft.operators.Bpe.segment(
+      vocab, Seq(graft.operators.Bpe.Merge(1L, "a s", "as", 0L))).head()
+    assert(row.getString(2) == "as as as")
+    assert(row.getInt(3) == 3)
+  }
+
+  test("declared BPE queries materialize with the declared schemas") {
+    val t = q("x_bpe_train")
+    assert(t.columns.toSeq == Seq("iteration", "pair", "merged", "weight"))
+    assert(t.count() == 5)
+    assert(q("x_bpe_segment").columns.toSeq ==
+      Seq("word", "freq", "n_symbols", "segmented"))
   }
 
   test("Expectations.validate counts nulls, dupes and orphans on a crafted frame") {
