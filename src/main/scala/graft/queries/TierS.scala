@@ -43,6 +43,10 @@ object TierS {
       StreamOps.streamHighWaterRun(s, d).orderBy("user_id")),
     "x_stream_join" -> ((s, d) =>
       StreamOps.streamStreamJoinRun(s, d).orderBy("a_id", "b_id")),
+    "x_stream_join_outer" -> ((s, d) =>
+      // Spark ascending sort puts NULL first; the oracle pins the same
+      // order with NULLS FIRST on b_id
+      StreamOps.streamStreamLeftJoinRun(s, d).orderBy("a_id", "b_id")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -117,6 +121,29 @@ object TierS {
         | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
         | AND a.event_id < b.event_id
         |ORDER BY a_id, b_id""".stripMargin,
+    // the outer complement: matched rows equal the inner join; an
+    // unmatched a row is emitted null-padded ONLY if its whole match
+    // window [a_ts, a_ts + 10 min] lies behind the final watermark
+    // (max ts - 1 h) — rows inside the horizon stay in state and
+    // appear in neither branch
+    "x_stream_join_outer" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        |j AS (SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+        |             a.event_type AS a_type,
+        |             CAST(a.ts AS TIMESTAMP) AS a_ts,
+        |             CAST(b.ts AS TIMESTAMP) AS b_ts
+        |      FROM events a LEFT JOIN events b
+        |        ON a.user_id = b.user_id
+        |       AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |       AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        |       AND a.event_id < b.event_id)
+        |SELECT a_id, b_id, user_id, a_type,
+        |       strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS a_ts_s,
+        |       strftime(b_ts, '%Y-%m-%d %H:%M:%S') AS b_ts_s
+        |FROM j, mx
+        |WHERE b_id IS NOT NULL
+        |   OR a_ts + INTERVAL 10 MINUTE < m - INTERVAL 1 HOUR
+        |ORDER BY a_id, b_id NULLS FIRST""".stripMargin,
     // the two checkpointed ingest passes must reconstruct the full
     // events table exactly once in bronze; compaction + star refresh
     // over bronze then equals this batch recompute over the raw table

@@ -361,6 +361,39 @@ object StreamOps {
     runToMemory(spark, "graft_stream_join", joined, "append")
   }
 
+  /** Stream-stream LEFT OUTER join with event-time bounds — the outer
+    * complement of [[streamStreamJoinRun]], which makes the state
+    * EVICTION contract observable in the result: an unmatched a-side
+    * row is null-padded and emitted only once the watermark proves no
+    * matching b can still arrive. With one bounded data batch the
+    * watermark advances to max(ts) - 1h afterwards, and the trailing
+    * no-data microbatch evicts (= emits) exactly the unmatched rows
+    * whose full match window has passed: a_ts + 10 min < watermark.
+    * Matched rows equal the inner join; the whole output is therefore
+    * batch-expressible — LEFT JOIN plus that eviction predicate on the
+    * null-extended rows — which is the oracle. Rows still inside the
+    * watermark horizon stay IN STATE (correct streaming semantics: a
+    * match could still arrive), so they appear in neither branch. */
+  def streamStreamLeftJoinRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = eventsStream(spark, sfDir).select(
+      col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts"), col("event_type").as("a_type"))
+      .withWatermark("a_ts", "1 hour")
+    val b = eventsStream(spark, sfDir).select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+        col("a_id") < col("b_id"),
+      "leftOuter")
+      .select(col("a_id"), col("b_id"), col("user_id"), col("a_type"),
+        fmt(col("a_ts")).as("a_ts_s"), fmt(col("b_ts")).as("b_ts_s"))
+    runToMemory(spark, "graft_stream_join_outer", joined, "append")
+  }
+
   /** Declared-surface run of [[highWaterMarks]] — the MODERN arbitrary-
     * state API (`transformWithState` + `StatefulProcessor`, which
     * requires the RocksDB state store; the provider conf is scoped to

@@ -157,6 +157,13 @@ object ScaleRehearsal {
       "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
         n = 5, minShared = 3, maxDf = 20,
         bloomExpectedItems = 1L << 21)),
+      // composed tokenize at 10×: the vocab aggregate + broadcast
+      // encode + prefix-sum packing must keep their shapes when the
+      // corpus is 10× and partitions are cluster-like — the packing
+      // driver state stays O(partitions) scalars by construction
+      "tokenize_pack" -> (() =>
+        graft.operators.Curation.tokenize(docs, vocabSize = 50,
+          budget = 256)),
       // iterative PageRank over the 10× similarity graph: the
       // localCheckpoint lineage cut + scalar constants must hold at
       // cluster-like partition counts (3 join+agg rounds, no BNLJ)

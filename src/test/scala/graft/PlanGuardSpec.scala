@@ -35,7 +35,9 @@ class PlanGuardSpec extends SparkSpec {
     "x_domain_mix", "x_ngram_lm",
     "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel",
     // inherits x_quality_filter's OOV-floor scalar through its first stage
-    "x_pipeline_prepare")
+    "x_pipeline_prepare",
+    // inherits x_encode_ids' 1-row <unk>-id scalar through its encode stage
+    "x_pipeline_tokenize")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {

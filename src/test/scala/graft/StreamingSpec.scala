@@ -224,6 +224,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join null-pads only watermark-expired rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, Timestamp)]
+    val memB = MemoryStream[(Long, Long, Timestamp)]
+    val a = memA.toDF().toDF("a_id", "user", "a_ts")
+      .withWatermark("a_ts", "1 hour")
+    val b = memB.toDF().toDF("b_id", "b_user", "b_ts")
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "leftOuter")
+      .select("a_id", "b_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join_outer")
+      .outputMode("append").start()
+    try {
+      // a1 matches b1; a2 has no match but its window is still open
+      memA.addData(Seq((1L, 7L, ts("2024-01-01 10:00:00")),
+        (2L, 8L, ts("2024-01-01 10:02:00"))))
+      memB.addData(Seq((101L, 7L, ts("2024-01-01 10:05:00"))))
+      q.processAllAvailable()
+      val r1 = spark.table("ss_join_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(r1 == Set((1L, Some(101L))),
+        "no outer row may appear while a match could still arrive")
+      // advance the watermark past a2's match window; a3 itself stays
+      // inside the horizon (in state), so it must NOT be emitted
+      memA.addData(Seq((3L, 9L, ts("2024-01-01 13:00:00"))))
+      memB.addData(Seq((999L, 99L, ts("2024-01-01 13:00:00"))))
+      q.processAllAvailable()
+      val r2 = spark.table("ss_join_outer").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(r2 == Set((1L, Some(101L)), (2L, None)))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink: stop/restart resumes without reprocessing") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
