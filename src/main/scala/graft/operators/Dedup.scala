@@ -571,19 +571,19 @@ object Dedup {
     * propagation loop, and the intermediate round RDDs are released by
     * the ContextCleaner once unreferenced. */
   def clusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    // localCheckpoint on the per-round frames: truncates the logical
+    // Lineage.truncate on the per-round frames: cuts the logical
     // lineage so Catalyst does not re-analyze a plan that grows by one
     // round per iteration (see [[clustersStar]] for the measurement);
     // eager materialization also guarantees `next` is complete before
-    // the previous round's labels become unreferenced. At cluster
-    // scale swap for reliable `checkpoint()`.
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .localCheckpoint()
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min("dst").as("nbr_min"))
-      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
-      .localCheckpoint()
+    // the previous round's labels become unreferenced. Runs as
+    // fault-tolerant `checkpoint()` when a checkpoint dir is set.
+    val edges = Lineage.truncate(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    var labels = Lineage.truncate(
+      edges.groupBy(col("src").as("id"))
+        .agg(min("dst").as("nbr_min"))
+        .select(col("id"), least(col("id"), col("nbr_min")).as("label")))
     // one Hash-Min propagation: label'(v) = min(label(v), min over
     // v's neighborhood)
     def step(l: DataFrame): DataFrame = edges
@@ -602,9 +602,9 @@ object Dedup {
       // remains a sound fixpoint test (l2 == l0 forces l1 == l0).
       // prev rides along into the checkpoint so the convergence check
       // is a join-free filter-count — 2 jobs per round, not 3.
-      val next = step(step(labels))
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .localCheckpoint()
+      val next = Lineage.truncate(
+        step(step(labels))
+          .join(labels.withColumnRenamed("label", "prev"), "id"))
       val changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select("id", "label")
       converged = changed == 0
@@ -657,21 +657,21 @@ object Dedup {
         .select(col("u").as("a"), col("m").as("b"))
         .union(mins.select(col("v").as("a"), col("m").as("b")))
     }
-    // localCheckpoint, not persist: caching alone leaves the LOGICAL
+    // Lineage.truncate, not persist: caching alone leaves the LOGICAL
     // lineage growing by one full round per iteration, and Catalyst
     // re-analyzes the whole chain every round — planning time doubles
     // per round (measured: round 0 = 4 s, round 1 = 26 s on 24 edges).
-    // Checkpointing truncates the plan to the materialized partitions.
-    // At cluster scale swap for reliable `checkpoint()` (a checkpoint
-    // dir survives executor loss; localCheckpoint does not).
-    var edges = canon(pairs.select(col("d1").as("a"), col("d2").as("b")))
-      .localCheckpoint()
+    // Checkpointing truncates the plan to the materialized partitions,
+    // and upgrades to fault-tolerant `checkpoint()` (survives executor
+    // loss) whenever a checkpoint dir is configured.
+    var edges = Lineage.truncate(
+      canon(pairs.select(col("d1").as("a"), col("d2").as("b"))))
     var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = canon(smallStar(canon(largeStar(edges))))
-        .localCheckpoint() // eager: materialized before the diff
+      val next = Lineage.truncate( // eager: materialized before the diff
+        canon(smallStar(canon(largeStar(edges)))))
       // both sides are distinct sets (canon ends in distinct), so
       // equality <=> |next| == |edges| AND next ⊆ edges. One left join
       // measures both in a SINGLE job: count(1) is |next|, and

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   * reused across rounds) plus one groupBy(dst) partial+final sum; the
   * iteration count is a fixed constant (a convergence-probed variant
   * would use the [[Dedup]] fused-probe pattern). No driver state, no
-  * lineage blowup at 3 rounds (beyond ~10 rounds, localCheckpoint per
-  * round as the CC operators do).
+  * lineage blowup at 3 rounds (beyond ~10 rounds, [[Lineage.truncate]]
+  * per round as the CC operators do).
   *
   * Callers pass DIRECTED edges; nodes with no out-edges must not exist
   * (symmetrized similarity graphs satisfy this by construction — every
@@ -45,7 +45,7 @@ object GraphRank {
     // run with the edges cached but un-truncated; ~0.5 s with the
     // checkpoint leaf). Same defense the connected-components loops
     // use. Values are unchanged — only the plan boundary moves.
-    val e = edges.localCheckpoint()
+    val e = Lineage.truncate(edges)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
@@ -72,7 +72,7 @@ object GraphRank {
         .groupBy("id").agg(sum("c").as("in_e9"))
       // rounds chain linearly off checkpoint leaves, so the 3-round
       // plan stays shallow with no persist barriers; past ~10 rounds,
-      // localCheckpoint each round's ranks as the CC operators do
+      // Lineage.truncate each round's ranks as the CC operators do
       ranks = nodes
         .join(contrib, Seq("id"), "left")
         .select(col("id"),

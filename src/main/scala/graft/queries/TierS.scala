@@ -47,6 +47,8 @@ object TierS {
       // Spark ascending sort puts NULL first; the oracle pins the same
       // order with NULLS FIRST on b_id
       StreamOps.streamStreamLeftJoinRun(s, d).orderBy("a_id", "b_id")),
+    "x_stream_join_full" -> ((s, d) =>
+      StreamOps.streamStreamFullJoinRun(s, d).orderBy("a_id", "b_id")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -144,6 +146,30 @@ object TierS {
         |WHERE b_id IS NOT NULL
         |   OR a_ts + INTERVAL 10 MINUTE < m - INTERVAL 1 HOUR
         |ORDER BY a_id, b_id NULLS FIRST""".stripMargin,
+    // full-outer: both sides' evictions are visible — unmatched a once
+    // its match window [a_ts, a_ts + 10 min] is behind the watermark,
+    // unmatched b once b_ts itself is (any future a has a_ts ≥
+    // watermark > b_ts, violating b_ts ≥ a_ts)
+    "x_stream_join_full" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        |j AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |             COALESCE(a.user_id, b.user_id) AS user_id,
+        |             a.event_type AS a_type,
+        |             CAST(a.ts AS TIMESTAMP) AS a_ts,
+        |             CAST(b.ts AS TIMESTAMP) AS b_ts
+        |      FROM events a FULL JOIN events b
+        |        ON a.user_id = b.user_id
+        |       AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |       AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+        |       AND a.event_id < b.event_id)
+        |SELECT a_id, b_id, user_id, a_type,
+        |       strftime(a_ts, '%Y-%m-%d %H:%M:%S') AS a_ts_s,
+        |       strftime(b_ts, '%Y-%m-%d %H:%M:%S') AS b_ts_s
+        |FROM j, mx
+        |WHERE (a_id IS NOT NULL AND b_id IS NOT NULL)
+        |   OR (b_id IS NULL AND a_ts + INTERVAL 10 MINUTE < m - INTERVAL 1 HOUR)
+        |   OR (a_id IS NULL AND b_ts < m - INTERVAL 1 HOUR)
+        |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin,
     // the two checkpointed ingest passes must reconstruct the full
     // events table exactly once in bronze; compaction + star refresh
     // over bronze then equals this batch recompute over the raw table

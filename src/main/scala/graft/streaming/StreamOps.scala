@@ -374,7 +374,21 @@ object StreamOps {
     * null-extended rows — which is the oracle. Rows still inside the
     * watermark horizon stay IN STATE (correct streaming semantics: a
     * match could still arrive), so they appear in neither branch. */
-  def streamStreamLeftJoinRun(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamStreamLeftJoinRun(spark: SparkSession, sfDir: String): DataFrame =
+    boundedOuterJoinRun(spark, sfDir, "leftOuter", "graft_stream_join_outer")
+
+  /** FULL OUTER variant: BOTH sides' evictions become null-padded rows
+    * — unmatched a when `a_ts + 10 min < watermark` (its whole match
+    * window has passed), unmatched b when `b_ts < watermark` (any
+    * future a has `a_ts ≥ watermark > b_ts`, violating
+    * `b_ts ≥ a_ts`). Completes the streaming join-type coverage; same
+    * batch-expressible oracle structure as the left form. */
+  def streamStreamFullJoinRun(spark: SparkSession, sfDir: String): DataFrame =
+    boundedOuterJoinRun(spark, sfDir, "fullOuter", "graft_stream_join_full")
+
+  private def boundedOuterJoinRun(
+      spark: SparkSession, sfDir: String,
+      joinType: String, sinkName: String): DataFrame = {
     val a = eventsStream(spark, sfDir).select(
       col("event_id").as("a_id"), col("user_id"),
       col("ts").as("a_ts"), col("event_type").as("a_type"))
@@ -388,10 +402,14 @@ object StreamOps {
         col("b_ts") >= col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
         col("a_id") < col("b_id"),
-      "leftOuter")
-      .select(col("a_id"), col("b_id"), col("user_id"), col("a_type"),
+      joinType)
+      // coalesce: a b-only (full-outer) row still shows its join key;
+      // identity for matched and a-only rows
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("user_id"), col("b_user")).as("user_id"),
+        col("a_type"),
         fmt(col("a_ts")).as("a_ts_s"), fmt(col("b_ts")).as("b_ts_s"))
-    runToMemory(spark, "graft_stream_join_outer", joined, "append")
+    runToMemory(spark, sinkName, joined, "append")
   }
 
   /** Declared-surface run of [[highWaterMarks]] — the MODERN arbitrary-

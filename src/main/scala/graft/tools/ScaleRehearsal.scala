@@ -192,7 +192,12 @@ object ScaleRehearsal {
       (name, secs, rows, cartesian, bnlj)
     }
 
-    val bad = results.filter { case (_, _, _, c, b) => c > 0 || b > 0 }
+    // documented tiny-broadcast BNLJ sites (mirrors PlanGuardSpec's
+    // allowlist): tokenize's encode stage crosses the 1-row <unk>-id
+    // scalar onto the token stream — bounded by construction
+    val bnljAllowed = Set("tokenize_pack")
+    val bad = results.filter { case (n, _, _, c, b) =>
+      c > 0 || (b > 0 && !bnljAllowed.contains(n)) }
     val qs = results.map { case (n, s, r, c, b) =>
       s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")

@@ -261,6 +261,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join evicts the right side on its own clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, Timestamp)]
+    val memB = MemoryStream[(Long, Long, Timestamp)]
+    val a = memA.toDF().toDF("a_id", "user", "a_ts")
+      .withWatermark("a_ts", "1 hour")
+    val b = memB.toDF().toDF("b_id", "b_user", "b_ts")
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"),
+      "fullOuter")
+      .select("a_id", "b_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join_fullo")
+      .outputMode("append").start()
+    try {
+      // a1/b1 match; b2 is unmatched on the RIGHT side
+      memA.addData(Seq((1L, 7L, ts("2024-01-01 10:00:00"))))
+      memB.addData(Seq((101L, 7L, ts("2024-01-01 10:05:00")),
+        (102L, 8L, ts("2024-01-01 10:02:00"))))
+      q.processAllAvailable()
+      // advance the watermark; the 13:00 rows themselves stay in state
+      memA.addData(Seq((3L, 9L, ts("2024-01-01 13:00:00"))))
+      memB.addData(Seq((999L, 99L, ts("2024-01-01 13:00:00"))))
+      q.processAllAvailable()
+      val got = spark.table("ss_join_fullo").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      // b2 (10:02 < watermark 12:00) is emitted null-padded; a1 matched;
+      // the in-horizon 13:00 rows appear in neither branch
+      assert(got == Set((Some(1L), Some(101L)), (None, Some(102L))))
+    } finally q.stop()
+  }
+
   test("checkpointed file sink: stop/restart resumes without reprocessing") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
