@@ -408,6 +408,47 @@ object TierR {
       .orderBy("user_id", "eff_from")
       .drop("eff_from")
 
+  /** Recursive-CTE walk of the SCD2 version chains — Spark 4's
+    * `WITH RECURSIVE` (planned as `UnionLoopExec`), the declarative
+    * sequential-recursion surface a SQL user porting hierarchy/chain
+    * queries hits first. Each user's effective-dated intervals form a
+    * linear chain (`eff_to` = successor's `eff_from`), so the
+    * recursion is acyclic by construction and legal under Spark's
+    * UNION ALL-only recursive-CTE rule; the explicit `ver < 50` guard
+    * bounds the depth deterministically (and far under the default
+    * `spark.sql.cteRecursionLevelLimit` of 100). The oracle derives
+    * the same version numbers through a window `row_number` — two
+    * formulations, one answer.
+    *
+    * Scale shape: each recursion level is one equi-join of the frontier
+    * (≤ |users| rows) against the dimension on `user_id` — the frontier
+    * SHRINKS as chains end; nothing is ever quadratic. */
+  private val rScd2Chain: Q = (s, d) => {
+    graft.operators.ChangeCapture.scd2(
+      Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      keyCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      attrCols = Seq("event_type"))
+      .createOrReplaceTempView("graft_scd2_dim")
+    s.sql("""
+      WITH RECURSIVE chain(user_id, event_type, eff_from, eff_to, ver) AS (
+        SELECT s.user_id, s.event_type, s.eff_from, s.eff_to, 1
+        FROM graft_scd2_dim s
+        JOIN (SELECT user_id, min(eff_from) AS f0
+              FROM graft_scd2_dim GROUP BY user_id) h
+          ON s.user_id = h.user_id AND s.eff_from = h.f0
+        UNION ALL
+        SELECT n.user_id, n.event_type, n.eff_from, n.eff_to, c.ver + 1
+        FROM chain c JOIN graft_scd2_dim n
+          ON n.user_id = c.user_id AND n.eff_from = c.eff_to
+        WHERE c.ver < 50)
+      SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
+             date_format(eff_from, 'yyyy-MM-dd HH:mm:ss') AS eff_from_s,
+             date_format(eff_to, 'yyyy-MM-dd HH:mm:ss') AS eff_to_s
+      FROM chain ORDER BY user_id, ver""")
+  }
+
   /** Point-in-time (as-of) lookup against the SCD2 dimension — the
     * consumption side of [[rScd2]]'s build: each purchase event joins
     * the status interval (non-purchase event_type run) that was in
@@ -594,6 +635,7 @@ object TierR {
     "r_agg_group" -> rAggGroup,
     "r_scd2" -> rScd2,
     "r_scd2_lookup" -> rScd2Lookup,
+    "r_scd2_chain" -> rScd2Chain,
     "r_agg_distinct" -> rAggDistinct,
     "r_agg_approx_distinct" -> rAggApproxDistinct,
     "r_agg_approx_percentile" -> rAggApproxPercentile,
@@ -923,6 +965,26 @@ object TierR {
         |       strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS eff_to_s,
         |       eff_to IS NULL AS is_current
         |FROM e ORDER BY user_id, eff_from""".stripMargin,
+    // the engine walks the chain RECURSIVELY (WITH RECURSIVE, UNION
+    // ALL); the oracle derives the same version numbers through a
+    // window row_number — two formulations, one answer. ver <= 50
+    // mirrors the engine's explicit recursion-depth guard
+    "r_scd2_chain" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |                  event_type FROM events),
+        |l AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM x),
+        |c AS (SELECT * FROM l WHERE prev IS NULL OR event_type <> prev),
+        |e AS (SELECT user_id, event_type, ts AS eff_from,
+        |        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS eff_to,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS ver
+        |      FROM c)
+        |SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
+        |       strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS eff_from_s,
+        |       strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS eff_to_s
+        |FROM e WHERE ver <= 50 ORDER BY user_id, ver""".stripMargin,
     // the SCD2 build replayed over the non-purchase log, then each
     // purchase left-joined to its containing validity interval
     "r_scd2_lookup" ->

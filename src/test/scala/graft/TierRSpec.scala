@@ -265,6 +265,27 @@ class TierRSpec extends SparkSpec {
     }
   }
 
+  test("r_scd2_chain: recursive CTE runs UnionLoop and assigns dense versions") {
+    val out = q("r_scd2_chain")
+    // the declarative plan really runs Spark's recursive-CTE operator
+    assert(out.queryExecution.executedPlan.toString.contains("UnionLoop"))
+    val df = out.persist()
+    // versions are dense 1..n per user, no gaps or duplicates, capped
+    // by the explicit depth guard
+    val bad = df.groupBy("user_id")
+      .agg(min("ver").as("mn"), max("ver").as("mx"),
+        count(lit(1)).as("n"), countDistinct("ver").as("nd"))
+      .filter(col("mn") =!= 1L || col("mx") =!= col("n") ||
+        col("nd") =!= col("n") || col("mx") > 50L)
+    assert(bad.count() == 0)
+    // the walk visits exactly the SCD2 rows (within the depth guard):
+    // every chain row matches a dimension row on (user_id, eff_from_s)
+    val dim = q("r_scd2").select("user_id", "event_type", "eff_from_s")
+    assert(df.select("user_id", "event_type", "eff_from_s")
+      .exceptAll(dim).count() == 0)
+    df.unpersist()
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)
