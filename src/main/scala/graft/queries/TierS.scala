@@ -49,6 +49,8 @@ object TierS {
       StreamOps.streamStreamLeftJoinRun(s, d).orderBy("a_id", "b_id")),
     "x_stream_join_full" -> ((s, d) =>
       StreamOps.streamStreamFullJoinRun(s, d).orderBy("a_id", "b_id")),
+    "x_stream_session_timer" -> ((s, d) =>
+      StreamOps.streamTimerSessionRun(s, d).orderBy("user_id", "s_start")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -170,6 +172,30 @@ object TierS {
         |   OR (b_id IS NULL AND a_ts + INTERVAL 10 MINUTE < m - INTERVAL 1 HOUR)
         |   OR (a_id IS NULL AND b_ts < m - INTERVAL 1 HOUR)
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin,
+    // timer-driven sessions: the same gaps-and-islands derivation as
+    // x_stream_session, PLUS the watermark-closure filter — only
+    // sessions whose close time (last event + gap) is behind the final
+    // watermark were provably un-extendable and thus emitted
+    "x_stream_session_timer" ->
+      """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |mx AS (SELECT max(ts) AS m FROM x),
+        |l AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM x),
+        |f AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s FROM l),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |s AS (SELECT user_id, min(ts) AS s_start, max(ts) AS last_ts,
+        |        count(1) AS n
+        |      FROM g GROUP BY user_id, sid)
+        |SELECT user_id, strftime(s_start, '%Y-%m-%d %H:%M:%S') AS s_start,
+        |       strftime(last_ts + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
+        |       n
+        |FROM s, mx
+        |WHERE last_ts + INTERVAL 30 MINUTE < m - INTERVAL 1 HOUR
+        |ORDER BY user_id, s_start""".stripMargin,
     // the two checkpointed ingest passes must reconstruct the full
     // events table exactly once in bronze; compaction + star refresh
     // over bronze then equals this batch recompute over the raw table

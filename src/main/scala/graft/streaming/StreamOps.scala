@@ -127,6 +127,100 @@ object StreamOps {
       .toDF("user_id", "high_water")
   }
 
+  /** Timer-driven sessionization on the modern API — the EVENT-TIME
+    * TIMER surface of `transformWithState` (`registerTimer` /
+    * `handleExpiredTimer`), which neither [[highWaterMarks]] (no
+    * timers) nor [[sessionized]] (built-in `session_window`) touches.
+    *
+    * Per-user inactivity sessions (gap = 30 min) accumulate in keyed
+    * ListState; each input batch merges new events into the pending
+    * intervals (classic merge-with-gap — state is O(open sessions) per
+    * key) and arms ONE timer at the earliest possible close. A session
+    * is emitted only from `handleExpiredTimer`, and only once the
+    * CURRENT watermark proves no surviving event can extend it
+    * (`last_event + gap < watermark` — any later event would start a
+    * new session; still-open sessions are retained and the timer
+    * re-armed). The timer is a wake-up, not the correctness carrier:
+    * emission re-checks against `TimerValues.getCurrentWatermarkInMs`,
+    * so timer-boundary rounding can never emit early.
+    *
+    * Output: (user_id, s_start_us, s_end_us, n) with session_window's
+    * end convention (last event + gap), micros for exact cross-engine
+    * formatting by the caller. */
+  def timerSessions(
+      spark: SparkSession, events: DataFrame, gapMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import spark.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    // (startUs, lastEventUs, n)
+    type Sess = (Long, Long, Long)
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+        @transient private var pending: ListState[Sess] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          pending = getHandle.getListState[Sess](
+            "pending",
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+              Encoders.scalaLong), TTLConfig.NONE)
+
+        private def mergeAll(xs: Seq[Sess]): Seq[Sess] = {
+          val out = scala.collection.mutable.ArrayBuffer[Sess]()
+          xs.sortBy(s => (s._1, s._2)).foreach { s =>
+            out.lastOption match {
+              case Some(p) if s._1 <= p._2 + gapUs =>
+                out(out.size - 1) = (p._1, math.max(p._2, s._2), p._3 + s._3)
+              case _ => out += s
+            }
+          }
+          out.toSeq
+        }
+
+        private def rearm(open: Seq[Sess]): Unit = {
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          if (open.nonEmpty)
+            // ceil to ms + 1 so the wake-up lands strictly past the
+            // earliest close; emission re-checks, so early is harmless
+            getHandle.registerTimer(
+              open.map(s => (s._2 + gapUs) / 1000 + 1).min)
+        }
+
+        override def handleInputRows(
+            user: Long,
+            rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+          val evs: Seq[Sess] = rows.map(r => (r._2, r._2, 1L)).toSeq
+          val merged = mergeAll(pending.get().toSeq ++ evs)
+          pending.clear()
+          merged.foreach(pending.appendValue)
+          rearm(merged)
+          Iterator.empty
+        }
+
+        override def handleExpiredTimer(
+            user: Long,
+            timers: TimerValues,
+            info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+          val wmUs = timers.getCurrentWatermarkInMs() * 1000L
+          val (closed, open) =
+            pending.get().toSeq.partition(s => s._2 + gapUs < wmUs)
+          pending.clear()
+          open.foreach(pending.appendValue)
+          rearm(open)
+          closed.sortBy(_._1)
+            .map(s => (user, s._1, s._2 + gapUs, s._3)).iterator
+        }
+      }
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .toDF("user_id", "s_start_us", "s_end_us", "n")
+  }
+
   /** Checkpointed incremental windowing — the restartable scheduled job
     * the reference's future-work section sketches (reference
     * README.md:156-160: "run on a schedule, process batches
@@ -426,6 +520,32 @@ object StreamOps {
     try runToMemory(spark, "graft_stream_hwm",
       highWaterMarks(spark, eventsStream(spark, sfDir)), "append")
     finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Declared-surface run of [[timerSessions]]: bounded events stream,
+    * one data batch registers the timers, the trailing no-data batch
+    * (watermark = max ts - 1 h) fires them — emitting exactly the
+    * sessions whose close time is behind the final watermark, which
+    * the gaps-and-islands batch oracle re-derives with the same
+    * closed-before-watermark filter. Sessions still inside the horizon
+    * stay in state and are absent, the same observable-eviction
+    * contract as the outer stream joins. */
+  def streamTimerSessionRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = timerSessions(spark, eventsStream(spark, sfDir))
+        .select(col("user_id"),
+          fmt(timestamp_micros(col("s_start_us"))).as("s_start"),
+          fmt(timestamp_micros(col("s_end_us"))).as("s_end"),
+          col("n"))
+      runToMemory(spark, "graft_stream_session_timer", out, "append")
+    } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
