@@ -1,11 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter semi-join pruning: shrink the shuffled side of a
@@ -25,15 +24,18 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * The sketch is built by Spark's native `BloomFilterAggregate` — the
   * same expression the runtime-filter rewrite injects — so the build is
-  * a distributed partial/final aggregate (executors fold their
-  * partitions into per-task sketches; only the merged bit array reaches
-  * the driver, bounded by `numBits/8` bytes exactly like any aggregate
-  * result). The probe is `BloomFilterMightContain` over the serialized
-  * sketch as a literal: a codegen'd Catalyst predicate, not a Scala
-  * UDF, so the filter stays inside the large side's WholeStageCodegen
-  * span. The join afterwards is UNCHANGED — false positives are
-  * eliminated by the real equi-join, so the result set is row-identical
-  * to the unpruned join (pinned by BloomPruneSpec).
+  * a distributed partial/final aggregate, and it rides the probe plan
+  * as a SCALAR SUBQUERY (`BloomFilterMightContain(ScalarSubquery(agg),
+  * key)`) — bit-for-bit the plan shape Spark's own
+  * `InjectRuntimeFilter` emits. Nothing executes at construction time
+  * (the old form ran the aggregate eagerly and embedded the serialized
+  * sketch as a plan LITERAL — fine to tens of MB, but plan size scaled
+  * with `numBits`); the subquery executes once at runtime, its 1-row
+  * binary result is injected into the codegen'd predicate, and the
+  * probe stays inside the large side's WholeStageCodegen span. The
+  * join afterwards is UNCHANGED — false positives are eliminated by
+  * the real equi-join, so the result set is row-identical to the
+  * unpruned join (pinned by BloomPruneSpec).
   */
 object BloomPrune {
 
@@ -50,13 +52,14 @@ object BloomPrune {
       new BloomFilterAggregate(
         ColumnBridge.expression(col(key).cast("long")),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    // one distributed aggregate job; the driver holds only the merged
-    // serialized sketch (numBits/8 bytes), which then rides to tasks as
-    // a literal inside the generated predicate
-    val sketch = small.agg(sketchCol.as("bf")).head().getAs[Array[Byte]](0)
+    // the build is a non-correlated scalar subquery: planned as one
+    // distributed aggregate, executed once at runtime, result injected
+    // into the predicate — plan size independent of numBits, no eager
+    // driver round-trip at construction time
+    val aggPlan = small.agg(sketchCol.as("bf")).queryExecution.analyzed
     val mightContain = ColumnBridge.column(
       new BloomFilterMightContain(
-        Literal(sketch, BinaryType),
+        ScalarSubquery(aggPlan),
         ColumnBridge.expression(col(key).cast("long"))))
     large.filter(mightContain)
   }

@@ -98,7 +98,15 @@ object PlanDump {
     "x_bpe_train" ->
       "BPE training: corpus touched once (word-frequency aggregate); each merge iteration runs at |vocab| with a TakeOrderedAndProject argmax — driver state is O(iterations) merge rows",
     "x_pipeline_tokenize" ->
-      "composed encode-and-pack: persisted input feeds vocab aggregate + broadcast-vocab encode + prefix-sum packing; final doc_id equi-join — no new shuffle structure")
+      "composed encode-and-pack: persisted input feeds vocab aggregate + broadcast-vocab encode + prefix-sum packing; final doc_id equi-join — no new shuffle structure",
+    "x_stream_join_outer" ->
+      "left-outer stream-stream join: watermark eviction IS the null-padding trigger; state bounded by the 10-min event-time band",
+    "x_stream_join_full" ->
+      "full-outer stream-stream join: both sides' state evictions surface as null-padded rows, each on its own watermark clock",
+    "x_stream_session_timer" ->
+      "event-time timers on transformWithState: ListState holds open sessions, a timer wake-up re-checks the watermark before any emission",
+    "r_scd2_chain" ->
+      "recursive CTE (UnionLoopExec): per-level frontier equi-join against the SCD2 dim, frontier shrinks as chains end, depth = longest chain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -46,6 +46,10 @@ class BloomPruneSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"expected native probe in:\n$plan")
     assert(!plan.contains("UDF"), s"UDF node leaked into:\n$plan")
+    // the sketch rides as a scalar subquery (InjectRuntimeFilter's
+    // shape), never as a serialized plan literal
+    assert(plan.toLowerCase.contains("subquery"),
+      s"expected the sketch build as a scalar subquery in:\n$plan")
   }
 
   test("null keys never survive the prune") {
