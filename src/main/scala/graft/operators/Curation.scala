@@ -122,6 +122,81 @@ object Curation {
       .filter(col("bucket") < col("rate"))
   }
 
+  /** Deterministic fractional UPSAMPLING — the epoch-style complement
+    * of [[domainMix]] (which only downsamples): low-resource groups
+    * REPEAT. Repeat factor r_g = min(sqrt(n_max / n_g), maxRepeat) in
+    * e3 fixed-point (the α = 0.5 temperature convention): the largest
+    * group keeps rate 1.0×, smaller groups repeat up to maxRepeat×. A
+    * document emits floor(r) copies plus one more iff its hash bucket
+    * falls under frac(r) — expectation exactly r per doc, RNG-free,
+    * and every engine derives the same copy set (the [[hashSplit]]
+    * argument).
+    *
+    * Scale shape: the rate table is one tiny aggregate cross-broadcast
+    * with the 1-row max; the corpus never shuffles — copies come from
+    * a row-local `explode(sequence(...))` generator (a join-free row
+    * multiplier), and output volume is bounded by maxRepeat × |docs|.
+    *
+    * Output: one row per emitted copy (doc_id, group, copy_id,
+    * rate_e3). */
+  def domainUpsample(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      maxRepeat: Int = 4,
+      salt: String = "up"): DataFrame = {
+    require(maxRepeat >= 1, s"invalid maxRepeat=$maxRepeat")
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val maxN = counts.agg(max(col("n")).as("n_max"))
+    val rates = counts.crossJoin(broadcast(maxN))
+      .select(col(groupCol),
+        least(
+          floor(lit(1000) * sqrt(col("n_max").cast("double") / col("n"))),
+          lit(1000L * maxRepeat)).as("rate_e3"))
+    val bucket = Hashing.hash32(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % 1000
+    docs
+      .join(broadcast(rates), groupCol)
+      .select(col("doc_id"), col(groupCol), col("rate_e3"),
+        (floor(col("rate_e3") / 1000) +
+          when(bucket < col("rate_e3") % 1000, 1L).otherwise(0L))
+          .as("copies"))
+      .select(col("doc_id"), col(groupCol), col("rate_e3"),
+        explode(sequence(lit(1L), col("copies"))).as("copy_id"))
+      .select("doc_id", groupCol, "copy_id", "rate_e3")
+  }
+
+  /** Token-budget corpus selection — "fill N tokens per group with the
+    * best documents": rank by [[TextAnalysis.qualityScore]] descending
+    * (doc_id tie-break), keep the greedy prefix whose RUNNING token sum
+    * stays within the budget. The data-selection step a
+    * budget-constrained training run makes after curation.
+    *
+    * Scale shape: one window cumsum per group partition. At corpus
+    * scale the refinement mirrors [[quotaCap]]'s two-phase top-N:
+    * partition-local pruning of documents that cannot make the budget
+    * boundary before the global ranked cumsum — the cutoff semantics
+    * here are identical either way.
+    *
+    * Output: (doc_id, group, n_tokens, quality, cum_tokens), kept rows
+    * only. */
+  def budgetSelect(
+      docs: DataFrame,
+      groupCol: String = "lang",
+      tokenBudget: Long = 3000L): DataFrame = {
+    require(tokenBudget >= 1, s"invalid tokenBudget=$tokenBudget")
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col(groupCol))
+      .join(q, "doc_id")
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        col("quality"), col("cum_tokens"))
+  }
+
   /** The composed end-to-end curation pipeline — the operators above and
     * the dedup family chained into ONE lineage, the way a real
     * training-data job runs them:

@@ -202,6 +202,16 @@ object TierX {
         .orderBy("user_id")),
     "x_domain_mix" -> ((s, d) =>
       Curation.domainMix(docs(s, d), groupCol = "lang").orderBy("doc_id")),
+    "x_domain_upsample" -> ((s, d) =>
+      // epoch-style fractional upsampling: low-resource langs repeat
+      // deterministically (hash-fated extra copy), capped at 4×
+      Curation.domainUpsample(docs(s, d), groupCol = "lang", maxRepeat = 4)
+        .orderBy("doc_id", "copy_id")),
+    "x_budget_select" -> ((s, d) =>
+      // greedy best-quality prefix per lang under a running token budget
+      Curation.budgetSelect(docs(s, d), groupCol = "lang",
+        tokenBudget = 3000L)
+        .orderBy("doc_id")),
     "x_dedup_substring" -> ((s, d) =>
       Dedup.sharedSpans(docs(s, d), k = 8, maxDf = 10, minShared = 3)
         .orderBy("d1", "d2")),
@@ -1192,6 +1202,52 @@ object TierX {
         |FROM documents d JOIN r USING (lang)
         |WHERE ${hash32("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < r.rate
         |ORDER BY doc_id""".stripMargin,
+    // fractional upsampling re-derived: same e3 fixed-point rate, same
+    // hash-fated extra copy, copies materialized by a lateral range
+    "x_domain_upsample" ->
+      s"""WITH c AS (SELECT lang, count(1) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT max(n) AS n_max FROM c),
+        |r AS (SELECT lang,
+        |        least(CAST(floor(1000 * sqrt(CAST(n_max AS DOUBLE) / n))
+        |                   AS BIGINT), 4000) AS rate_e3
+        |      FROM c, m),
+        |d AS (SELECT doc_id, d.lang, rate_e3,
+        |        ${hash32("'up:' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket
+        |      FROM documents d JOIN r USING (lang)),
+        |e AS (SELECT doc_id, lang, rate_e3,
+        |        rate_e3 // 1000
+        |          + CASE WHEN bucket < rate_e3 % 1000 THEN 1 ELSE 0 END
+        |          AS copies
+        |      FROM d)
+        |SELECT doc_id, lang, CAST(u AS BIGINT) AS copy_id, rate_e3
+        |FROM e, unnest(range(1, copies + 1)) z(u)
+        |ORDER BY doc_id, copy_id""".stripMargin,
+    // the x_quality_score derivation feeding a per-lang ranked running
+    // token sum; keep the greedy prefix within the budget
+    "x_budget_select" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS DOUBLE) AS n_tokens,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_unique,
+        |        CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS DOUBLE) AS n_stop
+        |      FROM t),
+        |r AS (SELECT doc_id, n_tokens,
+        |        round(n_unique / n_tokens, 4) AS ttr,
+        |        round(n_stop / 5.0, 4) AS stop_hit_ratio,
+        |        round(least(n_tokens / 100.0, 1.0), 4) AS len_sat
+        |      FROM m),
+        |q AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        round(0.4 * ttr + 0.3 * stop_hit_ratio + 0.3 * len_sat, 4)
+        |          AS quality
+        |      FROM r),
+        |s AS (SELECT d.doc_id, d.lang, q.n_tokens, q.quality,
+        |        sum(q.n_tokens) OVER (PARTITION BY d.lang
+        |          ORDER BY q.quality DESC, d.doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      FROM documents d JOIN q USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, quality,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM s WHERE cum_tokens <= 3000 ORDER BY doc_id""".stripMargin,
     // 8-token spans as hash32 keys, df-capped before the pairing join —
     // the same stop-span logic as the Spark side, re-derived end-to-end
     "x_dedup_substring" ->

@@ -32,7 +32,9 @@ class PlanGuardSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
-    "x_domain_mix", "x_ngram_lm",
+    // domainMix/domainUpsample cross the 1-row n_min/n_max scalar onto
+    // the |groups|-row rate table
+    "x_domain_mix", "x_domain_upsample", "x_ngram_lm",
     "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel",
     // inherits x_quality_filter's OOV-floor scalar through its first stage
     "x_pipeline_prepare",

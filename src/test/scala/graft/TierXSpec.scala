@@ -1095,6 +1095,46 @@ class TierXSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("domainUpsample repeats low-resource groups at exactly the e3 rate") {
+    // 8 docs of lang a, 2 of b: r_a = 1.0 (largest group), r_b =
+    // sqrt(8/2) = 2.0 exactly — integral rates, so copy counts are
+    // deterministic regardless of hash fate
+    val df = ((0L until 8L).map(i => (i, "a")) ++
+      Seq((100L, "b"), (101L, "b"))).toDF("doc_id", "lang")
+    val counts = Curation.domainUpsample(df, "lang", maxRepeat = 4)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 8L).foreach(i => assert(counts(i) == 1L))
+    assert(counts(100L) == 2L && counts(101L) == 2L)
+    // the cap bites: maxRepeat = 1 degenerates to the identity pass
+    assert(Curation.domainUpsample(df, "lang", maxRepeat = 1).count() == 10)
+    // declared query: every doc emits between 1 and maxRepeat copies
+    val mult = q("x_domain_upsample").groupBy("doc_id").count()
+    assert(mult.filter(col("count") < 1 || col("count") > 4).count() == 0)
+  }
+
+  test("budgetSelect keeps exactly the greedy best-quality prefix per lang") {
+    val out = q("x_budget_select").persist()
+    assert(out.groupBy("lang").agg(max("cum_tokens").as("m"))
+      .filter(col("m") > 3000L).count() == 0)
+    // brute-force the expected kept set: per lang, quality-desc
+    // (doc_id tie-break) running token sum within budget
+    val docsDf = Tables(spark, sf, "documents")
+    val langOf = docsDf.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qual = TextAnalysis.qualityScore(docsDf)
+      .select("doc_id", "n_tokens", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = qual.groupBy(t => langOf(t._1)).flatMap { case (_, g) =>
+      var cum = 0L
+      g.sortBy(t => (-t._3, t._1)).iterator
+        .takeWhile { t => cum += t._2; cum <= 3000L }.map(_._1)
+    }.toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      expected)
+    out.unpersist()
+  }
+
   test("BPE training learns the classic merge sequence on a crafted corpus") {
     // Sennrich et al.'s worked example: {low:5, lower:2, newest:6,
     // widest:3}; the 5 merges (with the (w desc, pair asc) tie-break)
