@@ -341,11 +341,14 @@ object SimilaritySearch {
 
   /** Nearest-centroid cell id against literal centroids: argmax of
     * dot(vec, c)/||c|| (ties → lowest c_id, via the (sim, −c_id) struct
-    * max). Pure projection — no join, no shuffle. */
-  private def nearestCellExpr(cents: Seq[(Int, Seq[Float])]): Column = {
+    * max). Pure projection — no join, no shuffle. `vecCol` defaults to
+    * the full embedding; [[pqEncode]] passes subvector slices. */
+  private def nearestCellExpr(
+      cents: Seq[(Int, Seq[Float])],
+      vecCol: Column = col("embedding")): Column = {
     val entries = cents.map { case (j, v) =>
       struct(
-        (Similarity.dot(col("embedding"), typedlit(v))
+        (Similarity.dot(vecCol, typedlit(v))
           / sqrt(Similarity.norm2(typedlit(v)))).as("sim"),
         lit(-j).as("negc"))
     }
@@ -391,6 +394,45 @@ object SimilaritySearch {
       }
     }
     cents
+  }
+
+  /** Product quantization, spherical (cosine) flavor — the embedding
+    * COMPRESSION step a 100 TB vector store runs after (or instead of)
+    * coarse IVF: the embedding splits into `m` contiguous subvectors,
+    * each subspace trains its own k-means codebook of `codebookSize`
+    * codewords (reusing [[trainIvfCentroids]] on the sliced frame —
+    * same hash-ordered seeding, same exact fixed-point Lloyd rounds,
+    * so the DuckDB oracle re-derives every codebook bit-for-bit), and
+    * every vector is encoded as its per-subspace nearest-codeword ids.
+    * Storage drops from dim × 4 bytes to m × log2(codebookSize) bits.
+    *
+    * Scale shape: training is m × iters bounded-driver jobs (the IVF
+    * argument — driver state is O(m × codebookSize × dim/m) =
+    * O(codebookSize × dim) floats); ENCODING is one shuffle-free
+    * projection — all m nearest-codeword argmaxes evaluate against
+    * broadcast literal codebooks inside the same codegen stage, so a
+    * 100 TB corpus encodes embarrassingly parallel with zero exchange.
+    *
+    * Output: (vec_id, code0 .. code{m-1}), codes in
+    * [0, codebookSize). */
+  def pqEncode(
+      vecs: DataFrame,
+      m: Int = 2,
+      codebookSize: Int = 4,
+      iters: Int = 2): DataFrame = {
+    require(m >= 1 && codebookSize >= 1 && iters >= 1,
+      s"invalid pq params m=$m k=$codebookSize iters=$iters")
+    val dim = vecs.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val codes = (0 until m).map { j =>
+      val sliced = vecs.select(col("vec_id"),
+        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
+      val book = trainIvfCentroids(sliced, codebookSize, iters)
+      nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
+        .cast("long").as(s"code$j")
+    }
+    vecs.select(col("vec_id") +: codes: _*)
   }
 
   /** IVF coarse quantizer: assign every vector to its nearest trained

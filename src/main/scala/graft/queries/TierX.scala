@@ -97,6 +97,11 @@ object TierX {
         .orderBy("bucket")),
     "x_embed_quant" -> ((s, d) =>
       SimilaritySearch.quantizeInt8(vecs(s, d)).orderBy("vec_id")),
+    "x_embed_pq" -> ((s, d) =>
+      // product quantization: 2 subspaces × 4-codeword spherical
+      // codebooks; encode = one shuffle-free projection
+      SimilaritySearch.pqEncode(vecs(s, d), m = 2, codebookSize = 4,
+        iters = 2).orderBy("vec_id")),
     "x_embed_centroid" -> ((s, d) =>
       SimilaritySearch.labelCentroids(vecs(s, d)).orderBy("label", "pos")),
     "x_quota_cap" -> ((s, d) =>
@@ -559,22 +564,26 @@ object TierX {
       |${(0 until 5).map(i => bpeIterSql(s"v$i", s"v${i + 1}"))
         .mkString(",\n")}""".stripMargin
 
-  /** One Lloyd round in DuckDB, mirroring
+  /** One Lloyd round in DuckDB over corpus CTE `corpus` (vec_id,
+    * embedding), mirroring
     * [[graft.operators.SimilaritySearch.trainIvfCentroids]] bit-for-bit:
     * nearest-centroid assignment (ties → lowest c_id), exact 1e-6
     * fixed-point element sums, double division, float cast; empty cells
-    * keep their centroid. Emits CTEs a_<out>, m_<out>, <out>. */
-  private def kmeansIterSql(prev: String, out: String): String =
+    * keep their centroid. Emits CTEs a_<out>, m_<out>, <out>.
+    * `x_sim_ivf` binds the full corpus; the PQ oracle binds each
+    * subvector slice. */
+  private def kmeansIterSqlOn(corpus: String)(
+      prev: String, out: String): String =
     s"""a_$out AS (SELECT vec_id, c_id AS cell FROM (
       |  SELECT v.vec_id, c.c_id,
       |    row_number() OVER (PARTITION BY v.vec_id
       |      ORDER BY (${dotSql("v.embedding", "c.c_vec")} /
       |                sqrt(${dotSql("c.c_vec", "c.c_vec")})) DESC, c.c_id) AS r
-      |  FROM e v CROSS JOIN $prev c) WHERE r = 1),
+      |  FROM $corpus v CROSS JOIN $prev c) WHERE r = 1),
       |m_$out AS (SELECT a.cell, u.pos AS pos,
       |    sum(CAST(round(CAST(u.v AS DOUBLE) * 1000000.0) AS BIGINT)) AS s,
       |    count(1) AS n
-      |  FROM a_$out a JOIN e v USING (vec_id),
+      |  FROM a_$out a JOIN $corpus v USING (vec_id),
       |       unnest([{'pos': i, 'v': v.embedding[CAST(i + 1 AS INT)]}
       |               for i in range(0, len(v.embedding))]) t(u)
       |  GROUP BY 1, 2),
@@ -584,6 +593,30 @@ object TierX {
       |      list(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS FLOAT)
       |           ORDER BY pos) AS c_vec
       |    FROM m_$out GROUP BY cell) cm USING (c_id))""".stripMargin
+
+  private def kmeansIterSql(prev: String, out: String): String =
+    kmeansIterSqlOn("e")(prev, out)
+
+  /** Seed + 2 Lloyd rounds + final assignment for ONE PQ subspace over
+    * corpus CTE `corpus` (vec_id, embedding = the subvector slice);
+    * emits `codes_<tag>` (vec_id, code). Mirrors the Spark side's
+    * trainIvfCentroids-on-sliced-frame composition exactly. */
+  private def pqSubspaceSql(corpus: String, tag: String, k: Int): String = {
+    val iter = kmeansIterSqlOn(corpus) _
+    s"""c0_$tag AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
+      |                embedding AS c_vec
+      |         FROM (SELECT vec_id, embedding,
+      |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
+      |               FROM $corpus ORDER BY h, vec_id LIMIT $k) t),
+      |${iter(s"c0_$tag", s"c1_$tag")},
+      |${iter(s"c1_$tag", s"c2_$tag")},
+      |codes_$tag AS (SELECT vec_id, CAST(c_id AS BIGINT) AS code FROM (
+      |  SELECT v.vec_id, c.c_id,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY (${dotSql("v.embedding", "c.c_vec")} /
+      |                sqrt(${dotSql("c.c_vec", "c.c_vec")})) DESC, c.c_id) AS r
+      |  FROM $corpus v CROSS JOIN c2_$tag c) WHERE r = 1)""".stripMargin
+  }
 
   /** Shared by `x_dedup_simhash64` and `x_dedup_simhash64p`: both
     * blocking schemes have exact recall at Hamming ≤ 6 and verify the
@@ -783,6 +816,23 @@ object TierX {
         |       CAST(bucket * 20 AS BIGINT) AS lo_tokens,
         |       count(1) AS n_docs
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // both subspace codebooks re-derived bit-for-bit (hash-ordered
+    // seeds, 2 exact fixed-point Lloyd rounds each) over the sliced
+    // halves, then the per-subspace nearest-codeword assignment
+    "x_embed_pq" ->
+      s"""WITH s1 AS (SELECT vec_id,
+        |              list_slice(embedding, 1, len(embedding) // 2)
+        |                AS embedding
+        |            FROM embeddings),
+        |s2 AS (SELECT vec_id,
+        |         list_slice(embedding, len(embedding) // 2 + 1,
+        |                    len(embedding)) AS embedding
+        |       FROM embeddings),
+        |${pqSubspaceSql("s1", "p0", 4)},
+        |${pqSubspaceSql("s2", "p1", 4)}
+        |SELECT a.vec_id, a.code AS code0, b.code AS code1
+        |FROM codes_p0 a JOIN codes_p1 b USING (vec_id)
+        |ORDER BY a.vec_id""".stripMargin,
     "x_embed_quant" ->
       """WITH e AS (SELECT vec_id, embedding,
         |             CAST(list_min(embedding) AS DOUBLE) AS mn,

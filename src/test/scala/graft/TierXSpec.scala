@@ -1095,6 +1095,23 @@ class TierXSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pqEncode: full coverage, in-range codes, partition-invariant") {
+    val out = q("x_embed_pq").persist()
+    val vecs = Tables(spark, sf, "embeddings")
+    assert(out.count() == vecs.count())
+    assert(out.filter(col("code0") < 0 || col("code0") > 3 ||
+      col("code1") < 0 || col("code1") > 3).count() == 0)
+    // codebooks discriminate: more than one codeword in use per subspace
+    assert(out.select(countDistinct("code0")).head.getLong(0) >= 2)
+    assert(out.select(countDistinct("code1")).head.getLong(0) >= 2)
+    // training + encoding are partition-invariant (hash-ordered seeds,
+    // fixed-point Lloyd, literal-codebook projection)
+    val re = SimilaritySearch.pqEncode(vecs.repartition(7),
+      m = 2, codebookSize = 4, iters = 2)
+    assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
+    out.unpersist()
+  }
+
   test("domainUpsample repeats low-resource groups at exactly the e3 rate") {
     // 8 docs of lang a, 2 of b: r_a = 1.0 (largest group), r_b =
     // sqrt(8/2) = 2.0 exactly — integral rates, so copy counts are
