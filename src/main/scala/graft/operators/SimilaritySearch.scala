@@ -420,19 +420,95 @@ object SimilaritySearch {
       m: Int = 2,
       codebookSize: Int = 4,
       iters: Int = 2): DataFrame = {
+    val (sub, books) = pqBooks(vecs, m, codebookSize, iters)
+    val codes = books.zipWithIndex.map { case (book, j) =>
+      nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
+        .cast("long").as(s"code$j")
+    }
+    vecs.select(col("vec_id") +: codes: _*)
+  }
+
+  /** Subvector width + per-subspace codebooks for [[pqEncode]] /
+    * [[pqTopK]] — m independent [[trainIvfCentroids]] runs over the
+    * sliced frames. */
+  private def pqBooks(
+      vecs: DataFrame, m: Int, codebookSize: Int, iters: Int)
+      : (Int, Seq[Seq[(Int, Seq[Float])]]) = {
     require(m >= 1 && codebookSize >= 1 && iters >= 1,
       s"invalid pq params m=$m k=$codebookSize iters=$iters")
     val dim = vecs.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val sub = dim / m
-    val codes = (0 until m).map { j =>
-      val sliced = vecs.select(col("vec_id"),
-        slice(col("embedding"), j * sub + 1, sub).as("embedding"))
-      val book = trainIvfCentroids(sliced, codebookSize, iters)
-      nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
-        .cast("long").as(s"code$j")
+    (sub, (0 until m).map { j =>
+      trainIvfCentroids(
+        vecs.select(col("vec_id"),
+          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+        codebookSize, iters)
+    })
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * SEARCH side of [[pqEncode]]: each query precomputes one inner-
+    * product lookup table per subspace (query subvector × every
+    * codeword, exact e6 fixed-point longs, computed driver-side over
+    * the literal codebooks), and a corpus vector's score is the SUM of
+    * its codes' table entries — the classic PQ serving trade:
+    * m lookups + adds per corpus row instead of dim multiplies, over
+    * codes instead of raw vectors. Scoring is exact long arithmetic,
+    * ties → lowest vec_id, so the DuckDB oracle (which re-derives the
+    * codebooks bit-for-bit and the same e6 tables) must agree rank for
+    * rank. ADC approximates the true inner product through the
+    * reconstruction — recall vs [[bruteTopK]] is the accuracy trade
+    * PQ makes by design.
+    *
+    * Scale shape: after training, scoring is a literal-LUT projection
+    * over the coded corpus (no join); the per-query window rank is the
+    * documented [[bruteTopK]] test-scale shape — a serving deployment
+    * replaces it with per-query TakeOrdered heaps. Queries follow the
+    * `vec_id < nQueries` convention of the other top-k paths. */
+  def pqTopK(
+      vecs: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 5,
+      m: Int = 2,
+      codebookSize: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val (sub, books) = pqBooks(vecs, m, codebookSize, iters)
+    // half-away-from-zero to match SQL round() in both engines
+    def roundE6(s: Double): Long =
+      if (s >= 0) math.floor(s * 1e6 + 0.5).toLong
+      else math.ceil(s * 1e6 - 0.5).toLong
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
     }
-    vecs.select(col("vec_id") +: codes: _*)
+    val qs = vecs.filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val codeCols = books.zipWithIndex.map { case (book, j) =>
+      nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
+        .as(s"code$j")
+    }
+    val coded = vecs.select(col("vec_id") +: codeCols: _*)
+      .persist() // one scoring branch per query consumes it
+    val scored = qs.map { case (qid, qv) =>
+      val luts = books.zipWithIndex.map { case (book, j) =>
+        val qsub = qv.slice(j * sub, (j + 1) * sub)
+        val table = book.sortBy(_._1).map { case (_, cw) =>
+          roundE6(dot(qsub, cw))
+        }
+        element_at(typedlit(table), col(s"code$j") + 1)
+      }
+      coded.filter(col("vec_id") =!= qid)
+        .select(lit(qid).as("q_id"), col("vec_id"),
+          luts.reduce(_ + _).as("adc_e6"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_e6").desc, col("vec_id"))
+    scored.withColumn("srank", row_number().over(w).cast("long"))
+      .filter(col("srank") <= k)
+      .select("q_id", "vec_id", "srank", "adc_e6")
   }
 
   /** IVF coarse quantizer: assign every vector to its nearest trained

@@ -102,6 +102,16 @@ object TierX {
       // codebooks; encode = one shuffle-free projection
       SimilaritySearch.pqEncode(vecs(s, d), m = 2, codebookSize = 4,
         iters = 2).orderBy("vec_id")),
+    "x_sim_pq_adc" -> ((s, d) =>
+      // the PQ search side: exact-e6 ADC lookup-table scoring over the
+      // coded corpus, top-5 per query. 16 codewords/subspace (vs the
+      // compression query's 4): ADC's accuracy rides codebook richness
+      // — at 4, whole cells tie and the tie-break picks arbitrary cell
+      // members; at 16 the picks reliably beat the corpus average
+      // (TierXSpec pins it)
+      SimilaritySearch.pqTopK(vecs(s, d), nQueries = 5, k = 5,
+        m = 2, codebookSize = 16, iters = 2)
+        .orderBy("q_id", "srank")),
     "x_embed_centroid" -> ((s, d) =>
       SimilaritySearch.labelCentroids(vecs(s, d)).orderBy("label", "pos")),
     "x_quota_cap" -> ((s, d) =>
@@ -816,6 +826,47 @@ object TierX {
         |       CAST(bucket * 20 AS BIGINT) AS lo_tokens,
         |       count(1) AS n_docs
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // PQ ADC search re-derived end-to-end: same codebooks, the same
+    // exact-e6 inner-product LUTs (left-to-right double sums, SQL
+    // round), LUT-sum scoring over the codes, rank ties → vec_id
+    "x_sim_pq_adc" ->
+      s"""WITH s1 AS (SELECT vec_id,
+        |              list_slice(embedding, 1, len(embedding) // 2)
+        |                AS embedding
+        |            FROM embeddings),
+        |s2 AS (SELECT vec_id,
+        |         list_slice(embedding, len(embedding) // 2 + 1,
+        |                    len(embedding)) AS embedding
+        |       FROM embeddings),
+        |${pqSubspaceSql("s1", "p0", 16)},
+        |${pqSubspaceSql("s2", "p1", 16)},
+        |codes AS (SELECT a.vec_id, a.code AS code0, b.code AS code1
+        |          FROM codes_p0 a JOIN codes_p1 b USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id,
+        |        list_slice(embedding, 1, len(embedding) // 2) AS q0,
+        |        list_slice(embedding, len(embedding) // 2 + 1,
+        |                   len(embedding)) AS q1
+        |      FROM embeddings WHERE vec_id < 5),
+        |lut0 AS (SELECT q.q_id, c.c_id,
+        |           CAST(round(${dotSql("q.q0", "c.c_vec")} * 1000000.0)
+        |                AS BIGINT) AS d
+        |         FROM q CROSS JOIN c2_p0 c),
+        |lut1 AS (SELECT q.q_id, c.c_id,
+        |           CAST(round(${dotSql("q.q1", "c.c_vec")} * 1000000.0)
+        |                AS BIGINT) AS d
+        |         FROM q CROSS JOIN c2_p1 c),
+        |sc AS (SELECT q.q_id, codes.vec_id, l0.d + l1.d AS adc_e6
+        |       FROM q CROSS JOIN codes
+        |            JOIN lut0 l0 ON l0.q_id = q.q_id
+        |                        AND l0.c_id = codes.code0
+        |            JOIN lut1 l1 ON l1.q_id = q.q_id
+        |                        AND l1.c_id = codes.code1
+        |       WHERE codes.vec_id <> q.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_e6 DESC, vec_id) AS srank
+        |      FROM sc)
+        |SELECT q_id, vec_id, CAST(srank AS BIGINT) AS srank, adc_e6
+        |FROM r WHERE srank <= 5 ORDER BY q_id, srank""".stripMargin,
     // both subspace codebooks re-derived bit-for-bit (hash-ordered
     // seeds, 2 exact fixed-point Lloyd rounds each) over the sliced
     // halves, then the per-subspace nearest-codeword assignment

@@ -1112,6 +1112,41 @@ class TierXSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pqTopK: dense ranks, monotone scores, picks beat the corpus average") {
+    val out = q("x_sim_pq_adc").persist()
+    val vecs = Tables(spark, sf, "embeddings")
+    // 5 queries × 5 dense ranks
+    val shape = out.groupBy("q_id").agg(count(lit(1)).as("n"),
+      min("srank").as("mn"), max("srank").as("mx"))
+    assert(shape.filter(col("n") =!= 5 || col("mn") =!= 1L ||
+      col("mx") =!= 5L).count() == 0)
+    // ADC scores are non-increasing with rank inside each query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("srank")
+    assert(out.withColumn("prev", lag("adc_e6", 1).over(w))
+      .filter(col("prev").isNotNull && col("adc_e6") > col("prev"))
+      .count() == 0)
+    // accuracy: ADC approximates the INNER PRODUCT, so each query's
+    // picks must beat the query's corpus-average true inner product —
+    // the approximation carries signal in its own metric
+    val qv = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ip = vecs.crossJoin(qv).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Similarity.dot(col("embedding"), col("q_vec"))
+          .as("ip"))
+    val corpusAvg = ip.groupBy("q_id").agg(avg("ip").as("avg_all"))
+    val pickAvg = out.join(ip, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(avg("ip").as("avg_pick"))
+    assert(pickAvg.join(corpusAvg, "q_id")
+      .filter(col("avg_pick") <= col("avg_all")).count() == 0)
+    // deterministic under repartitioning
+    val re = SimilaritySearch.pqTopK(vecs.repartition(7), nQueries = 5,
+      k = 5, m = 2, codebookSize = 16, iters = 2)
+    assert(re.exceptAll(out).count() == 0 && out.exceptAll(re).count() == 0)
+    out.unpersist()
+  }
+
   test("domainUpsample repeats low-resource groups at exactly the e3 rate") {
     // 8 docs of lang a, 2 of b: r_a = 1.0 (largest group), r_b =
     // sqrt(8/2) = 2.0 exactly — integral rates, so copy counts are
