@@ -414,9 +414,10 @@ object TierR {
     * queries hits first. Each user's effective-dated intervals form a
     * linear chain (`eff_to` = successor's `eff_from`), so the
     * recursion is acyclic by construction and legal under Spark's
-    * UNION ALL-only recursive-CTE rule; the explicit `ver < 50` guard
-    * bounds the depth deterministically (and far under the default
-    * `spark.sql.cteRecursionLevelLimit` of 100). The oracle derives
+    * UNION ALL-only recursive-CTE rule; the explicit `ver < 25` guard
+    * bounds the depth deterministically (each UnionLoop level is one
+    * scheduled mini-job, so the guard is also the wall-clock knob; far
+    * under the default `spark.sql.cteRecursionLevelLimit` of 100). The oracle derives
     * the same version numbers through a window `row_number` — two
     * formulations, one answer.
     *
@@ -442,7 +443,7 @@ object TierR {
         SELECT n.user_id, n.event_type, n.eff_from, n.eff_to, c.ver + 1
         FROM chain c JOIN graft_scd2_dim n
           ON n.user_id = c.user_id AND n.eff_from = c.eff_to
-        WHERE c.ver < 50)
+        WHERE c.ver < 25)
       SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
              date_format(eff_from, 'yyyy-MM-dd HH:mm:ss') AS eff_from_s,
              date_format(eff_to, 'yyyy-MM-dd HH:mm:ss') AS eff_to_s
@@ -967,7 +968,7 @@ object TierR {
         |FROM e ORDER BY user_id, eff_from""".stripMargin,
     // the engine walks the chain RECURSIVELY (WITH RECURSIVE, UNION
     // ALL); the oracle derives the same version numbers through a
-    // window row_number — two formulations, one answer. ver <= 50
+    // window row_number — two formulations, one answer. ver <= 25
     // mirrors the engine's explicit recursion-depth guard
     "r_scd2_chain" ->
       """WITH x AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
@@ -984,7 +985,7 @@ object TierR {
         |SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
         |       strftime(eff_from, '%Y-%m-%d %H:%M:%S') AS eff_from_s,
         |       strftime(eff_to, '%Y-%m-%d %H:%M:%S') AS eff_to_s
-        |FROM e WHERE ver <= 50 ORDER BY user_id, ver""".stripMargin,
+        |FROM e WHERE ver <= 25 ORDER BY user_id, ver""".stripMargin,
     // the SCD2 build replayed over the non-purchase log, then each
     // purchase left-joined to its containing validity interval
     "r_scd2_lookup" ->

@@ -106,7 +106,11 @@ object PlanDump {
     "x_stream_session_timer" ->
       "event-time timers on transformWithState: ListState holds open sessions, a timer wake-up re-checks the watermark before any emission",
     "r_scd2_chain" ->
-      "recursive CTE (UnionLoopExec): per-level frontier equi-join against the SCD2 dim, frontier shrinks as chains end, depth = longest chain")
+      "recursive CTE (UnionLoopExec): per-level frontier equi-join against the SCD2 dim, frontier shrinks as chains end, depth = longest chain",
+    "x_embed_pq" ->
+      "product quantization encode: one shuffle-free projection — both subspace nearest-codeword argmaxes against broadcast literal codebooks in a single codegen stage",
+    "x_sim_pq_adc" ->
+      "ADC search: literal-LUT score projection over the persisted coded corpus, per-query window rank (bruteTopK's documented test-scale shape)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

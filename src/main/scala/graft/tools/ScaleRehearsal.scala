@@ -164,6 +164,11 @@ object ScaleRehearsal {
       "tokenize_pack" -> (() =>
         graft.operators.Curation.tokenize(docs, vocabSize = 50,
           budget = 256)),
+      // PQ at 10× vectors: training stays bounded-driver (m × iters
+      // jobs), encoding must remain one shuffle-free projection
+      "pq_encode" -> (() =>
+        SimilaritySearch.pqEncode(vecs, m = 2, codebookSize = 16,
+          iters = 2)),
       // iterative PageRank over the 10× similarity graph: the
       // localCheckpoint lineage cut + scalar constants must hold at
       // cluster-like partition counts (3 join+agg rounds, no BNLJ)

@@ -276,7 +276,7 @@ class TierRSpec extends SparkSpec {
       .agg(min("ver").as("mn"), max("ver").as("mx"),
         count(lit(1)).as("n"), countDistinct("ver").as("nd"))
       .filter(col("mn") =!= 1L || col("mx") =!= col("n") ||
-        col("nd") =!= col("n") || col("mx") > 50L)
+        col("nd") =!= col("n") || col("mx") > 25L)
     assert(bad.count() == 0)
     // the walk visits exactly the SCD2 rows (within the depth guard):
     // every chain row matches a dimension row on (user_id, eff_from_s)
