@@ -51,6 +51,8 @@ object TierS {
       StreamOps.streamStreamFullJoinRun(s, d).orderBy("a_id", "b_id")),
     "x_stream_session_timer" -> ((s, d) =>
       StreamOps.streamTimerSessionRun(s, d).orderBy("user_id", "s_start")),
+    "x_stream_static_join" -> ((s, d) =>
+      StreamOps.streamStaticJoinRun(s, d).orderBy("event_id")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -172,6 +174,18 @@ object TierS {
         |   OR (b_id IS NULL AND a_ts + INTERVAL 10 MINUTE < m - INTERVAL 1 HOUR)
         |   OR (a_id IS NULL AND b_ts < m - INTERVAL 1 HOUR)
         |ORDER BY a_id NULLS FIRST, b_id NULLS FIRST""".stripMargin,
+    // stream-static: one bounded microbatch makes the streaming join
+    // row-identical to its batch form
+    "x_stream_static_join" ->
+      """WITH dim AS (SELECT event_type,
+        |         CAST(row_number() OVER (ORDER BY event_type) - 1
+        |              AS BIGINT) AS et_id
+        |       FROM (SELECT DISTINCT event_type FROM events) t)
+        |SELECT e.event_id, e.user_id, e.event_type, d.et_id,
+        |       strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       e.value
+        |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     // timer-driven sessions: the same gaps-and-islands derivation as
     // x_stream_session, PLUS the watermark-closure filter — only
     // sessions whose close time (last event + gap) is behind the final

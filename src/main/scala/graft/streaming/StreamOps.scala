@@ -525,6 +525,29 @@ object StreamOps {
     }
   }
 
+  /** Stream-STATIC join — the remaining Structured Streaming join
+    * surface after inner/left/full stream-stream: the event stream
+    * joins a static dimension (here the dense event-type dim derived
+    * from the batch table). Stateless by construction — the static
+    * side broadcasts into every microbatch, no state store and no
+    * watermark requirement — which is exactly why it is the FIRST
+    * enrichment tool to reach for on a stream; the stream-stream
+    * forms exist for when both sides move. One bounded microbatch ⇒
+    * row-identical to the batch join, which is the oracle. */
+  def streamStaticJoinRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables(spark, sfDir, "events")
+      .select(col("event_type")).distinct()
+      .select(col("event_type"),
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("event_type"))
+          - 1).cast("long").as("et_id"))
+    val out = eventsStream(spark, sfDir)
+      .join(broadcast(dim), Seq("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("et_id"), fmt(col("ts")).as("ts_s"), col("value"))
+    runToMemory(spark, "graft_stream_static", out, "append")
+  }
+
   /** Declared-surface run of [[timerSessions]]: bounded events stream,
     * one data batch registers the timers, the trailing no-data batch
     * (watermark = max ts - 1 h) fires them — emitting exactly the

@@ -340,6 +340,14 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join enriches every event, no rows dropped or dup'd") {
+    val out = graft.streaming.StreamOps.streamStaticJoinRun(spark, sf)
+    val n = Tables(spark, sf, "events").count()
+    assert(out.count() == n)
+    assert(out.filter(col("et_id").isNull).count() == 0)
+    assert(out.select("event_id").distinct().count() == n)
+  }
+
   test("checkpointed file sink: stop/restart resumes without reprocessing") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
