@@ -178,18 +178,19 @@ object Bench {
     val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
     val coldTotal = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val failed = results.count { case (_, _, v, _) => v < 0 }
-    // totals-first compact line BEFORE the full blob: if the harness
-    // truncates captured output from the tail, the headline numbers
-    // survive as the last complete line (BENCH_r02/r03 both lost the
-    // single long line to tail capture — "parsed": null)
+    // The harness tails the last ~4 KB of captured output, so ordering
+    // matters: the multi-KB blob line (per-query timings + plan shapes)
+    // goes FIRST, and the short totals line goes LAST so it is always
+    // inside the tail window and parseable (BENCH_r02-r04 all lost the
+    // headline to tail truncation when the blob came after it).
     val top5 = results.filter(_._3 >= 0).sortBy(-_._3).take(5)
       .map { case (k, _, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n":${results.size},"failed":$failed,"top5":$top5,"sf":"$sfDir"}""")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"plans":$planJson,"sf":"$sfDir"}"""
     println(line)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n":${results.size},"failed":$failed,"top5":$top5,"sf":"$sfDir"}""")
     // the stdout line alone is fragile (round-2 driver artifact lost it
     // to tail truncation — BENCH_r02.json carried "parsed": null); a
     // file copy survives regardless of how much the harness captures

@@ -31,8 +31,9 @@ object SparkEntry {
     TierF.oracle ++ TierR.oracle ++ TierP.oracle ++ TierX.oracle ++ TierS.oracle ++ TierU.oracle
 
   /** Queries intentionally shipped without a DuckDB oracle, with the
-    * reason — the driver records a rows-only check for these. */
-  def oracleOmissions: Map[String, String] = Map(
-    "x_stream_latedata" ->
-      "watermark eviction is streaming-only (not batch-SQL expressible); semantics pinned by StreamingSpec MemoryStream test")
+    * reason — the driver records a rows-only check for these. Empty as
+    * of round 5: `x_stream_latedata` (the last omission) now pins its
+    * microbatch order, making watermark eviction deterministic and
+    * batch-oracle expressible. */
+  def oracleOmissions: Map[String, String] = Map.empty
 }

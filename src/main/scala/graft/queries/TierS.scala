@@ -18,9 +18,11 @@ import graft.streaming.StreamOps
   * sinks; one bounded microbatch makes each equal to a batch query,
   * which is its oracle. Multi-batch semantics (eviction, state
   * carry-over, join buffering) are pinned by StreamingSpec
-  * MemoryStream tests. `x_stream_latedata` (watermark eviction) is the
-  * one op with no batch equivalent — rows-only check, semantics in
-  * StreamingSpec.
+  * MemoryStream tests. `x_stream_latedata` (watermark eviction) pins
+  * its microbatch order — one file per trigger in mtime order — so the
+  * watermark trajectory is deterministic and the eviction outcome is
+  * expressible as a batch closure filter (see
+  * [[StreamOps.lateDataWindowed]]).
   */
 object TierS {
 
@@ -97,6 +99,21 @@ object TierS {
         |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS s_end,
         |       count(1) AS n
         |FROM g GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    // deterministic watermark trajectory (file A = all but the late
+    // slice, carries max ts; file B = the slice, arrives second): the
+    // final watermark is max - 1 h, every slice row is behind a closed
+    // window (dropped as late), and append mode emits exactly the
+    // closed windows with on-time counts — windows inside the last
+    // hour stay open in state and are withheld
+    "x_stream_latedata" ->
+      """WITH x AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |mx AS (SELECT max(ts) AS m FROM x)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       event_type, count(1) AS n
+        |FROM x, mx
+        |WHERE NOT (ts >= m - INTERVAL 10 HOUR AND ts < m - INTERVAL 8 HOUR)
+        |  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     // the stream arrives DOUBLED (self-union); watermarked dedup state
     // must restore exactly one copy per event_id
     "x_stream_dedup" ->

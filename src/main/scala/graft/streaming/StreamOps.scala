@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * `readStream` DataFrame and it is a streaming query. This is the
   * Spark-idiomatic analog of a unified batch/stream engine.
   *
-  * [[lateDataWindowed]] is the genuinely streaming-only operator:
-  * a file-source stream + event-time watermark. Late-data eviction
-  * semantics are exercised with a two-batch `MemoryStream` in
-  * StreamingSpec (not expressible as batch SQL — no oracle).
+  * [[lateDataWindowed]] is the genuinely streaming-only operator: a
+  * file-source stream + event-time watermark + append-mode eviction.
+  * Its per-microbatch file order is pinned (one file per trigger over
+  * mtime-ordered files), which makes the watermark trajectory — and
+  * therefore which rows are dropped as late — a deterministic function
+  * of the input table, so even eviction is batch-oracle checkable.
+  * Multi-batch eviction semantics are additionally exercised with a
+  * two-batch `MemoryStream` in StreamingSpec.
   */
 object StreamOps {
 
@@ -574,19 +578,92 @@ object StreamOps {
     }
   }
 
-  /** True streaming query: file-source stream over the events parquet,
-    * 1-hour event-time watermark, tumbling window counts, memory sink.
-    * Complete output mode so a single-batch bounded run still emits its
-    * windows (append would hold them open past the last watermark
-    * advance). */
+  /** Watermark eviction made DETERMINISTIC and therefore batch-oracle
+    * checkable — the append-mode late-data query that was previously the
+    * inventory's one rows-only check.
+    *
+    * The events table is split into two single-file microbatches whose
+    * processing order is pinned (distinct mtimes + `maxFilesPerTrigger=1`
+    * under the default microbatch trigger — FileStreamSource admits
+    * oldest-mtime first, one file per batch; `Trigger.AvailableNow`
+    * would NOT work here: this Spark build coalesces all available
+    * files into one batch under it, collapsing the trajectory):
+    *
+    *   - file A (arrives first): every event EXCEPT the late slice
+    *     `[max_ts - 10 h, max_ts - 8 h)`. A contains the global max, so
+    *     after microbatch A the watermark is final: `max_ts - 1 h`.
+    *   - file M (arrives second): EMPTY. Its batch runs with eviction
+    *     watermark `max_ts - 1 h` and emits (append mode) exactly the
+    *     closed windows with file-A-only counts. The marker batch is
+    *     load-bearing: since SPARK-40925 (3.4+), LATE-EVENT filtering
+    *     uses the PREVIOUS batch's watermark while eviction uses the
+    *     current one — a late row arriving in the first post-advance
+    *     batch would still be merged into state right before eviction
+    *     and counted. One empty batch in between puts the advanced
+    *     watermark on the late-filter side too.
+    *   - file B (arrives third): the late slice. Every B row's window
+    *     ends by `max_ts - 7 h`, far behind the late-event watermark,
+    *     so the aggregation DROPS all of B; its evicted windows were
+    *     already emitted and never re-emit.
+    *
+    * The result is therefore: closed windows (end behind the final
+    * watermark) with on-time counts; the dropped slice and the withheld
+    * still-open tail are both visible. The whole trajectory is a pure
+    * function of the input table, so the DuckDB oracle recomputes it as
+    * a filter (`NOT slice AND window_end <= max_ts - 1 h`). Max ts is
+    * not hour-aligned in any test SF, so no window end ever equals the
+    * watermark and the closure boundary is operator-insensitive.
+    *
+    * The `repartition(1)` single-file writes are the bounded-harness
+    * shape (same as [[twoPassBronze]]): production ingest would land
+    * many files per batch and the watermark would be managed by arrival
+    * time, not pinned order. Multi-batch eviction over unbounded input
+    * is additionally pinned by StreamingSpec's MemoryStream tests. */
   def lateDataWindowed(spark: SparkSession, sfDir: String): DataFrame = {
-    val stream = eventsStream(spark, sfDir)
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val slice = col("ts") >= lit(maxTs) - expr("INTERVAL 10 HOURS") &&
+      col("ts") < lit(maxTs) - expr("INTERVAL 8 HOURS")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_late").toString
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val t0 = System.currentTimeMillis()
+    writeSingleFile(events.filter(!slice), s"$src/a_ontime.parquet", t0 - 60000)
+    writeSingleFile(events.limit(0), s"$src/b_marker.parquet", t0 - 30000)
+    writeSingleFile(events.filter(slice), s"$src/c_late.parquet", t0)
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(
         fmt(col("window.start")).as("w_start"),
         col("event_type"), col("n"))
-    runToMemory(spark, "graft_latedata", stream, "complete")
+    runToMemory(spark, "graft_latedata", stream, "append")
+  }
+
+  /** Write `df` as ONE parquet file at `dest` with a pinned mtime, so a
+    * file-source stream's admission order (oldest mtime first) is
+    * deterministic. Bounded-harness helper: the repartition(1) is the
+    * point (one file = one microbatch), not a scale pattern. */
+  private def writeSingleFile(
+      df: DataFrame, dest: String, mtimeMs: Long): Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_late_part").toString
+    df.repartition(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dest),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(dest),
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 }

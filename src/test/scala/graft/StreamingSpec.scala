@@ -385,10 +385,25 @@ class StreamingSpec extends SparkSpec {
     assert(afterRun2.toSet == afterRun1 + (("2024-01-01 02:00:00", "a", 1L)))
   }
 
-  test("x_stream_latedata runs a real streaming query and emits windows") {
+  test("x_stream_latedata: late slice dropped, open tail withheld, rest emitted") {
     val df = SparkEntry.queries("x_stream_latedata")(spark, sf)
-    assert(df.count() > 0)
     assert(df.columns.toSeq == Seq("w_start", "event_type", "n"))
+    val events = Tables(spark, sf, "events")
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val slice = col("ts") >= lit(maxTs) - expr("INTERVAL 10 HOURS") &&
+      col("ts") < lit(maxTs) - expr("INTERVAL 8 HOURS")
+    val closed = date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") <=
+      lit(maxTs) - expr("INTERVAL 1 HOUR")
+    // emitted mass = on-time rows in closed windows: the late slice was
+    // dropped by the watermark and the final open windows are withheld
+    val expected = events.filter(!slice && closed).count()
+    val emitted = df.agg(sum(col("n"))).head().getLong(0)
+    assert(emitted == expected,
+      s"emitted $emitted rows-worth of counts, expected $expected")
+    assert(expected < events.count(), "eviction must be observable")
+    // the dropped slice is non-empty at every SF — otherwise this test
+    // would pass vacuously without exercising the late path
+    assert(events.filter(slice).count() > 0)
   }
 
   test("incremental ingest: restart consumes only new files; idle pass is a no-op") {
