@@ -12,17 +12,22 @@ import org.apache.spark.storage.StorageLevel
   * vocabulary — |vocab| ≪ corpus at any scale.
   *
   * Portable-by-construction representation: a word's symbol sequence is
-  * its space-joined symbols with one leading and one trailing space
-  * (`" h a s h "`). Merging pair `(a, s)` is then the literal string
-  * replace of `" a s "` with `" as "` — applied TWICE, because a
-  * leftmost-greedy replace consumes the boundary space the next
-  * overlapping occurrence needs (`" a s a s "` → first pass merges the
-  * 1st and 3rd occurrence of a chain, leaving unmerged occurrences
-  * isolated; the second pass finishes them). Two passes exactly
-  * reproduce the left-to-right non-overlapping merge fold, and both
-  * Spark and DuckDB `replace` are leftmost-greedy, so the oracle
-  * re-derives training bit-for-bit. Symbols never contain spaces, so a
-  * space-delimited pattern cannot match across symbol boundaries.
+  * its DOUBLE-space-joined symbols with two leading and two trailing
+  * spaces (`"  h  a  s  h  "`). Merging pair `(a, s)` is then ONE
+  * literal string replace of `" a  s "` with `" as "`: the pattern's
+  * single-space edges consume one space from each two-space boundary,
+  * and the replacement restores them, so the two-space invariant is
+  * preserved and — crucially — consecutive occurrences never compete
+  * for a shared boundary character. A leftmost-greedy replace over this
+  * representation IS the canonical left-to-right non-overlapping merge
+  * fold, self-pairs included: `"  a  a  a  a  a  "` under merge
+  * `(a, a)` → `"  aa  aa  a  "`, exactly the `[aa, aa, a]` the fold
+  * produces (a single-space representation cannot do this in any fixed
+  * number of passes — the consumed boundary shifts later matches within
+  * a run, yielding `[aa, a, aa]`). Both Spark and DuckDB `replace` are
+  * leftmost-greedy, so the oracle re-derives training bit-for-bit.
+  * Symbols never contain spaces, so a space-delimited pattern cannot
+  * match across symbol boundaries.
   *
   * Per iteration: adjacent-pair extraction is a row-local lambda over
   * the symbol array; the weighted pair count is one partial+final
@@ -47,11 +52,12 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** `" h a s h "` — char symbols, space-joined, boundary-padded. */
+  /** `"  h  a  s  h  "` — char symbols, double-space-joined,
+    * double-space-padded (see the object scaladoc for why two). */
   private def charSyms(word: Column): Column =
-    concat(lit(" "),
-      concat_ws(" ", filter(split(word, ""), s => length(s) > 0)),
-      lit(" "))
+    concat(lit("  "),
+      concat_ws("  ", filter(split(word, ""), s => length(s) > 0)),
+      lit("  "))
 
   /** All adjacent symbol pairs (with multiplicity) as `"a s"` strings;
     * empty for single-symbol words (never a descending `sequence`). */
@@ -63,11 +69,12 @@ object Bpe {
   }
 
   private def applyMerge(syms: Column, m: Merge): Column = {
-    val pat = lit(s" ${m.pair} ")
+    // " a  s " → " as ": one pass; each match keeps one space of both
+    // two-space boundaries, so runs of a self-pair merge left-to-right
+    // without the consumed-boundary shift (see the object scaladoc)
+    val pat = lit(" " + m.pair.replace(" ", "  ") + " ")
     val rep = lit(s" ${m.merged} ")
-    // twice: see the scaladoc — pass 1 leaves unmerged occurrences
-    // isolated, pass 2 finishes them; fixpoint after 2 by construction
-    replace(replace(syms, pat, rep), pat, rep)
+    replace(syms, pat, rep)
   }
 
   /** Learn `iterations` merges from `vocab` (word, freq). */
@@ -83,7 +90,7 @@ object Bpe {
     var done = false
     while (it <= iterations && !done) {
       val top = words
-        .select(col("freq"), split(trim(col("syms")), " ").as("_s"))
+        .select(col("freq"), split(trim(col("syms")), "  ").as("_s"))
         .select(col("freq"), explode(adjacentPairs).as("pair"))
         .groupBy("pair").agg(sum("freq").as("w"))
         .orderBy(col("w").desc, col("pair"))
@@ -106,12 +113,16 @@ object Bpe {
     merges.result()
   }
 
-  /** Segment `vocab` with an already-learned merge list: the chained
-    * double-replace per merge is pure row-local string work — one scan,
-    * no shuffle, whatever the corpus size. */
+  /** Segment `vocab` with an already-learned merge list: one chained
+    * row-local replace per merge — one scan, no shuffle, whatever the
+    * corpus size. Output `segmented` is single-space-joined (the
+    * internal double-space delimiters are collapsed for the caller). */
   def segment(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
     val syms = merges.foldLeft(charSyms(col("word")))(applyMerge)
-    vocab.select(col("word"), col("freq"), trim(syms).as("segmented"))
+    // inner delimiters are exactly two spaces (invariant), so the
+    // collapse is a plain replace, not a regex
+    vocab.select(col("word"), col("freq"),
+        replace(trim(syms), lit("  "), lit(" ")).as("segmented"))
       .withColumn("n_symbols", size(split(col("segmented"), " ")))
   }
 }

@@ -76,8 +76,11 @@ object ChangeCapture {
       versionCols: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     val reserved = Seq("_in_a", "_in_b", "status")
-    require(!older.columns.exists(reserved.contains),
-      s"snapshotDiff: input must not contain ${reserved.mkString("/")}")
+    // both inputs: a reserved name on the `newer` side would collide
+    // with the flag/status columns just as fatally
+    require(!older.columns.exists(reserved.contains) &&
+        !newer.columns.exists(reserved.contains),
+      s"snapshotDiff: inputs must not contain ${reserved.mkString("/")}")
     def side(log: DataFrame, tag: String, flag: String) =
       Dedup.latestByKey(log, keyCols, versionCols, valueCols)
         .select(keyCols.map(col) ++

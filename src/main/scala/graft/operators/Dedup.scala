@@ -447,9 +447,14 @@ object Dedup {
     * token repetition makes that a multiple-× shrink; results are
     * identical (sum of ±1 per token ≡ sum of ±cnt per distinct hash). */
   def simHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.expressions.SimHashWords.of(col("text"))
-        .getField("sim_lo").as("simhash"))
+    // null-text docs are dropped, matching the aggregate form's
+    // contract (explode of a null token array emits nothing); without
+    // the filter the fused expression would emit a NULL-fingerprint
+    // row — an observable row-count change for downstream consumers
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.expressions.SimHashWords.of(col("text"))
+          .getField("sim_lo").as("simhash"))
 
   /** Aggregate-form reference implementation of [[simHashes]] (explode →
     * (doc, hash) pre-collapse → 32 conditional bit-sums). Kept for the
@@ -720,6 +725,7 @@ object Dedup {
     * buckets are ~20× more selective at identical plan shape. */
   def simHashes64(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull) // same null-doc contract as simHashes
       .select(col("doc_id"),
         graft.expressions.SimHashWords.of(col("text")).as("w"))
       .select(col("doc_id"),

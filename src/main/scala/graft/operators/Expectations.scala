@@ -86,8 +86,12 @@ object Expectations {
         .select(col("kv.check_name"), col("kv.violations")))
     val riRows: Seq[DataFrame] = ri.map {
       case RefIntegrity(n, c, ref, rc) =>
-        df.select(col(c)).join(ref.select(col(rc)), col(c) === col(rc),
-            "left_anti")
+        // alias both sides: when the fact FK and reference key share a
+        // name (the common case), unaliased refs are ambiguous at
+        // analysis time
+        df.select(col(c).as("_graft_fk"))
+          .join(ref.select(col(rc).as("_graft_ref")),
+            col("_graft_fk") === col("_graft_ref"), "left_anti")
           .agg(count(lit(1)).as("violations"))
           .select(lit(n).as("check_name"),
             col("violations").cast("long").as("violations"))

@@ -542,21 +542,23 @@ object TierX {
 
   /** One BPE training iteration in DuckDB, mirroring
     * [[graft.operators.Bpe.train]] bit-for-bit: adjacent-pair weighted
-    * counts over the space-joined symbol strings, argmax with the
-    * (w desc, pair asc) tie-break, then the boundary-space DOUBLE
-    * replace (leftmost-greedy in both engines; two passes = the
-    * non-overlapping merge fold). Emits CTEs p_<out>, m_<out>, <out>. */
+    * counts over the DOUBLE-space-joined symbol strings, argmax with
+    * the (w desc, pair asc) tie-break, then ONE leftmost-greedy replace
+    * of `" a  s "` with `" as "` — each match keeps one space of both
+    * two-space boundaries, so the replace IS the canonical
+    * left-to-right non-overlapping merge fold, self-pairs included.
+    * Emits CTEs p_<out>, m_<out>, <out>. */
   private def bpeIterSql(prev: String, out: String): String =
     s"""p_$out AS (SELECT pair, sum(freq) AS w FROM (
       |    SELECT freq, unnest([s[i] || ' ' || s[i + 1]
       |        for i in range(1, len(s))]) AS pair
-      |    FROM (SELECT freq, string_split(trim(syms), ' ') AS s FROM $prev))
+      |    FROM (SELECT freq, string_split(trim(syms), '  ') AS s FROM $prev))
       |  GROUP BY pair),
       |m_$out AS (SELECT pair, replace(pair, ' ', '') AS merged, w
       |  FROM p_$out ORDER BY w DESC, pair LIMIT 1),
       |$out AS (SELECT word, freq,
-      |    replace(replace(v.syms, ' ' || m.pair || ' ', ' ' || m.merged || ' '),
-      |            ' ' || m.pair || ' ', ' ' || m.merged || ' ') AS syms
+      |    replace(v.syms, ' ' || replace(m.pair, ' ', '  ') || ' ',
+      |            ' ' || m.merged || ' ') AS syms
       |  FROM $prev v CROSS JOIN m_$out m)""".stripMargin
 
   /** Word-frequency vocab + char-symbol init (v0) shared by the two BPE
@@ -567,9 +569,9 @@ object TierX {
       |                FROM documents)
       |          WHERE w <> '' GROUP BY w),
       |v0 AS (SELECT word, freq,
-      |         ' ' || array_to_string(
-      |           [word[i] for i in range(1, length(word) + 1)], ' ')
-      |         || ' ' AS syms
+      |         '  ' || array_to_string(
+      |           [word[i] for i in range(1, length(word) + 1)], '  ')
+      |         || '  ' AS syms
       |       FROM vocab),
       |${(0 until 5).map(i => bpeIterSql(s"v$i", s"v${i + 1}"))
         .mkString(",\n")}""".stripMargin
@@ -1897,9 +1899,9 @@ object TierX {
     "x_bpe_segment" ->
       (s"WITH $bpeTrainCte\n" +
         """SELECT word, freq,
-        |       CAST(len(string_split(trim(syms), ' ')) AS BIGINT)
+        |       CAST(len(string_split(trim(syms), '  ')) AS BIGINT)
         |         AS n_symbols,
-        |       trim(syms) AS segmented
+        |       replace(trim(syms), '  ', ' ') AS segmented
         |FROM v5 ORDER BY word""".stripMargin),
     "x_expect_constraints" ->
       """WITH m AS (SELECT count(1) AS n_rows,

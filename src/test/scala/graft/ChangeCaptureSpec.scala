@@ -152,4 +152,15 @@ class ChangeCaptureSpec extends SparkSpec {
     val declared = SparkEntry.queries("x_snapshot_diff")(spark, sf)
     assert(declared.filter(col("status") === "removed").count() == 0)
   }
+
+  test("snapshotDiff rejects reserved column names on EITHER input") {
+    val clean = Seq((1L, 1L, 1.0)).toDF("k", "v", "value")
+    val dirty = clean.withColumn("status", lit("x"))
+    intercept[IllegalArgumentException] {
+      ChangeCapture.snapshotDiff(dirty, clean, Seq("k"), Seq("v"), Seq("value"))
+    }
+    intercept[IllegalArgumentException] {
+      ChangeCapture.snapshotDiff(clean, dirty, Seq("k"), Seq("v"), Seq("value"))
+    }
+  }
 }

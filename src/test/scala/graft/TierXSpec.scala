@@ -1206,15 +1206,35 @@ class TierXSpec extends SparkSpec {
       "newest" -> "n ew est", "widest" -> "w i d est"))
   }
 
-  test("BPE double-replace finishes overlapping merge chains") {
-    // one leftmost-greedy replace of " a s " in " a s a s a s " merges
-    // occurrences 1 and 3 (the boundary space of occurrence 2 is
-    // consumed); the second pass finishes it — the non-overlapping fold
+  test("BPE merge application is the canonical left-to-right fold") {
+    // overlapping chain: every occurrence merges in one pass
     val vocab = Seq(("asasas", 1L)).toDF("word", "freq")
     val row = graft.operators.Bpe.segment(
       vocab, Seq(graft.operators.Bpe.Merge(1L, "a s", "as", 0L))).head()
     assert(row.getString(2) == "as as as")
     assert(row.getInt(3) == 3)
+  }
+
+  test("BPE self-pair merge over a repeated-symbol run matches canonical BPE") {
+    // 'aaaaa' under merge (a,a): canonical left-to-right non-overlapping
+    // fold pairs tokens (1,2) and (3,4), leaving token 5 → [aa, aa, a].
+    // A single-space representation's replace would shift the second
+    // match one token right ([aa, a, aa]) — the double-space invariant
+    // is what makes the run merge canonically.
+    val vocab = Seq(("aaaaa", 1L), ("aaaa", 1L), ("aaa", 1L))
+      .toDF("word", "freq")
+    val seg = graft.operators.Bpe.segment(
+        vocab, Seq(graft.operators.Bpe.Merge(1L, "a a", "aa", 0L)))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg == Map(
+      "aaaaa" -> "aa aa a", "aaaa" -> "aa aa", "aaa" -> "aa a"))
+    // and a second self-pair iteration stacks canonically: aa aa → aaaa
+    val seg2 = graft.operators.Bpe.segment(
+        vocab, Seq(graft.operators.Bpe.Merge(1L, "a a", "aa", 0L),
+          graft.operators.Bpe.Merge(2L, "aa aa", "aaaa", 0L)))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg2 == Map(
+      "aaaaa" -> "aaaa a", "aaaa" -> "aaaa", "aaa" -> "aa a"))
   }
 
   test("declared BPE queries materialize with the declared schemas") {
@@ -1241,6 +1261,27 @@ class TierXSpec extends SparkSpec {
     assert(res("k_unique") == ((1L, false)))   // k=2 appears twice
     assert(res("v_allowed") == ((2L, false)))  // NULL and "z" both fail
     assert(res("k_in_ref") == ((2L, false)))   // both k=2 rows orphaned
+  }
+
+  test("Expectations.RefIntegrity resolves when fact and ref share the column name") {
+    import graft.operators.Expectations._
+    // the common FK shape: both sides call the key 'customer_id' —
+    // unaliased join columns would be ambiguous at analysis time
+    val fact = Seq(1L, 2L, 3L).toDF("customer_id")
+    val ref = Seq(1L, 3L).toDF("customer_id")
+    val res = validate(fact,
+      Seq(RefIntegrity("fk", "customer_id", ref, "customer_id")))
+      .collect()
+    assert(res.length == 1 && res(0).getLong(1) == 1L) // key 2 orphaned
+  }
+
+  test("simHashes drops null-text docs (aggregate-form contract)") {
+    val docs = Seq((1L, "a b c"), (2L, null), (3L, "x y"))
+      .toDF("doc_id", "text")
+    import graft.operators.Dedup
+    assert(Dedup.simHashes(docs).count() == 2)
+    assert(Dedup.simHashes64(docs).count() == 2)
+    assert(Dedup.simHashes(docs).filter(col("simhash").isNull).count() == 0)
   }
 
   test("x_expect_constraints exercises both verdict paths on real data") {
