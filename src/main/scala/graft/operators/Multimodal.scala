@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   *     and partition sizing (`maxPartitionBytes`) bounds peak memory.
   *
   * The decode step is REAL for header-parseable containers — BMP
-  * (BITMAPINFOHEADER dimensions) and WAV (RIFF chunk walk → fmt/data) —
-  * in pure JVM code. Payloads that are neither fall back to a
+  * (BITMAPINFOHEADER dimensions), WAV (RIFF chunk walk → fmt/data),
+  * PNG (signature + IHDR width/height/bit-depth/color-type) and JPEG
+  * (SOI + marker-segment walk to the first SOFn frame header) — in
+  * pure JVM code. Payloads that are none of these fall back to a
   * deterministic pseudo-metadata function of the byte length (the
-  * honest stand-in for codecs this environment lacks), so every branch
-  * stays testable end-to-end.
+  * honest stand-in for full codecs this environment lacks), so every
+  * branch stays testable end-to-end. For images, `channels` reports
+  * the pixel channel count (BMP bpp/8, PNG color-type mapping, JPEG
+  * SOF component count).
   */
 object Multimodal {
 
@@ -47,15 +51,74 @@ object Multimodal {
     ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
 
   /** BMP: 'B''M' magic, BITMAPINFOHEADER width/height at offsets 18/22
-    * (little-endian int32). Height may be negative (top-down rows) —
-    * metadata reports the magnitude. */
+    * (little-endian int32), bits-per-pixel at 28 (uint16 → channels =
+    * bpp/8 for the packed-RGB formats). Height may be negative
+    * (top-down rows) — metadata reports the magnitude. */
   private def parseBmp(b: Array[Byte]): Option[MediaMeta => MediaMeta] =
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M') {
       val buf = le(b)
       val w = buf.getInt(18).toLong
       val h = math.abs(buf.getInt(22).toLong)
-      Some(m => m.copy(kind = "bmp", width = w, height = h, n_frames = 1L))
+      val ch = (buf.getShort(28).toInt & 0xffff) / 8
+      Some(m => m.copy(kind = "bmp", width = w, height = h,
+        n_frames = 1L, channels = ch.toLong))
     } else None
+
+  private val pngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG: 8-byte signature, then the mandatory first chunk must be
+    * IHDR (13 bytes: width/height big-endian uint32, bit depth, color
+    * type). Channels derive from the color type (0 gray=1, 2 rgb=3,
+    * 3 palette=1, 4 gray+alpha=2, 6 rgba=4); an unknown color type
+    * bails to the raw fallback. */
+  private def parsePng(b: Array[Byte]): Option[MediaMeta => MediaMeta] =
+    if (b.length >= 26 && b.take(8).sameElements(pngSig) &&
+        new String(b, 12, 4, "US-ASCII") == "IHDR") {
+      val buf = ByteBuffer.wrap(b) // PNG ints are big-endian
+      val w = buf.getInt(16).toLong & 0xffffffffL
+      val h = buf.getInt(20).toLong & 0xffffffffL
+      val channelsOf = Map(0 -> 1L, 2 -> 3L, 3 -> 1L, 4 -> 2L, 6 -> 4L)
+      channelsOf.get(b(25).toInt & 0xff).map(ch =>
+        m => m.copy(kind = "png", width = w, height = h,
+          n_frames = 1L, channels = ch))
+    } else None
+
+  /** JPEG: SOI (FFD8), then a marker-segment walk — each segment is
+    * FF <marker> <len u16 incl. itself>; standalone markers (TEM, RSTn)
+    * carry no length. The first SOFn (C0-CF minus DHT C4 / JPG C8 /
+    * DAC CC) holds the frame header: precision, height, width
+    * (big-endian u16) and component count. Hitting SOS/EOI before any
+    * SOF, or any malformed length, bails to the raw fallback. */
+  private def parseJpeg(b: Array[Byte]): Option[MediaMeta => MediaMeta] = {
+    def u8(i: Int) = b(i).toInt & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= b.length) {
+      if (u8(off) != 0xff) return None
+      var m = u8(off + 1)
+      while (m == 0xff && off + 2 < b.length) { off += 1; m = u8(off + 1) }
+      if (m == 0xd9 || m == 0xda) return None // EOI / SOS before SOF
+      if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) off += 2 // standalone
+      else {
+        val len = u16(off + 2)
+        if (len < 2 || off + 2 + len > b.length) return None
+        val isSof = m >= 0xc0 && m <= 0xcf &&
+          m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 9) return None
+          val h = u16(off + 5).toLong
+          val w = u16(off + 7).toLong
+          val nComp = u8(off + 9).toLong
+          return Some(mm => mm.copy(kind = "jpeg", width = w, height = h,
+            n_frames = 1L, channels = nComp))
+        }
+        off += 2 + len
+      }
+    }
+    None
+  }
 
   /** WAV: RIFF container walk — verify RIFF/WAVE magic then scan chunks
     * (id + le-size pairs) for `fmt ` (channels, sample rate, block
@@ -95,6 +158,8 @@ object Multimodal {
       0L, 0L, 0L, 0L, 0L, r.lang)
     val patch = parseBmp(r.payload)
       .orElse(parseWav(r.payload))
+      .orElse(parsePng(r.payload))
+      .orElse(parseJpeg(r.payload))
       .getOrElse(rawMeta(base.n_bytes))
     patch(base)
   }
@@ -149,22 +214,84 @@ object Multimodal {
     out.array()
   }
 
+  /** Valid PNG container around `body`: 8-byte signature, IHDR chunk
+    * (8-bit depth, caller's color type) with a real CRC32, the body as
+    * a single IDAT chunk, then IEND. The IDAT content is not a zlib
+    * stream — valid for header introspection (everything metadata
+    * decode reads), not for pixel decode. */
+  private[graft] def pngBytes(
+      width: Int, height: Int, colorType: Int, body: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val out = ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+      out.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)        // bit depth, color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)  // deflate, adaptive, none
+    pngSig ++ chunk("IHDR", ihdr.array()) ++
+      chunk("IDAT", body) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Valid JPEG segment stream around `body`: SOI, JFIF APP0, a SOF0
+    * frame header with the caller's dimensions and component count,
+    * a matching SOS header, the body as (unentropy-coded) scan bytes,
+    * EOI. Total length is `45 + 5*(nComp-1) + body.length`. */
+  private[graft] def jpegBytes(
+      width: Int, height: Int, nComp: Int, body: Array[Byte]): Array[Byte] = {
+    require(nComp >= 1 && nComp <= 4, s"nComp must be 1..4, got $nComp")
+    val sof = 2 + 8 + 3 * nComp
+    val sos = 2 + 6 + 2 * nComp
+    val out = ByteBuffer.allocate(2 + 18 + sof + sos + body.length + 2)
+    out.putShort(0xffd8.toShort)                       // SOI
+    out.putShort(0xffe0.toShort).putShort(16.toShort)  // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .putShort(0x0101.toShort)                        // version 1.1
+      .put(0.toByte).putShort(1.toShort).putShort(1.toShort) // no units, 1:1
+      .put(0.toByte).put(0.toByte)                     // no thumbnail
+    out.putShort(0xffc0.toShort).putShort((sof - 2).toShort) // SOF0
+      .put(8.toByte)                                   // precision
+      .putShort(height.toShort).putShort(width.toShort)
+      .put(nComp.toByte)
+    (1 to nComp).foreach { c =>
+      out.put(c.toByte).put(0x11.toByte).put(0.toByte) // id, 1x1, qtable 0
+    }
+    out.putShort(0xffda.toShort).putShort((sos - 2).toShort) // SOS
+      .put(nComp.toByte)
+    (1 to nComp).foreach(c => out.put(c.toByte).put(0.toByte))
+    out.put(0.toByte).put(63.toByte).put(0.toByte)     // spectral select
+    out.put(body)
+    out.putShort(0xffd9.toShort)                       // EOI
+    out.array()
+  }
+
   /** Documents table → media table with REAL container bytes: each doc's
     * text bytes wrapped, by doc_id residue, in a valid BMP header
     * (dimensions derived from n_chars/doc_id), a valid PCM WAV header
-    * (channels/rate derived from doc_id), or left raw. Deterministic, so
-    * the decode output is oracle-checkable by recomputing the header
-    * fields arithmetically — while the engine path round-trips through
-    * genuine binary parsing. */
+    * (channels/rate derived from doc_id), a valid PNG (IHDR dims +
+    * alternating rgb/rgba color type), a valid JPEG (SOF0 dims +
+    * alternating 3/1 components), or left raw. Deterministic, so the
+    * decode output is oracle-checkable by recomputing the header fields
+    * arithmetically — while the engine path round-trips through genuine
+    * binary parsing. */
   def packMediaTable(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text"), col("n_chars"), col("lang"))
       .as[(Long, String, Long, String)]
       .map { case (id, text, nChars, lang) =>
         val body = text.getBytes("UTF-8")
-        val payload = (id % 3) match {
+        val payload = (id % 5) match {
           case 0 => bmpBytes((nChars % 640).toInt + 1, (id % 480).toInt + 1, body)
           case 1 => wavBytes((id % 2).toInt + 1, 8000 + (id % 8).toInt * 500, body)
+          case 3 => pngBytes((nChars % 512).toInt + 1, (id % 256).toInt + 1,
+            if (id % 2 == 0) 2 else 6, body)
+          case 4 => jpegBytes((nChars % 1024).toInt + 1, (id % 768).toInt + 1,
+            if (id % 2 == 0) 3 else 1, body)
           case _ => body
         }
         MediaRow(id, payload, lang)

@@ -1253,22 +1253,44 @@ object TierX {
     // header over data truncated to whole PCM frames, raw docs the
     // pseudo-metadata fallback — the Spark side must recover all of it
     // by PARSING the bytes it packed
+    // every header field re-derived arithmetically from the packing
+    // formulas (bmp 54+n / png sig+IHDR+IDAT+IEND = 57+n / jpeg
+    // SOI+APP0+SOF0+SOS+EOI = 45+n or 55+n by component count): a
+    // parse bug on ANY of the five container branches cannot hash-match
     "x_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, lang, n_chars,
         |         octet_length(encode(text)) AS n,
-        |         doc_id % 3 AS res,
+        |         doc_id % 5 AS res,
+        |         doc_id % 2 = 0 AS even,
         |         (doc_id % 2) + 1 AS ch
         |  FROM documents),
         |w AS (SELECT *, ch * 2 AS blk, n - (n % (ch * 2)) AS data_len FROM m)
         |SELECT doc_id,
-        |       CASE res WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'raw' END AS kind,
-        |       CAST(CASE res WHEN 0 THEN 54 + n WHEN 1 THEN 44 + data_len ELSE n END AS BIGINT) AS n_bytes,
-        |       CAST(CASE res WHEN 0 THEN (n_chars % 640) + 1 ELSE CASE res WHEN 1 THEN 0 ELSE n % 640 END END AS BIGINT) AS width,
-        |       CAST(CASE res WHEN 0 THEN (doc_id % 480) + 1 ELSE CASE res WHEN 1 THEN 0 ELSE (n * 7) % 480 END END AS BIGINT) AS height,
-        |       CAST(CASE res WHEN 0 THEN 1 WHEN 1 THEN data_len // blk ELSE n // 100 END AS BIGINT) AS n_frames,
-        |       CAST(CASE res WHEN 1 THEN 8000 + (doc_id % 8) * 500 ELSE 0 END AS BIGINT) AS sample_rate,
-        |       CAST(CASE res WHEN 1 THEN ch ELSE 0 END AS BIGINT) AS channels,
+        |       CASE res WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+        |                WHEN 3 THEN 'png' WHEN 4 THEN 'jpeg'
+        |                ELSE 'raw' END AS kind,
+        |       CAST(CASE res WHEN 0 THEN 54 + n WHEN 1 THEN 44 + data_len
+        |                     WHEN 3 THEN 57 + n
+        |                     WHEN 4 THEN (CASE WHEN even THEN 55 ELSE 45 END) + n
+        |                     ELSE n END AS BIGINT) AS n_bytes,
+        |       CAST(CASE res WHEN 0 THEN (n_chars % 640) + 1 WHEN 1 THEN 0
+        |                     WHEN 3 THEN (n_chars % 512) + 1
+        |                     WHEN 4 THEN (n_chars % 1024) + 1
+        |                     ELSE n % 640 END AS BIGINT) AS width,
+        |       CAST(CASE res WHEN 0 THEN (doc_id % 480) + 1 WHEN 1 THEN 0
+        |                     WHEN 3 THEN (doc_id % 256) + 1
+        |                     WHEN 4 THEN (doc_id % 768) + 1
+        |                     ELSE (n * 7) % 480 END AS BIGINT) AS height,
+        |       CAST(CASE res WHEN 0 THEN 1 WHEN 1 THEN data_len // blk
+        |                     WHEN 3 THEN 1 WHEN 4 THEN 1
+        |                     ELSE n // 100 END AS BIGINT) AS n_frames,
+        |       CAST(CASE res WHEN 1 THEN 8000 + (doc_id % 8) * 500
+        |                     ELSE 0 END AS BIGINT) AS sample_rate,
+        |       CAST(CASE res WHEN 0 THEN 3 WHEN 1 THEN ch
+        |                     WHEN 3 THEN CASE WHEN even THEN 3 ELSE 4 END
+        |                     WHEN 4 THEN CASE WHEN even THEN 3 ELSE 1 END
+        |                     ELSE 0 END AS BIGINT) AS channels,
         |       lang
         |FROM w ORDER BY doc_id""".stripMargin,
     // latest-by-(ts,event_id) per user, then drop keys whose winning op

@@ -201,6 +201,14 @@ class TierXSpec extends SparkSpec {
     assert(j.filter(col("kind") === "wav" &&
       (col("sample_rate") =!= lit(8000) + (col("doc_id") % 8) * 500 ||
         col("channels") =!= col("doc_id") % 2 + 1)).count() == 0)
+    assert(j.filter(col("kind") === "png" &&
+      (col("width") =!= col("n_chars") % 512 + 1 ||
+        col("height") =!= col("doc_id") % 256 + 1)).count() == 0)
+    assert(j.filter(col("kind") === "jpeg" &&
+      (col("width") =!= col("n_chars") % 1024 + 1 ||
+        col("height") =!= col("doc_id") % 768 + 1)).count() == 0)
+    // all five container branches are represented
+    assert(df.select("kind").distinct().count() == 5)
     // raw rows: ASCII corpus ⇒ byte length == char length
     assert(j.filter(col("kind") === "raw" &&
       col("n_bytes") =!= col("n_chars")).count() == 0)
@@ -223,6 +231,35 @@ class TierXSpec extends SparkSpec {
     val torn = Multimodal.wavBytes(1, 8000, Array.fill(64)(1.toByte)).take(50)
     assert(Multimodal.decodeOne(MR(3L, torn, "en")).kind == "raw")
     assert(Multimodal.decodeOne(MR(4L, "plain text".getBytes, "en")).kind == "raw")
+  }
+
+  test("multimodal decodeOne parses real PNG/JPEG bytes and rejects malformed") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaRow => MR}
+    val png = Multimodal.decodeOne(
+      MR(1L, Multimodal.pngBytes(640, 480, 6, Array.fill(32)(7.toByte)), "en"))
+    assert(png.kind == "png" && png.width == 640 && png.height == 480 &&
+      png.channels == 4 && png.n_bytes == 57 + 32)
+    val gray = Multimodal.decodeOne(
+      MR(2L, Multimodal.pngBytes(1, 1, 0, Array.emptyByteArray), "en"))
+    assert(gray.kind == "png" && gray.channels == 1)
+    // the SOF walk must skip APP0 (and any other leading segments)
+    val jpg = Multimodal.decodeOne(
+      MR(3L, Multimodal.jpegBytes(1024, 768, 3, Array.fill(64)(5.toByte)), "en"))
+    assert(jpg.kind == "jpeg" && jpg.width == 1024 && jpg.height == 768 &&
+      jpg.channels == 3 && jpg.n_bytes == 55 + 64)
+    val mono = Multimodal.decodeOne(
+      MR(4L, Multimodal.jpegBytes(8, 8, 1, Array.emptyByteArray), "en"))
+    assert(mono.kind == "jpeg" && mono.channels == 1 && mono.n_bytes == 45)
+    // PNG signature with a torn IHDR, and a JPEG whose SOF is cut off
+    // by a wild segment length, both fall back rather than misparse
+    val tornPng = Multimodal.pngBytes(9, 9, 2, Array.emptyByteArray).take(20)
+    assert(Multimodal.decodeOne(MR(5L, tornPng, "en")).kind == "raw")
+    val tornJpg = Multimodal.jpegBytes(9, 9, 1, Array.emptyByteArray).take(12)
+    assert(Multimodal.decodeOne(MR(6L, tornJpg, "en")).kind == "raw")
+    // unknown PNG color type bails instead of inventing a channel count
+    val badColor = Multimodal.pngBytes(4, 4, 5, Array.emptyByteArray)
+    assert(Multimodal.decodeOne(MR(7L, badColor, "en")).kind == "raw")
   }
 
   test("multimodal chain: decode -> frame-sample -> features -> ANN") {
