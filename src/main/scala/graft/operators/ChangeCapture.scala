@@ -138,4 +138,96 @@ object ChangeCapture {
           col("eff_to"),
           col("eff_to").isNull.as("is_current")): _*)
   }
+
+  /** Hash partition id of a key tuple: the persisted-state layout column
+    * for [[writeCdcState]]/[[mergeIntoState]]. */
+  private def partitionOf(keyCols: Seq[String], nBuckets: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+
+  /** Materialize a change log's compacted state as a path-based table
+    * MERGE can incrementally maintain.
+    *
+    * Layout: hash(key) % nBuckets partition directories (`_p=<k>`), so
+    * a later merge prunes both its read and its rewrite to the
+    * partitions its change batch touches. Tombstone winners are KEPT in
+    * the table (LSM-style — op='D' rows survive compaction); that is
+    * what makes the maintained state exactly replay-equivalent: a key
+    * deleted in batch 1 and re-inserted in batch 2 still accumulates
+    * the audit `n_versions` across both, which a filtered state table
+    * would forget. Readers get current state via [[readCurrentState]]
+    * (the tombstone filter applied at view time). */
+  def writeCdcState(
+      log: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      opCol: String,
+      payloadCols: Seq[String],
+      nBuckets: Int = 8): Unit =
+    Dedup.latestByKey(log, keyCols, versionCols, opCol +: payloadCols)
+      .withColumn("_p", partitionOf(keyCols, nBuckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("_p").parquet(path)
+
+  /** MERGE a change batch into a [[writeCdcState]] table in place —
+    * `MERGE INTO state USING changes ON key WHEN MATCHED ...` as a
+    * read-modify-overwrite that touches ONLY the partitions the batch's
+    * keys hash into:
+    *
+    *  1. the batch's distinct partition ids (≤ nBuckets scalars — the
+    *     one piece of driver state) become a partition filter, so the
+    *     state read scans only touched directories (PartitionFilters in
+    *     the scan, pinned by SinkSpec);
+    *  2. existing winners re-enter the same max-struct aggregate as the
+    *     batch rows, weighted by their stored `n_versions`, so the new
+    *     winner and audit count are exactly what a full-log replay
+    *     computes (max is associative; the state row IS max(batch 1));
+    *  3. the result overwrites via dynamic partition overwrite — only
+    *     partitions present in the merged frame (the touched ones) are
+    *     replaced, untouched directories are never rewritten (SinkSpec
+    *     pins file-level identity).
+    *
+    * Scale: cost is |touched partitions| read + one aggregate over
+    * (touched state ∪ batch) + |touched| rewrite — independent of the
+    * table's total size when the batch is localized. */
+  def mergeIntoState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCols: Seq[String],
+      opCol: String,
+      payloadCols: Seq[String],
+      nBuckets: Int = 8): Unit = {
+    val dataCols = versionCols ++ (opCol +: payloadCols)
+    val touched = changes
+      .select(partitionOf(keyCols, nBuckets).as("_p"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cur = spark.read.parquet(path)
+      .filter(col("_p").isin(touched: _*))
+    val unioned = cur
+      .select(keyCols.map(col) ++ dataCols.map(col) :+
+        col("n_versions").as("_w"): _*)
+      .unionByName(changes.select(
+        keyCols.map(col) ++ dataCols.map(col) :+ lit(1L).as("_w"): _*))
+    unioned
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(dataCols.map(col): _*)).as("_latest"),
+        sum("_w").as("n_versions"))
+      .select(keyCols.map(col) ++
+        dataCols.map(c => col(s"_latest.$c").as(c)) :+
+        col("n_versions"): _*)
+      .withColumn("_p", partitionOf(keyCols, nBuckets))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_p").parquet(path)
+  }
+
+  /** Current-state view of a [[writeCdcState]] table: tombstone winners
+    * filtered at read time, layout column dropped. */
+  def readCurrentState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      opCol: String): DataFrame =
+    spark.read.parquet(path).filter(col(opCol) =!= lit("D")).drop("_p")
 }

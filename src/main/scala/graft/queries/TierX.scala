@@ -215,6 +215,38 @@ object TierX {
             .date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("n_versions"))
         .orderBy("user_id")),
+    "x_cdc_upsert" -> ((s, d) => {
+      // the MERGE round trip the BigQuery sink implies: compact all but
+      // the log's newest 2 hours into a persisted hash-partitioned
+      // state table, MERGE the newest slice in place (partition-pruned
+      // read + dynamic-partition rewrite — SinkSpec pins both), then
+      // re-read. The oracle is the FULL-log replay: merge correctness
+      // == replay equivalence, so a wrong winner, lost tombstone or
+      // mis-summed audit count cannot hash-match
+      import graft.operators.ChangeCapture
+      val log = Tables(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("event_type"), col("value"))
+      val maxTs = log.agg(max(col("ts"))).head().getTimestamp(0)
+      val cut = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_cdc/" +
+        s"state_${java.lang.Integer.toHexString(d.hashCode)}"
+      val keys = Seq("user_id")
+      val versions = Seq("ts", "event_id")
+      val payload = Seq("event_type", "value")
+      ChangeCapture.writeCdcState(
+        log.filter(col("ts") <= lit(cut)), path, keys, versions, "op", payload)
+      ChangeCapture.mergeIntoState(
+        s, path, log.filter(col("ts") > lit(cut)),
+        keys, versions, "op", payload)
+      ChangeCapture.readCurrentState(s, path, "op")
+        .select(col("user_id"), col("op"), col("event_type"), col("value"),
+          org.apache.spark.sql.functions
+            .date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("n_versions"))
+        .orderBy("user_id")
+    }),
     "x_domain_mix" -> ((s, d) =>
       Curation.domainMix(docs(s, d), groupCol = "lang").orderBy("doc_id")),
     "x_domain_upsample" -> ((s, d) =>
@@ -1294,7 +1326,27 @@ object TierX {
         |       lang
         |FROM w ORDER BY doc_id""".stripMargin,
     // latest-by-(ts,event_id) per user, then drop keys whose winning op
-    // is a tombstone — MERGE INTO semantics replayed over the full log
+    // is a tombstone — MERGE INTO semantics replayed over the full log.
+    // x_cdc_upsert shares this oracle BY DESIGN: the maintained state
+    // table (init + in-place MERGE of the newest slice) must equal the
+    // full-log replay exactly — replay equivalence is the merge
+    // correctness contract
+    "x_cdc_upsert" ->
+      """WITH log AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(1) OVER (PARTITION BY user_id) AS n_versions
+        |      FROM log)
+        |SELECT user_id, op, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
     "x_cdc_apply" ->
       """WITH log AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -94,6 +94,56 @@ class SinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("MERGE into CDC state rewrites only touched partitions, replay-equivalent") {
+    import graft.operators.ChangeCapture
+    val dir = tmp() + "/cdc"
+    val keys = Seq("k"); val versions = Seq("v"); val payload = Seq("x")
+    // 64 keys spread over 8 hash partitions
+    val init = (1L to 64L).map(k => (k, 1L, "U", s"init$k"))
+      .toDF("k", "v", "op", "x")
+    ChangeCapture.writeCdcState(init, dir, keys, versions, "op", payload)
+    // a batch touching exactly 3 keys (⇒ ≤3 partitions)
+    val batch = Seq((7L, 2L, "U", "upd7"), (13L, 2L, "D", "gone13"),
+      (65L, 1L, "U", "new65")).toDF("k", "v", "op", "x")
+    val touchedP = batch
+      .select(pmod(hash(col("k")), lit(8)).as("p")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(touchedP.size <= 3 && touchedP.size < 8,
+      "test shape needs untouched partitions to exist")
+    // snapshot file listing per partition before the merge
+    def files(p: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/_p=$p")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = (0 until 8).map(p => p -> files(p)).toMap
+    ChangeCapture.mergeIntoState(
+      spark, dir, batch, keys, versions, "op", payload)
+    // untouched partition directories are file-identical after MERGE
+    (0 until 8).filterNot(touchedP).foreach { p =>
+      assert(files(p) == before(p), s"untouched partition $p was rewritten")
+    }
+    touchedP.foreach { p =>
+      assert(files(p) != before(p), s"touched partition $p was not rewritten")
+    }
+    // the partition-pruned read carries a PartitionFilters entry
+    val pruned = spark.read.parquet(dir)
+      .filter(col("_p").isin(touchedP.toSeq: _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("_p"),
+      s"expected partition-pruned scan:\n$scan")
+    // replay equivalence: maintained state == full-log compaction
+    val full = graft.operators.Dedup.latestByKey(
+      init.unionByName(batch), keys, versions, "op" +: payload)
+      .filter(col("op") =!= "D")
+    val got = ChangeCapture.readCurrentState(spark, dir, "op")
+    assert(got.count() == 64) // 64 init + new 65 - deleted 13
+    assert(got.exceptAll(full).count() == 0 && full.exceptAll(got).count() == 0)
+    // the merged winner carries the accumulated audit count
+    assert(got.filter(col("k") === 7L).head().getAs[Long]("n_versions") == 2L)
+  }
+
   test("salted join is row-identical to the plain join on skewed data") {
     // 90% of rows share one key — the classic straggler shape
     val large = (1 to 2000).map(i =>
