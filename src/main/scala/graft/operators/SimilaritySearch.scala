@@ -461,10 +461,17 @@ object SimilaritySearch {
     * reconstruction — recall vs [[bruteTopK]] is the accuracy trade
     * PQ makes by design.
     *
-    * Scale shape: after training, scoring is a literal-LUT projection
-    * over the coded corpus (no join); the per-query window rank is the
-    * documented [[bruteTopK]] test-scale shape — a serving deployment
-    * replaces it with per-query TakeOrdered heaps. Queries follow the
+    * Scale shape, by batch width: at ≤8 queries each query's tables
+    * inline as plan literals (a scoring projection per query — no join
+    * at all); past that the per-query union would grow the PLAN itself
+    * linearly in nQueries, so a serving-width batch instead materializes
+    * all tables as one tiny (q_id, luts) frame and broadcast-joins it
+    * against the coded corpus — plan width O(1) in nQueries, one
+    * BroadcastNestedLoopJoin whose build side is nQueries rows of
+    * m×codebookSize longs. Both paths produce identical rows (the spec
+    * pins it); the per-query window rank is the documented
+    * [[bruteTopK]] test-scale shape — a serving deployment replaces it
+    * with per-query TakeOrdered heaps. Queries follow the
     * `vec_id < nQueries` convention of the other top-k paths. */
   def pqTopK(
       vecs: DataFrame,
@@ -491,19 +498,37 @@ object SimilaritySearch {
         .as(s"code$j")
     }
     val coded = vecs.select(col("vec_id") +: codeCols: _*)
-      .persist() // one scoring branch per query consumes it
-    val scored = qs.map { case (qid, qv) =>
-      val luts = books.zipWithIndex.map { case (book, j) =>
+      .persist() // the scoring pass(es) consume it
+    def lutOf(qv: Seq[Float]): Seq[Seq[Long]] =
+      books.zipWithIndex.map { case (book, j) =>
         val qsub = qv.slice(j * sub, (j + 1) * sub)
-        val table = book.sortBy(_._1).map { case (_, cw) =>
-          roundE6(dot(qsub, cw))
-        }
-        element_at(typedlit(table), col(s"code$j") + 1)
+        book.sortBy(_._1).map { case (_, cw) => roundE6(dot(qsub, cw)) }
       }
-      coded.filter(col("vec_id") =!= qid)
-        .select(lit(qid).as("q_id"), col("vec_id"),
-          luts.reduce(_ + _).as("adc_e6"))
-    }.reduce(_.unionByName(_))
+    val scored =
+      if (qs.size <= 8) {
+        // literal path: one scoring projection per query, LUTs inline
+        qs.map { case (qid, qv) =>
+          val luts = lutOf(qv).zipWithIndex.map { case (table, j) =>
+            element_at(typedlit(table), col(s"code$j") + 1)
+          }
+          coded.filter(col("vec_id") =!= qid)
+            .select(lit(qid).as("q_id"), col("vec_id"),
+              luts.reduce(_ + _).as("adc_e6"))
+        }.reduce(_.unionByName(_))
+      } else {
+        // serving width: ONE broadcast-joined LUT table — plan width
+        // stays O(1) as the query batch grows
+        val spark = vecs.sparkSession
+        import spark.implicits._
+        val lutDf = qs.map { case (qid, qv) => (qid, lutOf(qv)) }
+          .toDF("q_id", "luts")
+        coded.crossJoin(broadcast(lutDf))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (0 until m).map(j =>
+              element_at(element_at(col("luts"), j + 1), col(s"code$j") + 1))
+              .reduce(_ + _).as("adc_e6"))
+      }
     val w = Window.partitionBy("q_id")
       .orderBy(col("adc_e6").desc, col("vec_id"))
     scored.withColumn("srank", row_number().over(w).cast("long"))

@@ -1184,6 +1184,31 @@ class TierXSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pqTopK serving width: one broadcast LUT join, identical to literal path") {
+    val vecs = Tables(spark, sf, "embeddings")
+    // 64 queries through the broadcast-LUT path: plan width must be
+    // O(1) — exactly one join node (the tiny LUT broadcast), not a
+    // 64-branch union of scoring projections
+    val wide = SimilaritySearch.pqTopK(vecs, nQueries = 64,
+      k = 5, m = 2, codebookSize = 16, iters = 2).persist()
+    assert(wide.select("q_id").distinct().count() == 64)
+    val plan = wide.queryExecution.executedPlan.toString
+    val nJoins = "Join".r.findAllIn(plan).length
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast LUT join:\n${plan.take(2000)}")
+    assert(nJoins <= 2, s"plan width grew with nQueries ($nJoins joins)")
+    assert(!plan.contains("Union"),
+      "serving path must not union per-query branches")
+    // training is query-count-independent, so the two paths must agree
+    // exactly on the overlapping queries
+    val narrow = SimilaritySearch.pqTopK(vecs, nQueries = 5,
+      k = 5, m = 2, codebookSize = 16, iters = 2)
+    val overlap = wide.filter(col("q_id") < 5)
+    assert(overlap.exceptAll(narrow).count() == 0 &&
+      narrow.exceptAll(overlap).count() == 0)
+    wide.unpersist()
+  }
+
   test("domainUpsample repeats low-resource groups at exactly the e3 rate") {
     // 8 docs of lang a, 2 of b: r_a = 1.0 (largest group), r_b =
     // sqrt(8/2) = 2.0 exactly — integral rates, so copy counts are
