@@ -148,6 +148,30 @@ object TierR {
   private val rAggRollup: Q = (s, d) =>
     groupingQuery(s, d, "ROLLUP (n_name, o_orderpriority)")
 
+  /** [[rAggRollup]] entirely on the DECLARATIVE surface: base tables as
+    * temp views, the join chain AND the rollup in one `spark.sql`
+    * statement (the DataFrame form builds the join with the API and
+    * only the grouping in SQL). A broadcast hint on nation reproduces
+    * the DataFrame form's dim broadcast; TierRSpec pins plan-shape and
+    * value identity between the two surfaces. */
+  private val rAggRollupSql: Q = (s, d) => {
+    Seq("orders", "customer", "nation")
+      .foreach(t => Tables(s, d, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT /*+ BROADCAST(n) */
+        |       n_name, o_orderpriority,
+        |       CAST(grouping(n_name) AS INT) AS g_nation,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       count(1) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 1e6) AS DECIMAL(28,0))) AS DOUBLE) / 1e6 AS total
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   /** All subtotal combinations via CUBE(nation, priority). */
   private val rAggCube: Q = (s, d) =>
     groupingQuery(s, d, "CUBE (n_name, o_orderpriority)")
@@ -255,6 +279,25 @@ object TierR {
         dense_rank().over(w).cast("long").as("drk"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
+  }
+
+  /** [[rWindowRank]] on the DECLARATIVE surface: the same three ranking
+    * functions over one named WINDOW in a single `spark.sql` statement.
+    * Identical window specs collapse to ONE Window node exactly as the
+    * DataFrame form's shared WindowSpec does (pinned by TierRSpec). */
+  private val rWindowRankSql: Q = (s, d) => {
+    Tables(s, d, "orders").createOrReplaceTempView("graft_orders_wr")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER w AS BIGINT) AS rn,
+        |         CAST(rank() OVER w AS BIGINT) AS rk,
+        |         CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |  FROM graft_orders_wr
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin)
   }
 
   /** Frame-spec window: running revenue per supplier in ship order.
@@ -643,6 +686,7 @@ object TierR {
     "r_agg_percentile" -> rAggPercentile,
     "r_agg_stats" -> rAggStats,
     "r_agg_rollup" -> rAggRollup,
+    "r_agg_rollup_sql" -> rAggRollupSql,
     "r_agg_cube" -> rAggCube,
     "r_agg_gsets" -> rAggGsets,
     "r_join_left" -> rJoinLeft,
@@ -652,6 +696,7 @@ object TierR {
     "r_join_range" -> rJoinRange,
     "r_join_asof" -> rJoinAsof,
     "r_window_rank" -> rWindowRank,
+    "r_window_rank_sql" -> rWindowRankSql,
     "r_window_running" -> rWindowRunning,
     "r_window_lag" -> rWindowLag,
     "r_sort_topk" -> rSortTopk,
@@ -787,6 +832,29 @@ object TierR {
     "r_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the *_sql declarative twins share their DataFrame form's oracle
+    // verbatim — same output contract, same hash
+    "r_agg_rollup_sql" ->
+      s"""SELECT n_name, o_orderpriority,
+        |       CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |       count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY g_nation, g_prio, n_name ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "r_window_rank_sql" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER w AS rn, rank() OVER w AS rk,
+        |         dense_rank() OVER w AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
     "r_agg_rollup" ->
       s"""SELECT n_name, o_orderpriority,
         |       CAST(GROUPING(n_name) AS INT) AS g_nation,

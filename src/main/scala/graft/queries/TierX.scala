@@ -25,6 +25,18 @@ object TierX {
   val queries: Map[String, Q] = Map(
     "x_dedup_exact" -> ((s, d) =>
       Dedup.exact(docs(s, d)).orderBy("doc_id")),
+    "x_dedup_exact_sql" -> ((s, d) => {
+      // the declarative twin of x_dedup_exact: same normalize-hash-
+      // aggregate as one spark.sql statement; TierXSpec pins plan-shape
+      // and value identity with the operator form
+      docs(s, d).createOrReplaceTempView("graft_documents_de")
+      s.sql(
+        """SELECT sha2(lower(regexp_replace(text, '\\s+', ' ')), 256)
+          |         AS content_hash,
+          |       min(doc_id) AS doc_id, count(1) AS n_copies
+          |FROM graft_documents_de
+          |GROUP BY 1 ORDER BY doc_id""".stripMargin)
+    }),
     "x_dedup_near" -> ((s, d) =>
       Dedup.nearDupJaccard(docs(s, d), k = 3, threshold = 0.8)
         .orderBy("d1", "d2")),
@@ -771,6 +783,11 @@ object TierX {
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "x_dedup_exact" ->
+      """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |       min(doc_id) AS doc_id, count(1) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // declarative twin — same oracle as x_dedup_exact by construction
+    "x_dedup_exact_sql" ->
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |       min(doc_id) AS doc_id, count(1) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,

@@ -286,6 +286,41 @@ class TierRSpec extends SparkSpec {
     df.unpersist()
   }
 
+  private def planShape(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+    df.collect() // finalize the adaptive plan before reading its shape
+    val s = df.queryExecution.executedPlan.toString
+    // "Window \[" matches only the Window exec node (not
+    // WindowGroupLimit); the AQE plan string holds a Final AND an
+    // Initial section, so per-section counts appear up to twice
+    Map(
+      "window" -> "Window \\[".r.findAllIn(s).size,
+      "bhj" -> "BroadcastHashJoin".r.findAllIn(s).size,
+      "smj" -> "SortMergeJoin".r.findAllIn(s).size,
+      "agg" -> "HashAggregate".r.findAllIn(s).size,
+      "expand" -> "Expand \\[".r.findAllIn(s).size)
+  }
+
+  test("r_window_rank_sql is plan- and value-identical to the DataFrame form") {
+    val sqlForm = q("r_window_rank_sql")
+    val dfForm = q("r_window_rank")
+    // the three OVER w functions must share ONE Window node per plan
+    // section, exactly as the DataFrame form's shared WindowSpec does
+    val shape = planShape(sqlForm)
+    assert(shape == planShape(dfForm), s"shapes diverged: $shape")
+    assert(shape("window") >= 1 && shape("window") <= 2)
+    assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
+  }
+
+  test("r_agg_rollup_sql is plan- and value-identical to the DataFrame form") {
+    val sqlForm = q("r_agg_rollup_sql")
+    val dfForm = q("r_agg_rollup")
+    // same dim broadcast, same Expand (the rollup), no extra exchanges
+    val shape = planShape(sqlForm)
+    assert(shape == planShape(dfForm), s"shapes diverged: $shape")
+    assert(shape("expand") >= 1 && shape("expand") <= 2 && shape("bhj") >= 1)
+    assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)

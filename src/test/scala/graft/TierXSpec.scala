@@ -1307,6 +1307,20 @@ class TierXSpec extends SparkSpec {
       Seq("word", "freq", "n_symbols", "segmented"))
   }
 
+  test("x_dedup_exact_sql is plan- and value-identical to the operator form") {
+    val sqlForm = q("x_dedup_exact_sql")
+    val dfForm = q("x_dedup_exact")
+    def shape(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      Map("agg" -> "HashAggregate".r.findAllIn(s).size,
+        "exch" -> "Exchange".r.findAllIn(s).size)
+    }
+    val s1 = shape(sqlForm)
+    assert(s1 == shape(dfForm), s"shapes diverged: $s1")
+    assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
+  }
+
   test("Expectations.validate counts nulls, dupes and orphans on a crafted frame") {
     import graft.operators.Expectations._
     val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
