@@ -63,6 +63,52 @@ object ScaleRehearsal {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
 
+  /** 100× documents with BOUNDED duplicate clusters: replicas whose
+    * stripe residue is < 5 (0-4 and 50-54 — five in each contamination
+    * half) stay verbatim, so every source doc forms one 10-member
+    * near-dup cluster whose pair count C(10,2) is CONSTANT in corpus
+    * scale; the other 90 replicas get every odd word suffixed with a
+    * replica tag, which breaks every 3-shingle (any 3 consecutive words
+    * contain a tagged one) and makes their shingle sets mutually
+    * disjoint. Pair fan-out per document must therefore FALL as the
+    * corpus grows — the sub-linear property the 100× run asserts.
+    * (The 10× synthesis keeps the all-replicas-near-dup worst case; at
+    * 100× that shape would measure the data's quadratic duplicate mass,
+    * not the operators.) */
+  private def docs100x(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("*"),
+        explode(sequence(lit(0L), lit(99L))).as("replica"))
+      .select(
+        (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+        when(col("replica") % 50 < 5, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+            concat(lit("$1u"), col("replica"), lit(" $2"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  /** 100× embeddings, same bounded-cluster principle: stripe residue
+    * < 5 keeps the vector verbatim (10-member cosine-1 clusters), the
+    * rest become deterministic random directions via iid hash-uniform
+    * components (xxhash64 of (vec_id, replica, position) → [-1, 1]).
+    * Pairwise cosine of such vectors concentrates at 0 with sd 1/√dim
+    * (≈0.125 at dim 64), so essentially no random pair clears an LSH
+    * threshold like 0.4 — pair mass stays linear in the corpus.
+    * (A sinusoid family sin(phase + c·i) would NOT work here: those
+    * vectors span a 2-D subspace and their pairwise cosine is
+    * cos(Δphase), putting ~37% of pairs over 0.4 — quadratic blow-up.) */
+  private def vecs100x(spark: SparkSession, vecs: DataFrame): DataFrame =
+    vecs.select(col("*"),
+        explode(sequence(lit(0L), lit(99L))).as("replica"))
+      .select(
+        (col("vec_id") + col("replica") * lit(10000000L)).as("vec_id"),
+        when(col("replica") % 50 < 5, col("embedding"))
+          .otherwise(expr(
+            "cast(transform(embedding, (x, i) -> " +
+              "(pmod(xxhash64(vec_id, replica, i), 2001) - 1000) / 1000.0" +
+              ") as array<float>)"))
+          .as("embedding"),
+        col("label"))
+
   /** 10× embeddings: verbatim + slightly scaled copies (pure scaling
     * preserves direction, so cosine stays 1 and LSH still pairs the
     * replicas — CC load stays maximal). Cast back to array<float>: the
@@ -79,9 +125,61 @@ object ScaleRehearsal {
           .as("embedding"),
         col("label"))
 
+  /** Time each op, drain every captured plan it fired, count guard
+    * violations. `keepResident` re-pins shared inputs after the per-op
+    * cache clear. */
+  private def runOps(
+      spark: SparkSession,
+      ops: Seq[(String, () => DataFrame)],
+      keepResident: () => Unit): Seq[(String, Double, Long, Int, Int)] = {
+    Captured.drain()
+    ops.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      val df = f()
+      df.write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val all = Captured.drain()
+      val cartesian = all.count(_.contains("CartesianProduct"))
+      val bnlj = all.count(_.contains("BroadcastNestedLoopJoin"))
+      val rows = df.count()
+      System.err.println(
+        f"[rehearsal] $name: ${secs}%.1f s, $rows rows") // progress marker
+      spark.catalog.clearCache()
+      keepResident()
+      Captured.drain()
+      (name, secs, rows, cartesian, bnlj)
+    }
+  }
+
+  /** Merge this run's block into SCALE_REHEARSAL.json under its mode
+    * key (`{"10x": {...}, "100x": {...}}`), migrating the legacy flat
+    * single-object layout if present. */
+  private def writeBlock(mode: String, line: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val path = java.nio.file.Paths.get("SCALE_REHEARSAL.json")
+    val root: com.fasterxml.jackson.databind.node.ObjectNode =
+      if (java.nio.file.Files.exists(path)) {
+        val old = mapper.readTree(java.nio.file.Files.readString(path))
+        old match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode
+              if o.has("rehearsal") => // legacy flat 10x object
+            mapper.createObjectNode().set[
+              com.fasterxml.jackson.databind.node.ObjectNode]("10x", o)
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case _ => mapper.createObjectNode()
+        }
+      } else mapper.createObjectNode()
+    root.set[com.fasterxml.jackson.databind.JsonNode](
+      mode, mapper.readTree(line))
+    java.nio.file.Files.write(path,
+      (root.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val parts = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_PARTS", "200")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_MODE", "10x")
+    val parts = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_PARTS",
+      if (mode == "100x") "400" else "200")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.localBuilder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -89,6 +187,7 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.listenerManager.register(Captured)
+    if (mode == "100x") { run100x(spark, sfDir, parts); return }
 
     val docs = docs10x(spark, graft.Tables(spark, sfDir, "documents"))
       .persist() // shared input of every text op — synthesize once
@@ -180,22 +279,10 @@ object ScaleRehearsal {
             .select("src", "dst"),
           iterations = 3)))
 
-    Captured.drain()
-    val results = ops.map { case (name, f) =>
-      val t0 = System.nanoTime()
-      val df = f()
-      df.write.mode("overwrite").format("noop").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val all = Captured.drain()
-      val cartesian = all.count(_.contains("CartesianProduct"))
-      val bnlj = all.count(_.contains("BroadcastNestedLoopJoin"))
-      val rows = df.count()
-      spark.catalog.clearCache()
+    val results = runOps(spark, ops, () => {
       docs.persist(); vecs.persist() // keep the shared inputs resident
       docs.count(); vecs.count()
-      Captured.drain()
-      (name, secs, rows, cartesian, bnlj)
-    }
+    })
 
     // documented tiny-broadcast BNLJ sites (mirrors PlanGuardSpec's
     // allowlist): tokenize's encode stage crosses the 1-row <unk>-id
@@ -209,11 +296,68 @@ object ScaleRehearsal {
     val line =
       s"""{"rehearsal":"10x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALE_REHEARSAL.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBlock("10x", line)
     require(bad.isEmpty,
       s"plan guard violated at 10x scale: ${bad.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+
+  /** The 100× block: 500k docs / 200k vectors at a 400-partition
+    * cluster-like layout, running the three heaviest 10× ops. Beyond
+    * the zero-cartesian/zero-BNLJ guard, this run asserts SUB-LINEAR
+    * pair fan-out: with bounded 10-member duplicate clusters
+    * ([[docs100x]]), candidate/verified pairs per input row must stay
+    * below a constant (10) — a quadratic pairing path would blow
+    * through it immediately (500k docs all-pairs ≈ 250k pairs/doc). */
+  private def run100x(spark: SparkSession, sfDir: String, parts: String): Unit = {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val docs = docs100x(spark, graft.Tables(spark, sfDir, "documents"))
+      .persist()
+    val vecs = vecs100x(spark, graft.Tables(spark, sfDir, "embeddings"))
+      .persist()
+    val nDocs = docs.count()
+    val nVecs = vecs.count()
+    // contamination halves: replica stripes 0-49 vs 50-99; each holds
+    // five verbatim replicas of every source doc, so real cross-corpus
+    // duplicate mass exists (5×5 pairs per source) while staying linear
+    val corpusA = docs.filter(col("doc_id") < 500000000L)
+    val corpusB = docs.filter(col("doc_id") >= 500000000L)
+      .select((col("doc_id") - 500000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    // LSH knob at 200k vectors: 16-bit band keys (~ log2(corpus)), the
+    // operator's documented bucket-occupancy rule — shape unchanged
+    val embedPairs = () => SimilaritySearch.cosinePairsLsh(
+      vecs, threshold = 0.4, nBits = 64, rowsPerBand = 16)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
+      "embed_pairs" -> (() => embedPairs()),
+      "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())),
+      "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
+        n = 5, minShared = 3, maxDf = 20,
+        bloomExpectedItems = 1L << 24)))
+    val results = runOps(spark, ops, () => {
+      docs.persist(); vecs.persist()
+      docs.count(); vecs.count()
+    })
+    val denom = Map("ppjoin" -> nDocs, "embed_pairs" -> nVecs,
+      "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs)
+    val fanoutCap = 10.0
+    val pairOps = Set("ppjoin", "embed_pairs", "ngram_overlap")
+    val bad = results.filter { case (n, _, r, c, b) =>
+      c > 0 || b > 0 ||
+        (pairOps(n) && r.toDouble / denom(n) > fanoutCap)
+    }
+    val qs = results.map { case (n, s, r, c, b) =>
+      val fo = math.round(r.toDouble / denom(n) * 1000) / 1000.0
+      s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+    println(line)
+    writeBlock("100x", line)
+    require(bad.isEmpty,
+      s"plan/fan-out guard violated at 100x scale: ${bad.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }
