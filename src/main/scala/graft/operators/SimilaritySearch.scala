@@ -481,15 +481,6 @@ object SimilaritySearch {
       codebookSize: Int = 4,
       iters: Int = 2): DataFrame = {
     val (sub, books) = pqBooks(vecs, m, codebookSize, iters)
-    // half-away-from-zero to match SQL round() in both engines
-    def roundE6(s: Double): Long =
-      if (s >= 0) math.floor(s * 1e6 + 0.5).toLong
-      else math.ceil(s * 1e6 - 0.5).toLong
-    def dot(a: Seq[Float], b: Seq[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      s
-    }
     val qs = vecs.filter(col("vec_id") < nQueries)
       .orderBy("vec_id").select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -499,11 +490,7 @@ object SimilaritySearch {
     }
     val coded = vecs.select(col("vec_id") +: codeCols: _*)
       .persist() // the scoring pass(es) consume it
-    def lutOf(qv: Seq[Float]): Seq[Seq[Long]] =
-      books.zipWithIndex.map { case (book, j) =>
-        val qsub = qv.slice(j * sub, (j + 1) * sub)
-        book.sortBy(_._1).map { case (_, cw) => roundE6(dot(qsub, cw)) }
-      }
+    def lutOf(qv: Seq[Float]): Seq[Seq[Long]] = adcLuts(books, sub, qv)
     val scored =
       if (qs.size <= 8) {
         // literal path: one scoring projection per query, LUTs inline
@@ -534,6 +521,31 @@ object SimilaritySearch {
     scored.withColumn("srank", row_number().over(w).cast("long"))
       .filter(col("srank") <= k)
       .select("q_id", "vec_id", "srank", "adc_e6")
+  }
+
+  /** Per-query ADC lookup tables over the literal codebooks: one
+    * `codebookSize`-long table per subspace, entry = exact-e6
+    * fixed-point inner product of the query subvector with that
+    * codeword (half-away-from-zero rounding to match SQL `round()` in
+    * both engines). Driver cost is O(m × codebookSize × dim/m) =
+    * O(codebookSize × dim) multiplies per query — independent of
+    * corpus size. Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def adcLuts(
+      books: Seq[Seq[(Int, Seq[Float])]],
+      sub: Int,
+      qv: Seq[Float]): Seq[Seq[Long]] = {
+    def roundE6(s: Double): Long =
+      if (s >= 0) math.floor(s * 1e6 + 0.5).toLong
+      else math.ceil(s * 1e6 - 0.5).toLong
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    books.zipWithIndex.map { case (book, j) =>
+      val qsub = qv.slice(j * sub, (j + 1) * sub)
+      book.sortBy(_._1).map { case (_, cw) => roundE6(dot(qsub, cw)) }
+    }
   }
 
   /** IVF coarse quantizer: assign every vector to its nearest trained
