@@ -18,23 +18,40 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** SQL confs every session that reads these tables needs.
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    * read as a raw long (nanosAsLong); [[apply]] converts it back to a
-    * microsecond TimestampType. */
+  /** Legacy conf kept for older Spark 4 jars that reject parquet
+    * TIMESTAMP(NANOS) unless read as a raw long. Spark 4.1.2 ignores it and
+    * reads the column natively as `timestamp_ntz`; [[apply]] handles both
+    * physical shapes by dispatching on the loaded dtype. */
   val requiredConfs: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
-  /** Floor-truncate a nanos-as-long column to a µs TimestampType —
-    * matching how DuckDB casts TIMESTAMP_NS to TIMESTAMP in the oracle.
-    * (Integer `div`, not double division: ns epoch values exceed 2^53.) */
-  def nanosToMicrosTs(colName: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr(s"$colName div 1000"))
+  /** Normalize `events.ts` to a µs-precision session-UTC TimestampType —
+    * matching how DuckDB casts TIMESTAMP_NS to TIMESTAMP in the oracle —
+    * regardless of how the runtime surfaced the parquet TIMESTAMP(NANOS)
+    * column:
+    *  - `LongType` (nanosAsLong path): floor-truncate ns→µs with integer
+    *    `div` (not double division — ns epoch values exceed 2^53);
+    *  - `TimestampNTZType` (Spark ≥4.1 native path): nanos were already
+    *    floor-truncated to µs by the reader, so a plain cast to
+    *    TimestampType (session UTC) is exact. */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"unexpected dtype for $colName: $other")
+    }
+  }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", nanosToMicrosTs("ts"))
+    if (name == "events") normalizeTs(df, "ts")
     else df
   }
 }

@@ -529,7 +529,7 @@ object SimilaritySearch {
     * codeword (half-away-from-zero rounding to match SQL `round()` in
     * both engines). Driver cost is O(m × codebookSize × dim/m) =
     * O(codebookSize × dim) multiplies per query — independent of
-    * corpus size. Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+    * corpus size. Used by [[pqTopK]]. */
   private def adcLuts(
       books: Seq[Seq[(Int, Seq[Float])]],
       sub: Int,

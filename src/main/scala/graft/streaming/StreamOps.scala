@@ -371,12 +371,12 @@ object StreamOps {
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val staticSchema = spark.read.parquet(path).schema
-    spark.readStream
+    val stream = spark.readStream
       .schema(staticSchema)
       // the table is a single file: FileStreamSource needs a glob, not a
       // literal file path (a literal path must be a directory)
       .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", graft.Tables.nanosToMicrosTs("ts"))
+    graft.Tables.normalizeTs(stream, "ts")
   }
 
   /** Run a bounded streaming query to a fresh memory sink and hand back

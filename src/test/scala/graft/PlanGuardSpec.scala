@@ -61,16 +61,27 @@ class PlanGuardSpec extends SparkSpec {
     spark.listenerManager.register(Captured)
     try {
       Captured.drain() // discard anything pending from earlier suites
+      // Per-query try/catch: a query that fails analysis is reported by
+      // NAME as its own offender instead of aborting the whole audit —
+      // the round-5 events-loader bug surfaced here as one opaque
+      // mid-audit crash that hid which queries were broken.
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
-          val finalPlan = fn(spark, sf).queryExecution
-            .explainString(ExplainMode.fromString("formatted"))
-          val allPlans = finalPlan +: Captured.drain()
-          val cartesian = allPlans.exists(_.contains("CartesianProduct"))
-          val bnlj = !bnljAllowed.contains(name) &&
-            allPlans.exists(_.contains("BroadcastNestedLoopJoin"))
-          (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
-            (if (bnlj) Seq(s"$name: undocumented BroadcastNestedLoopJoin") else Nil)
+          try {
+            val finalPlan = fn(spark, sf).queryExecution
+              .explainString(ExplainMode.fromString("formatted"))
+            val allPlans = finalPlan +: Captured.drain()
+            val cartesian = allPlans.exists(_.contains("CartesianProduct"))
+            val bnlj = !bnljAllowed.contains(name) &&
+              allPlans.exists(_.contains("BroadcastNestedLoopJoin"))
+            (if (cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
+              (if (bnlj) Seq(s"$name: undocumented BroadcastNestedLoopJoin") else Nil)
+          } catch {
+            case e: Exception =>
+              Captured.drain()
+              Seq(s"$name: failed to plan — ${e.getClass.getSimpleName}: " +
+                e.getMessage.linesIterator.take(1).mkString)
+          }
       }
       assert(offenders.isEmpty, offenders.mkString("\n"))
     } finally spark.listenerManager.unregister(Captured)
