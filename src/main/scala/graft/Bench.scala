@@ -128,7 +128,15 @@ object Bench {
     try consume(SparkEntry.queries("f_star_join")(spark, sfDir))
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=r_scd2_chain,x_dedup_simhash
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Map[String, Int]) = {
         val seqBefore = LastQE.seq
         val t0 = System.nanoTime()
