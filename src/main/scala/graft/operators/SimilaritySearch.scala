@@ -529,7 +529,7 @@ object SimilaritySearch {
     * codeword (half-away-from-zero rounding to match SQL `round()` in
     * both engines). Driver cost is O(m × codebookSize × dim/m) =
     * O(codebookSize × dim) multiplies per query — independent of
-    * corpus size. Used by [[pqTopK]]. */
+    * corpus size. Used by [[pqTopK]] and [[ivfPqTopK]]. */
   private def adcLuts(
       books: Seq[Seq[(Int, Seq[Float])]],
       sub: Int,
@@ -614,6 +614,78 @@ object SimilaritySearch {
       .select(
         col("q_id"), col("vec_id"), col("cell"), col("rank"),
         round(col("cos_raw"), 4).as("cos"))
+  }
+
+  /** IVF+PQ composed search — the canonical large-corpus ANN serving
+    * architecture (FAISS's IVFPQ index shape, Jégou et al. TPAMI'11):
+    * the coarse quantizer prunes each query's candidate set to its
+    * `nProbe` nearest cells, and ADC scores ONLY those candidates from
+    * their compact PQ codes. At 100 TB the corpus is stored
+    * cell-partitioned as codes (m × log2(codebookSize) bits per vector
+    * instead of dim × 32), so one query reads ~nProbe/nCentroids of the
+    * index and never touches a raw vector at serving time.
+    *
+    * Pure composition of the verified pieces: [[trainIvfCentroids]]
+    * (coarse cells, via ivfAssignments), [[pqBooks]] +
+    * [[nearestCellExpr]] (codes), [[adcLuts]] (exact-e6 query tables).
+    * Candidate generation is a broadcast EQUI-join of the coded corpus
+    * against the (q_id, cell) probe list — never a cross join, and the
+    * same plan shape works at any query-batch width (the probe list and
+    * LUT table are both O(nQueries) broadcasts). Scoring is exact long
+    * arithmetic, ties → lowest vec_id, so the DuckDB oracle re-derives
+    * every rank.
+    *
+    * Recall stacks the two approximations by design: the IVF probe
+    * bound (a true neighbor outside the probed cells is unseeable) on
+    * top of PQ reconstruction error — the standard trade for a
+    * 1000×-smaller serving footprint.
+    *
+    * Output: (q_id, vec_id, cell, srank, adc_e6). */
+  def ivfPqTopK(
+      vecs: DataFrame,
+      nQueries: Int = 5,
+      k: Int = 5,
+      nCentroids: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 2,
+      codebookSize: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // one assignment pass serves corpus cells (rank 1) and query probes
+    val assignments = ivfAssignments(vecs, nCentroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = assignments.filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val (sub, books) = pqBooks(vecs, m, codebookSize, iters)
+    val codeCols = books.zipWithIndex.map { case (book, j) =>
+      nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
+        .as(s"code$j")
+    }
+    // the serving-time index: (vec_id, cell, code0..code{m-1})
+    val coded = vecs.select(col("vec_id") +: codeCols: _*)
+      .join(cells, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qs = vecs.filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val probeDf = assignments
+      .filter(col("vec_id") < nQueries && col("c_rank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val lutDf = qs.map { case (qid, qv) => (qid, adcLuts(books, sub, qv)) }
+      .toDF("q_id", "luts")
+    val scored = coded.join(broadcast(probeDf), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lutDf), "q_id")
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        (0 until m).map(j =>
+          element_at(element_at(col("luts"), j + 1), col(s"code$j") + 1))
+          .reduce(_ + _).as("adc_e6"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_e6").desc, col("vec_id"))
+    scored.withColumn("srank", row_number().over(w).cast("long"))
+      .filter(col("srank") <= k)
+      .select("q_id", "vec_id", "cell", "srank", "adc_e6")
   }
 
   /** LSH-bucketed top-k: like [[bruteTopK]] but candidates come from

@@ -157,6 +157,15 @@ object TierX {
       SimilaritySearch
         .ivfTopK(vecs(s, d), nQueries = 5, k = 5, nCentroids = 8, nProbe = 2)
         .orderBy("q_id", "rank")),
+    "x_sim_ivf_pq" -> ((s, d) =>
+      // the composed serving index: IVF coarse-prune (8 cells, probe 2)
+      // then PQ ADC scoring (2 subspaces × 16 codewords) over ONLY the
+      // probed cells' codes — candidates come from a broadcast equi-join
+      // on cell, never a corpus scan
+      SimilaritySearch
+        .ivfPqTopK(vecs(s, d), nQueries = 5, k = 5, nCentroids = 8,
+          nProbe = 2, m = 2, codebookSize = 16, iters = 2)
+        .orderBy("q_id", "srank")),
     "x_text_analysis" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d)).orderBy("lang")),
     "x_lang_id" -> ((s, d) =>
@@ -1068,6 +1077,68 @@ object TierX {
         |      FROM cand)
         |SELECT q_id, vec_id, cell, rank, round(cos_raw, 4) AS cos
         |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // IVF+PQ composed search re-derived end-to-end: the x_sim_ivf
+    // coarse CTEs (hash-seeded k-means, cells, per-query probes)
+    // composed with the x_sim_pq_adc fine CTEs (per-subspace codebooks,
+    // exact-e6 LUTs); candidates = codes in probed cells only
+    "x_sim_ivf_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
+        |                embedding AS c_vec
+        |         FROM (SELECT vec_id, embedding,
+        |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
+        |               FROM embeddings ORDER BY h, vec_id LIMIT 8) t),
+        |${kmeansIterSql("c0", "c1")},
+        |${kmeansIterSql("c1", "c2")},
+        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
+        |asg AS (SELECT v.vec_id, c.c_id,
+        |          row_number() OVER (PARTITION BY v.vec_id
+        |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
+        |        FROM e v CROSS JOIN cn c),
+        |cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE c_rank = 1),
+        |iprobes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+        |            WHERE vec_id < 5 AND c_rank <= 2),
+        |s1 AS (SELECT vec_id,
+        |              list_slice(embedding, 1, len(embedding) // 2)
+        |                AS embedding
+        |            FROM embeddings),
+        |s2 AS (SELECT vec_id,
+        |         list_slice(embedding, len(embedding) // 2 + 1,
+        |                    len(embedding)) AS embedding
+        |       FROM embeddings),
+        |${pqSubspaceSql("s1", "q0", 16)},
+        |${pqSubspaceSql("s2", "q1", 16)},
+        |codes AS (SELECT a.vec_id, a.code AS code0, b.code AS code1,
+        |                 cells.cell
+        |          FROM codes_q0 a JOIN codes_q1 b USING (vec_id)
+        |               JOIN cells USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id,
+        |        list_slice(embedding, 1, len(embedding) // 2) AS q0,
+        |        list_slice(embedding, len(embedding) // 2 + 1,
+        |                   len(embedding)) AS q1
+        |      FROM embeddings WHERE vec_id < 5),
+        |lut0 AS (SELECT q.q_id, c.c_id,
+        |           CAST(round(${dotSql("q.q0", "c.c_vec")} * 1000000.0)
+        |                AS BIGINT) AS d
+        |         FROM q CROSS JOIN c2_q0 c),
+        |lut1 AS (SELECT q.q_id, c.c_id,
+        |           CAST(round(${dotSql("q.q1", "c.c_vec")} * 1000000.0)
+        |                AS BIGINT) AS d
+        |         FROM q CROSS JOIN c2_q1 c),
+        |sc AS (SELECT p.q_id, codes.vec_id, codes.cell,
+        |              l0.d + l1.d AS adc_e6
+        |       FROM iprobes p
+        |            JOIN codes ON codes.cell = p.cell
+        |            JOIN lut0 l0 ON l0.q_id = p.q_id
+        |                        AND l0.c_id = codes.code0
+        |            JOIN lut1 l1 ON l1.q_id = p.q_id
+        |                        AND l1.c_id = codes.code1
+        |       WHERE codes.vec_id <> p.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_e6 DESC, vec_id) AS srank
+        |      FROM sc)
+        |SELECT q_id, vec_id, cell, CAST(srank AS BIGINT) AS srank, adc_e6
+        |FROM r WHERE srank <= 5 ORDER BY q_id, srank""".stripMargin,
     "x_sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |probes AS (SELECT vec_id AS p_id, embedding AS p_vec FROM embeddings WHERE vec_id < 4),

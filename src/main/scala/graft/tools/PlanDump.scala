@@ -110,7 +110,9 @@ object PlanDump {
     "x_embed_pq" ->
       "product quantization encode: one shuffle-free projection — both subspace nearest-codeword argmaxes against broadcast literal codebooks in a single codegen stage",
     "x_sim_pq_adc" ->
-      "ADC search: literal-LUT score projection over the persisted coded corpus, per-query window rank (bruteTopK's documented test-scale shape)")
+      "ADC search: literal-LUT score projection over the persisted coded corpus, per-query window rank (bruteTopK's documented test-scale shape)",
+    "x_cdc_upsert" ->
+      "MERGE round trip: hash-partitioned state table, newest-slice merge reads ONLY touched partitions (PartitionFilters) and rewrites them in place (SinkSpec pins untouched partitions file-identical); final read is the compacted current state")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

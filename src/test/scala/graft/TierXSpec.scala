@@ -166,6 +166,39 @@ class TierXSpec extends SparkSpec {
     assert(r4 >= r2, s"recall not monotone: 4 probes $r4 < 2 probes $r2")
   }
 
+  test("ivf+pq: candidates come only from probed cells; ADC scores match the unpruned search") {
+    val vecs = Tables(spark, sf, "embeddings")
+    val res = q("x_sim_ivf_pq").collect()
+    assert(res.nonEmpty)
+    assert(q("x_sim_ivf_pq").columns.toSeq ==
+      Seq("q_id", "vec_id", "cell", "srank", "adc_e6"))
+    // per-query srank is consecutive from 1 and adc_e6 is non-increasing
+    res.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to rs.length).toSeq,
+        s"query $qid ranks not consecutive")
+      val scores = sorted.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $qid adc_e6 not non-increasing")
+    }
+    // every candidate's reported cell is that vector's true IVF cell —
+    // the pruning really was cell-membership, not an arbitrary filter
+    val cells = SimilaritySearch.ivfCells(vecs, nCentroids = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.foreach(r => assert(cells(r.getLong(1)) == r.getInt(2),
+      s"vec ${r.getLong(1)} reported cell ${r.getInt(2)} != true cell"))
+    // scoring identity: where the pruned and unpruned ADC searches
+    // return the same (q, vec), the exact-e6 score must be EQUAL (same
+    // codebooks, same LUTs — pruning changes candidates, never scores)
+    val unpruned = SimilaritySearch
+      .pqTopK(vecs, nQueries = 5, k = 5, m = 2, codebookSize = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val overlap = res.filter(r => unpruned.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap.nonEmpty, "pruned and unpruned searches share no hits")
+    overlap.foreach(r =>
+      assert(unpruned((r.getLong(0), r.getLong(1))) == r.getLong(4)))
+  }
+
   test("lsh candidates are a subset of brute-force ranking") {
     // every ANN hit must also appear somewhere in the full ranking:
     // cosine of (q, v) is query-independent of the method
