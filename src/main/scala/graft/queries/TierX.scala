@@ -61,6 +61,36 @@ object TierX {
           Conventions.moneySum(col("o_totalprice")).as("total_price"))
         .orderBy("o_orderpriority")
     }),
+    "x_zorder_prune" -> ((s, d) => {
+      // Z-ordered layout (64 Morton tiles over range-binned
+      // (l_partkey, l_suppkey), written once per JVM): a 2-D box
+      // predicate reads ONLY its covering tiles — multi-dimensional
+      // directory pruning from a single clustering key, the
+      // OPTIMIZE-ZORDER shape. The tile isin list is derived
+      // driver-side from the box's bin rectangle; bin monotonicity
+      // makes the covering exact, so adding it loses no rows (the
+      // oracle computes from the raw table with the box alone)
+      import graft.operators.Layout
+      val dir = Sinks.ensureZOrderedLineitem(s, d)
+      val mm = Tables(s, d, "lineitem").agg(
+        min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (mnx, mxx, mny, mxy) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val (lox, hix) = (mnx + (mxx - mnx) / 4, mnx + (mxx - mnx) / 2)
+      val (loy, hiy) = (mny + (mxy - mny) / 4, mny + (mxy - mny) / 2)
+      val tiles = Layout.coveringTiles(
+        Layout.binLocal(lox, mnx, mxx, 3), Layout.binLocal(hix, mnx, mxx, 3),
+        Layout.binLocal(loy, mny, mxy, 3), Layout.binLocal(hiy, mny, mxy, 3))
+      s.read.parquet(dir)
+        .filter(col("zb").isin(tiles: _*))
+        .filter(col("l_partkey").between(lox, hix) &&
+          col("l_suppkey").between(loy, hiy))
+        .groupBy("zb")
+        .agg(count(lit(1)).as("n_rows"),
+          Conventions.moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("zb")
+    }),
     "x_dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
@@ -791,6 +821,33 @@ object TierX {
         |       ${moneySumSql("o_totalprice")} AS total_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Z-tile ids re-derived arithmetically from the raw table: same
+    // integer range-binning, the 3-bit interleave in closed form (high
+    // bits are zero, so it equals the 16-bit magic-number spread). The
+    // oracle applies ONLY the box predicate — equality with the pruned
+    // layout read proves the covering-tile set lost no rows
+    "x_zorder_prune" ->
+      s"""WITH mm AS (SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+        |                   min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+        |            FROM lineitem),
+        |box AS (SELECT mnx, mxx, mny, mxy,
+        |               mnx + (mxx - mnx) // 4 AS lox,
+        |               mnx + (mxx - mnx) // 2 AS hix,
+        |               mny + (mxy - mny) // 4 AS loy,
+        |               mny + (mxy - mny) // 2 AS hiy
+        |        FROM mm),
+        |f AS (SELECT least(7, (l.l_partkey - b.mnx) * 8 // (b.mxx - b.mnx + 1)) AS bin_x,
+        |             least(7, (l.l_suppkey - b.mny) * 8 // (b.mxy - b.mny + 1)) AS bin_y,
+        |             l.l_extendedprice
+        |      FROM lineitem l CROSS JOIN box b
+        |      WHERE l.l_partkey BETWEEN b.lox AND b.hix
+        |        AND l.l_suppkey BETWEEN b.loy AND b.hiy)
+        |SELECT CAST((bin_x & 1) + 2 * (bin_y & 1) + 4 * ((bin_x >> 1) & 1)
+        |            + 8 * ((bin_y >> 1) & 1) + 16 * ((bin_x >> 2) & 1)
+        |            + 32 * ((bin_y >> 2) & 1) AS INT) AS zb,
+        |       count(1) AS n_rows,
+        |       ${moneySumSql("l_extendedprice")} AS revenue
+        |FROM f GROUP BY 1 ORDER BY zb""".stripMargin,
     "x_dedup_exact" ->
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |       min(doc_id) AS doc_id, count(1) AS n_copies

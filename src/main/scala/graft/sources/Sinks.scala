@@ -59,6 +59,38 @@ object Sinks {
 
   private val writtenLayouts = scala.collection.mutable.Set[String]()
 
+  /** Z-ordered lineitem layout for the `x_zorder_prune` demonstration
+    * query: (l_partkey, l_suppkey) range-binned to 3 bits each, bins
+    * Morton-interleaved into 64 Z-tiles ([[graft.operators.Layout]]),
+    * hive-partitioned by tile. Written once per JVM per scale factor.
+    *
+    * `repartition(zb)` before the write makes each tile ONE task's
+    * output (one file per directory), not #tasks small files — the
+    * shape that stays healthy when the tile count and row count both
+    * grow 1000×. */
+  def ensureZOrderedLineitem(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    synchronized {
+      import org.apache.spark.sql.functions._
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_zorder/" +
+        s"lineitem_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      if (!writtenLayouts.contains(dir)) {
+        val li = graft.Tables(spark, sfDir, "lineitem")
+        val mm = li.agg(
+          min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).head()
+        val withTile = li.withColumn("zb",
+          graft.operators.Layout.zTile(
+            col("l_partkey"), col("l_suppkey"),
+            lit(mm.getLong(0)), lit(mm.getLong(1)),
+            lit(mm.getLong(2)), lit(mm.getLong(3)), bits = 3))
+        withTile.repartition(col("zb"))
+          .write.mode(SaveMode.Overwrite).partitionBy("zb").parquet(dir)
+        writtenLayouts += dir
+      }
+      dir
+    }
+
   /** ORC copy of the orders table for the `f_orc_ingest` round-trip
     * query, written once per JVM per scale factor. ORC is the second
     * columnar warehouse format Spark ships a native vectorized

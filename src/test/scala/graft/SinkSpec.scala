@@ -48,6 +48,41 @@ class SinkSpec extends SparkSpec {
       s"no partition pruning in:\n$plan")
   }
 
+  test("z-ordered layout: box predicate reads only covering tiles, loses no rows") {
+    import graft.operators.Layout
+    // column Morton code agrees with the driver-side twin bit-for-bit
+    val probe = Seq((0L, 0L), (7L, 7L), (5L, 2L), (65535L, 1L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.morton16(col("x"), col("y")).as("z"))
+      .collect()
+    probe.foreach(r =>
+      assert(r.getLong(2) == Layout.mortonLocal(r.getLong(0), r.getLong(1))))
+    // the declared query executes with partition pruning on zb
+    val df = SparkEntry.queries("x_zorder_prune")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("zb"),
+      s"no tile pruning in:\n$plan")
+    // covering set is a strict subset of the 64 tiles, and the pruned
+    // read returns exactly the raw-table box aggregate (no lost rows)
+    val li = Tables(spark, sf, "lineitem")
+    val mm = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    val (mnx, mxx, mny, mxy) =
+      (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+    val (lox, hix) = (mnx + (mxx - mnx) / 4, mnx + (mxx - mnx) / 2)
+    val (loy, hiy) = (mny + (mxy - mny) / 4, mny + (mxy - mny) / 2)
+    val tiles = Layout.coveringTiles(
+      Layout.binLocal(lox, mnx, mxx, 3), Layout.binLocal(hix, mnx, mxx, 3),
+      Layout.binLocal(loy, mny, mxy, 3), Layout.binLocal(hiy, mny, mxy, 3))
+    assert(tiles.nonEmpty && tiles.size < 64, s"covering=${tiles.size}")
+    val expected = li
+      .filter(col("l_partkey").between(lox, hix) &&
+        col("l_suppkey").between(loy, hiy))
+      .count()
+    assert(df.select(sum("n_rows")).head().getLong(0) == expected)
+  }
+
   test("f_orc_ingest: ORC round-trip pushes the price filter into the scan") {
     val df = SparkEntry.queries("f_orc_ingest")(spark, sf)
     df.collect()
