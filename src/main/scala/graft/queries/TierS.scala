@@ -55,6 +55,11 @@ object TierS {
       StreamOps.streamTimerSessionRun(s, d).orderBy("user_id", "s_start")),
     "x_stream_static_join" -> ((s, d) =>
       StreamOps.streamStaticJoinRun(s, d).orderBy("event_id")),
+    "x_stream_upsert" -> ((s, d) =>
+      // streaming MERGE sink: each micro-batch foreachBatch-merges
+      // into the partition-pruned CDC state table; result must equal
+      // the full-log replay (the shared CDC oracle)
+      StreamOps.streamingUpsertRun(s, d).orderBy("user_id")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -72,6 +77,25 @@ object TierS {
     }))
 
   val oracle: Map[String, String] = Map(
+    // shared with x_cdc_apply/x_cdc_upsert BY DESIGN: the streamed
+    // micro-batch merges must equal the full-log replay exactly —
+    // replay equivalence is the merge correctness contract
+    "x_stream_upsert" ->
+      """WITH log AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_type, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(1) OVER (PARTITION BY user_id) AS n_versions
+        |      FROM log)
+        |SELECT user_id, op, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       CAST(n_versions AS BIGINT) AS n_versions
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id""".stripMargin,
     "x_stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(1) AS n, ${moneySumSql("value")} AS total

@@ -348,6 +348,65 @@ object StreamOps {
       orderCols = Seq("ts", "event_id"),
       attrCols = Seq("event_type"))
 
+  /** Streaming MERGE sink — the streaming-serving materialization
+    * pattern (Delta's `foreachBatch` + `MERGE INTO` upsert): a change
+    * stream lands micro-batch by micro-batch, and each batch MERGEs
+    * into the hash-partitioned CDC state table via
+    * [[graft.operators.ChangeCapture.mergeIntoState]] — a
+    * partition-pruned in-place rewrite, so per batch only the touched
+    * partitions rewrite, never the whole table (SinkSpec pins the
+    * file-level claim).
+    *
+    * Shape: the log's older slice seeds the state with
+    * [[graft.operators.ChangeCapture.writeCdcState]]; the newest
+    * 2 hours land as two source files (even/odd event_id) consumed at
+    * `maxFilesPerTrigger=1` — two REAL sequential micro-batch merges
+    * with overlapping keys, exercising winner re-election and audit
+    * accumulation across batches. The merge is commutative over
+    * batches (max-struct winner + summed `n_versions`), so the result
+    * is batch-order-independent and equals the FULL-log replay — which
+    * is the DuckDB oracle (shared with `x_cdc_apply`/`x_cdc_upsert` by
+    * design: replay equivalence IS the correctness contract). */
+  def streamingUpsertRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ChangeCapture
+    val log = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type"), col("value"))
+    val maxTs = log.agg(max(col("ts"))).head().getTimestamp(0)
+    val cut = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert").toString
+    val (src, state, ckpt) = (s"$work/src", s"$work/state", s"$work/ckpt")
+    val keys = Seq("user_id")
+    val versions = Seq("ts", "event_id")
+    val payload = Seq("event_type", "value")
+    ChangeCapture.writeCdcState(
+      log.filter(col("ts") <= lit(cut)), state, keys, versions, "op", payload)
+    val tail = log.filter(col("ts") > lit(cut))
+    tail.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    tail.filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ChangeCapture.mergeIntoState(
+          batch.sparkSession, state, batch, keys, versions, "op", payload)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ChangeCapture.readCurrentState(spark, state, "op")
+      .select(col("user_id"), col("op"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("n_versions"))
+  }
+
   /** Two-pass checkpointed ingest of the events table into a fresh
     * bronze dir: batch 0 (even event_ids) lands and drains via
     * AvailableNow; batch 1 (odd) lands; a RESTARTED pass with the same

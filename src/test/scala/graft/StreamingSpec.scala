@@ -429,4 +429,19 @@ class StreamingSpec extends SparkSpec {
     assert(refreshed.count() ==
       events.select("user_id").distinct().count())
   }
+
+  test("streaming upsert: micro-batch merges equal the full-log batch replay") {
+    // x_stream_upsert streams the newest slice as two micro-batches
+    // (maxFilesPerTrigger=1 over two files) of foreachBatch MERGEs;
+    // x_cdc_apply replays the whole log as one batch aggregate. Replay
+    // equivalence — including the accumulated n_versions audit counts
+    // across sequential merges — is the correctness contract.
+    val streamed = SparkEntry.queries("x_stream_upsert")(spark, sf)
+    val replay = SparkEntry.queries("x_cdc_apply")(spark, sf)
+    assert(streamed.columns.toSeq == replay.columns.toSeq)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(replay).count() == 0 &&
+      replay.exceptAll(streamed).count() == 0,
+      "streamed state diverges from the batch replay")
+  }
 }
