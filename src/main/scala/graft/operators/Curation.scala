@@ -392,4 +392,38 @@ object Curation {
       .filter(col("qrank") <= quota)
       .select("doc_id", "lang", "quality", "qrank")
   }
+
+  /** Deterministic negative sampling — the contrastive-training data
+    * prep step (dense retrieval, embedding training): each document
+    * draws `k` "random" negatives from the corpus, with the draw a pure
+    * hash function of (doc_id, slot) instead of an RNG, so the sample
+    * is partition-invariant, reproducible by any engine, and stable
+    * across re-runs (the same properties as [[hashSplit]]'s fates).
+    *
+    * Shape: dense ids via the no-single-partition scale path
+    * ([[DenseId.withDenseId]]), negative id = hash32("neg:doc:slot")
+    * mod corpus size, then ONE equi-join against the dense-id corpus to
+    * materialize the negatives — no RNG, no sampling pass, no skew (the
+    * hash spreads draws uniformly). Self-draws (a doc sampling itself)
+    * are dropped rather than re-rolled, keeping the contract pure
+    * per-row arithmetic; the expected loss is k/N rows.
+    *
+    * Output: (doc_id, slot, neg_doc_id, neg_lang). */
+  def negativeSample(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1, got $k")
+    val dense = DenseId.withDenseId(
+      docs.select(col("doc_id"), col("lang")), "did", Seq(col("doc_id")))
+    val n = dense.count()
+    val draws = dense
+      .select(col("doc_id"), col("did"),
+        explode(expr(s"sequence(0, ${k - 1})")).as("slot"))
+      .withColumn("neg_did",
+        Hashing.hash32(concat(lit("neg:"), col("doc_id").cast("string"),
+          lit(":"), col("slot").cast("string"))) % n)
+      .filter(col("neg_did") =!= col("did"))
+    val corpus = dense.select(col("did").as("neg_did"),
+      col("doc_id").as("neg_doc_id"), col("lang").as("neg_lang"))
+    draws.join(corpus, "neg_did")
+      .select(col("doc_id"), col("slot"), col("neg_doc_id"), col("neg_lang"))
+  }
 }

@@ -651,4 +651,42 @@ object TextAnalysis {
         regexp_replace(col("text"), emailRe, "<EMAIL>"),
         phoneRe, "<PHONE>").as("clean_text"))
   }
+
+  /** Inverted index build — the retrieval-prep step (BM25 serving,
+    * RAG corpora, contamination lookups): term → document-frequency +
+    * a CAPPED sorted posting list.
+    *
+    * The cap is the scale contract: a stopword's postings are the whole
+    * corpus, so an uncapped `collect_list` is a driver-sized-array
+    * hazard at 100 TB. The cap applies through the same two-phase
+    * top-N as [[Curation.quotaCap]] — a per-(term, input-partition)
+    * window prunes to ≤ maxPostings rows per partition BEFORE the
+    * global per-term rank, so the final window never sorts more than
+    * maxPostings × partitions rows per term no matter how hot the
+    * term. `df` counts the UNCAPPED posting set via an ordinary
+    * partial+final aggregate (combiner-safe under skew).
+    *
+    * Postings serialize as a comma-joined string — engine-portable,
+    * and the at-scale shape too (posting lists ship as packed bytes,
+    * not engine arrays). Output: (term, df, postings). */
+  def invertedIndex(docs: DataFrame, maxPostings: Int = 16): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val dfCounts = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val local = Window.partitionBy(col("term"), spark_partition_id())
+      .orderBy("doc_id")
+    val global = Window.partitionBy("term").orderBy("doc_id")
+    postings
+      .withColumn("r0", row_number().over(local))
+      .filter(col("r0") <= maxPostings)
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= maxPostings)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("plist"))
+      .join(dfCounts, "term")
+      .select(col("term"), col("df"),
+        array_join(col("plist"), ",").as("postings"))
+  }
 }

@@ -76,6 +76,32 @@ object TierR {
 
   /** Exact percentiles (linear interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the definition) per order priority. */
+  /** Quantile binning (feature discretization): the global exact
+    * quartile boundaries — rounded to 4 decimals, the engine-portable
+    * contract [[rAggPercentile]] already pins — land as plan literals
+    * (a 1-row driver scalar, like the ANN probe vectors), and every
+    * order bins by strict comparison: one row-local projection + one
+    * tiny aggregate. At 100 TB the boundary pass swaps `percentile` →
+    * `approx_percentile` (t-digest, the [[rAggApproxPercentile]]
+    * bounded-oracle pattern); the binning pass is unchanged. */
+  private val rQuantileBin: Q = (s, d) => {
+    val o = Tables(s, d, "orders")
+    val b = o.agg(
+      round(expr("percentile(o_totalprice, 0.25)"), 4).as("q1"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("q2"),
+      round(expr("percentile(o_totalprice, 0.75)"), 4).as("q3")).head()
+    o.withColumn("bin",
+        when(col("o_totalprice") < b.getDouble(0), 0)
+          .when(col("o_totalprice") < b.getDouble(1), 1)
+          .when(col("o_totalprice") < b.getDouble(2), 2)
+          .otherwise(3))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"),
+        r4(avg(col("o_totalprice"))).as("avg_price"))
+      .orderBy("bin")
+  }
+
   private val rAggPercentile: Q = (s, d) =>
     Tables(s, d, "orders")
       .groupBy("o_orderpriority")
@@ -691,6 +717,7 @@ object TierR {
     "r_agg_approx_distinct" -> rAggApproxDistinct,
     "r_agg_approx_percentile" -> rAggApproxPercentile,
     "r_agg_percentile" -> rAggPercentile,
+    "r_quantile_bin" -> rQuantileBin,
     "r_agg_stats" -> rAggStats,
     "r_agg_rollup" -> rAggRollup,
     "r_agg_rollup_sql" -> rAggRollupSql,
@@ -816,6 +843,23 @@ object TierR {
         |       round(min(o_totalprice), 4) AS lo,
         |       round(max(o_totalprice), 4) AS hi
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // quartile boundaries re-derived with the same round-4 contract
+    // r_agg_percentile pins cross-engine; strict < on equal doubles
+    // bins identically in both engines
+    "r_quantile_bin" ->
+      s"""WITH q AS (SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+        |                  round(quantile_cont(o_totalprice, 0.5), 4) AS q2,
+        |                  round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+        |           FROM orders)
+        |SELECT CAST(CASE WHEN o_totalprice < q.q1 THEN 0
+        |                 WHEN o_totalprice < q.q2 THEN 1
+        |                 WHEN o_totalprice < q.q3 THEN 2
+        |                 ELSE 3 END AS INT) AS bin,
+        |       count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS total_price,
+        |       round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders CROSS JOIN q
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
     "r_agg_stats" ->
       """SELECT o_orderpriority,
         |       round(stddev_samp(o_totalprice), 4) AS sd,

@@ -394,6 +394,17 @@ object TierX {
         .orderBy("vec_id")),
     "x_corpus_shuffle" -> ((s, d) =>
       Curation.corpusShuffle(docs(s, d)).orderBy("doc_id")),
+    "x_inverted_index" -> ((s, d) =>
+      // retrieval-prep posting lists: df over the full posting set,
+      // lists capped at 16 docs via the two-phase top-N (stopword
+      // postings never sort corpus-sized)
+      TextAnalysis.invertedIndex(docs(s, d), maxPostings = 16)
+        .orderBy("term")),
+    "x_negative_sample" -> ((s, d) =>
+      // contrastive negatives: hash-fated draws (no RNG), dense-id
+      // equi-join materialization, self-draws dropped
+      Curation.negativeSample(docs(s, d), k = 4)
+        .orderBy("doc_id", "slot")),
     "x_encode_ids" -> ((s, d) =>
       TextAnalysis.encodeIds(docs(s, d), vocabSize = 20)
         .orderBy("doc_id")),
@@ -811,6 +822,37 @@ object TierX {
       """SELECT doc_id, lang,
         |       row_number() OVER (ORDER BY lang, doc_id) - 1 AS dense_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_inverted_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t AS term
+        |             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |                   FROM documents)
+        |             WHERE t <> ''),
+        |dfc AS (SELECT term, count(1) AS df FROM tok GROUP BY term),
+        |r AS (SELECT doc_id, term,
+        |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        |      FROM tok)
+        |SELECT term, df,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        |FROM r JOIN dfc USING (term)
+        |WHERE rn <= 16
+        |GROUP BY term, df ORDER BY term""".stripMargin,
+    // the hash draw re-derived from md5 arithmetic; dense ids via the
+    // window form (the operator's zipWithIndex path equals it — pinned
+    // by x_surrogate_dense); self-draws excluded on both sides
+    "x_negative_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS did
+        |           FROM documents),
+        |nn AS (SELECT count(1) AS n FROM documents),
+        |s AS (SELECT q.doc_id, r.i AS slot, q.did,
+        |        ${hash32("'neg:' || CAST(q.doc_id AS VARCHAR) || ':' || CAST(r.i AS VARCHAR)")}
+        |          % nn.n AS neg_did
+        |      FROM d q CROSS JOIN nn CROSS JOIN range(4) r(i))
+        |SELECT s.doc_id, CAST(s.slot AS INT) AS slot,
+        |       d2.doc_id AS neg_doc_id, d2.lang AS neg_lang
+        |FROM s JOIN d d2 ON d2.did = s.neg_did
+        |WHERE s.neg_did <> s.did
+        |ORDER BY s.doc_id, slot""".stripMargin,
     "x_join_bucket" ->
       s"""SELECT c_custkey, count(1) AS n_orders,
         |       ${moneySumSql("o_totalprice")} AS total_price

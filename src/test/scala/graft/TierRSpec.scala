@@ -321,6 +321,22 @@ class TierRSpec extends SparkSpec {
     assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
   }
 
+  test("quantile binning partitions the table into 4 orderly bins") {
+    val bins = q("r_quantile_bin").collect()
+    assert(bins.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    // the bins PARTITION the table: counts sum to the row count, and
+    // quartile boundaries keep each bin near a quarter of the mass
+    val total = Tables(spark, sf, "orders").count()
+    assert(bins.map(_.getLong(1)).sum == total)
+    bins.foreach { r =>
+      val share = r.getLong(1).toDouble / total
+      assert(share > 0.15 && share < 0.35, s"bin ${r.getInt(0)}: $share")
+    }
+    // avg price is strictly increasing across bins
+    val avgs = bins.map(_.getDouble(3))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a < b })
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)

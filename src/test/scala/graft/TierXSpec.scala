@@ -199,6 +199,39 @@ class TierXSpec extends SparkSpec {
       assert(unpruned((r.getLong(0), r.getLong(1))) == r.getLong(4)))
   }
 
+  test("inverted index: df counts the full posting set, lists cap at maxPostings") {
+    val docs = Seq(
+      (0L, "alpha beta", "en", "s", 10L),
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "alpha", "en", "s", 5L),
+      (3L, "alpha delta", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val idx = TextAnalysis.invertedIndex(docs, maxPostings = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    // alpha appears in all 4 docs: df counts all, postings cap at the
+    // 2 lowest doc_ids
+    assert(idx("alpha") == (4L, "0,1"))
+    assert(idx("beta") == (2L, "0,1"))
+    assert(idx("gamma") == (1L, "1"))
+    assert(idx("delta") == (1L, "3"))
+  }
+
+  test("negative sampling: deterministic, self-free, in-corpus draws") {
+    val dd = Tables(spark, sf, "documents")
+    val a = q("x_negative_sample").collect()
+    val b = q("x_negative_sample").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // pure hash fate
+    assert(a.nonEmpty)
+    val ids = dd.select("doc_id").collect().map(_.getLong(0)).toSet
+    a.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2), "self-draw survived")
+      assert(ids.contains(r.getLong(2)), "negative outside the corpus")
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4)
+    }
+    // expected loss to dropped self-draws is tiny: ≥ k·N − N rows kept
+    assert(a.length >= ids.size * 4 - ids.size)
+  }
+
   test("lsh candidates are a subset of brute-force ranking") {
     // every ANN hit must also appear somewhere in the full ranking:
     // cosine of (q, v) is query-independent of the method
