@@ -31,6 +31,9 @@ class PlanGuardSpec extends SparkSpec {
     * grid, and the funnel's 1-row stage-1 count. */
   private val bnljAllowed = Set(
     "x_sim_topk", "x_sim_ann_lsh", "x_sim_ivf", "x_dedup_embed",
+    // inherits x_sim_ivf's centroid-grid broadcast through
+    // ivfAssignments; its own probe/LUT joins are broadcast EQUI-joins
+    "x_sim_ivf_pq",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
     // domainMix/domainUpsample cross the 1-row n_min/n_max scalar onto
     // the |groups|-row rate table
