@@ -60,6 +60,11 @@ object TierS {
       // into the partition-pruned CDC state table; result must equal
       // the full-log replay (the shared CDC oracle)
       StreamOps.streamingUpsertRun(s, d).orderBy("user_id")),
+    "x_incr_agg" -> ((s, d) =>
+      // materialized-view maintenance: per-type (n, total) merged from
+      // micro-batch partials; scaled-integer accumulation makes the
+      // merged state equal the one-shot batch aggregate exactly
+      StreamOps.incrementalAggRun(s, d).orderBy("event_type")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -96,6 +101,11 @@ object TierS {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+    // the one-shot batch aggregate: the maintained partial-merge state
+    // must equal it bit-for-bit (scaled-integer totals are order-free)
+    "x_incr_agg" ->
+      s"""SELECT event_type, count(1) AS n, ${moneySumSql("value")} AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(1) AS n, ${moneySumSql("value")} AS total

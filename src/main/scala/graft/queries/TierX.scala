@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, lit, lpad, max, min, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, lit, lpad, max, min, round, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -405,6 +405,17 @@ object TierX {
       // equi-join materialization, self-draws dropped
       Curation.negativeSample(docs(s, d), k = 4)
         .orderBy("doc_id", "slot")),
+    "x_bootstrap_ci" -> ((s, d) =>
+      // Poisson bootstrap (one weighted-aggregation pass, no resample
+      // materialization): 32 hash-fated replicates of mean
+      // o_totalprice, summarized as an exact-interpolated 90% CI
+      graft.operators.Stats
+        .poissonBootstrapMeans(
+          Tables(s, d, "orders"), "o_totalprice", "o_orderkey", reps = 32)
+        .agg(count(lit(1)).as("n_reps"),
+          round(expr("percentile(boot_mean, 0.05)"), 4).as("p05"),
+          round(expr("percentile(boot_mean, 0.5)"), 4).as("p50"),
+          round(expr("percentile(boot_mean, 0.95)"), 4).as("p95"))),
     "x_encode_ids" -> ((s, d) =>
       TextAnalysis.encodeIds(docs(s, d), vocabSize = 20)
         .orderBy("doc_id")),
@@ -836,6 +847,33 @@ object TierX {
         |FROM r JOIN dfc USING (term)
         |WHERE rn <= 16
         |GROUP BY term, df ORDER BY term""".stripMargin,
+    // Poisson bootstrap re-derived end-to-end: the same md5 draw, the
+    // same shared Poisson(1) CDF double literals, scaled-integer
+    // weighted sums, quantile_cont == Spark's exact percentile
+    "x_bootstrap_ci" ->
+      s"""WITH w AS (
+        |  SELECT r.i AS b, o.o_totalprice,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238463 THEN 3
+        |         WHEN u < 0.9963401531726563 THEN 4
+        |         WHEN u < 0.9994058151824183 THEN 5
+        |         ELSE 6 END AS wt
+        |  FROM (SELECT o_totalprice, o_orderkey FROM orders) o
+        |       CROSS JOIN range(32) r(i)
+        |       CROSS JOIN LATERAL (SELECT
+        |         ${hash32("'boot:' || CAST(r.i AS VARCHAR) || ':' || CAST(o.o_orderkey AS VARCHAR)")}
+        |           / 4294967296.0 AS u) h),
+        |m AS (SELECT b, sum(wt) AS n_eff,
+        |        CAST(sum(wt * CAST(round(o_totalprice * 1000000.0) AS BIGINT))
+        |             AS DOUBLE) / 1000000.0 / sum(wt) AS boot_mean
+        |      FROM w GROUP BY b)
+        |SELECT count(1) AS n_reps,
+        |       round(quantile_cont(boot_mean, 0.05), 4) AS p05,
+        |       round(quantile_cont(boot_mean, 0.5), 4) AS p50,
+        |       round(quantile_cont(boot_mean, 0.95), 4) AS p95
+        |FROM m""".stripMargin,
     // the hash draw re-derived from md5 arithmetic; dense ids via the
     // window form (the operator's zipWithIndex path equals it — pinned
     // by x_surrogate_dense); self-draws excluded on both sides

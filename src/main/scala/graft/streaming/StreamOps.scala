@@ -407,6 +407,67 @@ object StreamOps {
         col("n_versions"))
   }
 
+  /** Incremental aggregate maintenance — the materialized-view upkeep
+    * pattern ([[streamingUpsertRun]]'s aggregate analog): per
+    * event_type running (n, total) maintained across micro-batches by
+    * merging BATCH PARTIALS into a |groups|-row state table. Each
+    * micro-batch computes its own partial aggregate (map-side combine
+    * — the batch never leaves the executors unaggregated) and the
+    * merge re-aggregates state ∪ partial.
+    *
+    * Exactness across any batch split: counts are integers and the
+    * value total accumulates as scaled-integer decimal
+    * ([[graft.Conventions.moneySum]]'s trick), so partial-then-merge
+    * equals the one-shot batch aggregate bit-for-bit — which is the
+    * DuckDB oracle. State is persisted via write-new-then-swap (the
+    * merged frame materializes before the old generation is replaced;
+    * at warehouse scale the swap is an atomic table-pointer flip). */
+  def incrementalAggRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_incr_agg").toString
+    val (src, ckpt) = (s"$work/src", s"$work/ckpt")
+    events.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    events.filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    val stateDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+    var gen = 0
+    def partialOf(b: DataFrame): DataFrame = b
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * lit(1000000d)).cast("decimal(28,0)"))
+          .as("total_e6"))
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val partial = partialOf(batch)
+        val merged = Option(stateDir.get()) match {
+          case None => partial
+          case Some(prev) =>
+            s.read.parquet(prev).unionByName(partial)
+              .groupBy("event_type")
+              .agg(sum("n").as("n"), sum("total_e6").as("total_e6"))
+        }
+        gen += 1
+        val next = s"$work/state_$gen"
+        merged.write.mode("overwrite").parquet(next) // new generation…
+        stateDir.set(next) // …then the pointer flips
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(stateDir.get())
+      .select(col("event_type"), col("n"),
+        (col("total_e6").cast("double") / lit(1000000d)).as("total"))
+  }
+
   /** Two-pass checkpointed ingest of the events table into a fresh
     * bronze dir: batch 0 (even event_ids) lands and drains via
     * AvailableNow; batch 1 (odd) lands; a RESTARTED pass with the same

@@ -430,6 +430,19 @@ class StreamingSpec extends SparkSpec {
       events.select("user_id").distinct().count())
   }
 
+  test("incremental aggregate: merged micro-batch partials equal the one-shot aggregate") {
+    import org.apache.spark.sql.functions._
+    val got = StreamOps.incrementalAggRun(spark, sf)
+    val want = Tables(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.Conventions.moneySum(col("value")).as("total"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "maintained state diverges from the batch aggregate")
+  }
+
   test("streaming upsert: micro-batch merges equal the full-log batch replay") {
     // x_stream_upsert streams the newest slice as two micro-batches
     // (maxFilesPerTrigger=1 over two files) of foreachBatch MERGEs;

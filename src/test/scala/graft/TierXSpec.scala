@@ -232,6 +232,32 @@ class TierXSpec extends SparkSpec {
     assert(a.length >= ids.size * 4 - ids.size)
   }
 
+  test("poisson bootstrap: hash-fated replicates bracket the true mean") {
+    import graft.operators.Stats
+    val orders = Tables(spark, sf, "orders")
+    val reps = Stats
+      .poissonBootstrapMeans(orders, "o_totalprice", "o_orderkey", reps = 32)
+      .collect().sortBy(_.getInt(0))
+    assert(reps.length == 32)
+    val n = orders.count()
+    // E[n_eff] = n (Poisson(1) weights); each replicate within ±20%
+    reps.foreach { r =>
+      val eff = r.getLong(1).toDouble / n
+      assert(eff > 0.8 && eff < 1.2, s"replicate ${r.getInt(0)}: n_eff=$eff n")
+    }
+    // the replicate spread brackets the true mean (32 resamples of a
+    // 1500-row mean: the truth falls inside the min..max envelope)
+    val truth = orders.agg(
+      org.apache.spark.sql.functions.avg("o_totalprice")).head().getDouble(0)
+    val means = reps.map(_.getDouble(2))
+    assert(means.min < truth && truth < means.max)
+    // pure hash fate: a second run is bit-identical
+    val again = Stats
+      .poissonBootstrapMeans(orders, "o_totalprice", "o_orderkey", reps = 32)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(means.toSeq == again.toSeq)
+  }
+
   test("lsh candidates are a subset of brute-force ranking") {
     // every ANN hit must also appear somewhere in the full ranking:
     // cosine of (q, v) is query-independent of the method
