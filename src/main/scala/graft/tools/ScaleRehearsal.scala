@@ -277,7 +277,16 @@ object ScaleRehearsal {
             SimilaritySearch.cosinePairsLsh(vecs, threshold = 0.4,
               nBits = 64, rowsPerBand = 8).persist(), k = 3)
             .select("src", "dst"),
-          iterations = 3)))
+          iterations = 3)),
+      // composed IVF+PQ at 10× vectors with scale-sized cells (16
+      // cells ⇒ ~1.25k vectors/cell): training stays bounded-driver
+      // (3 k-means runs), candidates come from the broadcast equi-join
+      // on cell — candidate mass ≈ nProbe/nCentroids of the corpus per
+      // query regardless of corpus size
+      "ivf_pq" -> (() =>
+        SimilaritySearch.ivfPqTopK(vecs, nQueries = 5, k = 5,
+          nCentroids = 16, nProbe = 4, m = 2, codebookSize = 16,
+          iters = 2)))
 
     val results = runOps(spark, ops, () => {
       docs.persist(); vecs.persist() // keep the shared inputs resident
@@ -286,8 +295,9 @@ object ScaleRehearsal {
 
     // documented tiny-broadcast BNLJ sites (mirrors PlanGuardSpec's
     // allowlist): tokenize's encode stage crosses the 1-row <unk>-id
-    // scalar onto the token stream — bounded by construction
-    val bnljAllowed = Set("tokenize_pack")
+    // scalar onto the token stream; ivf_pq inherits the nCentroids-row
+    // centroid-grid broadcast — both bounded by construction
+    val bnljAllowed = Set("tokenize_pack", "ivf_pq")
     val bad = results.filter { case (n, _, _, c, b) =>
       c > 0 || (b > 0 && !bnljAllowed.contains(n)) }
     val qs = results.map { case (n, s, r, c, b) =>
