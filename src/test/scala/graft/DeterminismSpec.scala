@@ -27,7 +27,12 @@ class DeterminismSpec extends SparkSpec {
     "x_join_fuzzy",      // blocked candidates + rank across partitionings
     "r_resample",        // span grids + carry-forward frames
     "x_split_leakage",   // CC labels + window audit across partitionings
-    "x_entity_resolve")  // blocked pairs -> CC entity ids
+    "x_entity_resolve",  // blocked pairs -> CC entity ids
+    "x_sim_ivf_pq",      // 3 k-means trainings + probe-join + LUT sums
+    "x_zorder_prune",    // layout write + covering-tile pruned read
+    "x_bootstrap_ci",    // hash-fated weights, fixed-point weighted means
+    "x_inverted_index",  // two-phase posting cap across partitionings
+    "x_negative_sample") // dense-id draws (zipWithIndex offsets)
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
