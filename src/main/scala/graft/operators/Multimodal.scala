@@ -320,6 +320,70 @@ object Multimodal {
         .as[MediaRow])
   }
 
+  /** One audio analysis frame: exact integer PCM energy. */
+  case class AudioFrame(
+      doc_id: Long, frame_idx: Long, n_samples: Int, energy: Long)
+
+  /** Locate the RIFF `data` chunk: (payload offset, byte length). Same
+    * chunk-walk discipline as [[parseWav]]; malformed tables bail. */
+  private[graft] def wavDataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+    def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    val buf = le(b)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = tag(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (id == "data") return Some((off + 8, size))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Frame-level PCM energy over the WAV payloads — the first real DSP
+    * pass of an audio curation pipeline (silence trimming, VAD
+    * pre-filters, loudness normalization all start from per-frame
+    * energy). Walks the RIFF chunks to the `data` payload, reads
+    * 16-bit little-endian signed samples, frames them at `frameSize`
+    * samples (full frames only — the tail remainder is dropped, a
+    * defined part of the contract), and emits the EXACT integer energy
+    * Σ s² per frame. Non-WAV payloads contribute no rows.
+    *
+    * Same typed `mapPartitions` shape as [[decode]]: row-local,
+    * streaming, zero shuffle — the 100 TB audio pass is embarrassingly
+    * parallel. Integer energies make the result oracle-checkable: the
+    * corpus text is verified ASCII (FIXTURES.md), so the DuckDB twin
+    * recomputes every sample as `ascii(char)` arithmetic over the
+    * generation rule. */
+  def audioEnergy(
+      spark: SparkSession,
+      docs: DataFrame,
+      frameSize: Int = 16): Dataset[AudioFrame] = {
+    import spark.implicits._
+    require(frameSize >= 1, s"audioEnergy: frameSize must be >= 1")
+    packMediaTable(spark, docs).mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavDataChunk(r.payload).iterator.flatMap { case (off, len) =>
+          val nFrames = (len / 2) / frameSize
+          (0L until nFrames.toLong).map { f =>
+            var e = 0L
+            var k = 0
+            while (k < frameSize) {
+              val g = (f * frameSize + k).toInt
+              val lo = r.payload(off + 2 * g) & 0xff
+              val hi = r.payload(off + 2 * g + 1).toInt
+              val s = ((lo | (hi << 8)).toShort).toInt
+              e += s.toLong * s
+              k += 1
+            }
+            AudioFrame(r.doc_id, f, frameSize, e)
+          }
+        }
+      }
+    }
+  }
+
   /** One sampled frame. */
   case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 

@@ -219,6 +219,11 @@ object TierX {
       // arithmetically, so a parse bug cannot hash-match
       Multimodal.decode(s, Multimodal.packMediaTable(s, docs(s, d)))
         .toDF().orderBy("doc_id")),
+    "x_audio_energy" -> ((s, d) =>
+      // real DSP over real PCM bytes: RIFF walk → 16-bit LE samples →
+      // exact integer Σ s² per 16-sample frame; row-local, no shuffle
+      Multimodal.audioEnergy(s, docs(s, d), frameSize = 16).toDF()
+        .orderBy("doc_id", "frame_idx")),
     "x_multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(s, docs(s, d), everyNth = 2).toDF()
         .select(col("doc_id"), col("frame_idx"),
@@ -1514,6 +1519,27 @@ object TierX {
     // formulas (bmp 54+n / png sig+IHDR+IDAT+IEND = 57+n / jpeg
     // SOI+APP0+SOF0+SOS+EOI = 45+n or 55+n by component count): a
     // parse bug on ANY of the five container branches cannot hash-match
+    // PCM energies re-derived from the generation rule: the WAV data
+    // chunk is the UTF-8 text truncated to a block multiple, the
+    // corpus is verified ASCII (char code == byte), so sample g is
+    // ascii(byte 2g) + 256*ascii(byte 2g+1) — always < 2^15, signed
+    // and unsigned readings agree
+    "x_audio_energy" ->
+      """WITH w AS (SELECT doc_id, text, (doc_id % 2) + 1 AS ch,
+        |                 length(text) AS n
+        |           FROM documents WHERE doc_id % 5 = 1),
+        |d AS (SELECT doc_id, text, n - (n % (ch * 2)) AS data_len FROM w),
+        |f AS (SELECT doc_id, text, (data_len // 2) // 16 AS frames FROM d),
+        |s AS (SELECT doc_id, text, unnest(range(frames)) AS frame_idx FROM f),
+        |smp AS (SELECT doc_id, frame_idx,
+        |          unnest([ascii(substr(text, CAST(2 * (frame_idx * 16 + j) + 1 AS INT), 1))
+        |                  + 256 * ascii(substr(text, CAST(2 * (frame_idx * 16 + j) + 2 AS INT), 1))
+        |                  for j in range(16)]) AS smp
+        |        FROM s)
+        |SELECT doc_id, frame_idx, CAST(16 AS INT) AS n_samples,
+        |       CAST(sum(smp * smp) AS BIGINT) AS energy
+        |FROM smp GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "x_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, lang, n_chars,

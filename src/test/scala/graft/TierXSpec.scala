@@ -232,6 +232,31 @@ class TierXSpec extends SparkSpec {
     assert(a.length >= ids.size * 4 - ids.size)
   }
 
+  test("audio energy: exact PCM frame energies recovered from the RIFF data chunk") {
+    import graft.operators.Multimodal
+    // doc_id 1 → the WAV branch (channels 2, block 4): data = the 8
+    // ASCII bytes of the text, 4 int16 samples, 2 frames at size 2
+    val doc = Seq((1L, "abcdefgh", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.audioEnergy(spark, doc, frameSize = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 2)
+    def s(lo: Char, hi: Char): Long = lo.toInt + 256L * hi.toInt
+    assert(frames(0).energy ==
+      s('a', 'b') * s('a', 'b') + s('c', 'd') * s('c', 'd'))
+    assert(frames(1).energy ==
+      s('e', 'f') * s('e', 'f') + s('g', 'h') * s('g', 'h'))
+    assert(frames.forall(_.n_samples == 2))
+    // a non-WAV payload (doc_id 0 → BMP branch) contributes no rows
+    val bmp = Seq((0L, "abcdefgh", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.audioEnergy(spark, bmp, frameSize = 2).count() == 0)
+    // the tail remainder below one frame is dropped (defined contract)
+    val odd = Seq((1L, "abcdefghij", "en", "s", 10L)) // 5 samples → 2 frames
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.audioEnergy(spark, odd, frameSize = 2).count() == 2)
+  }
+
   test("poisson bootstrap: hash-fated replicates bracket the true mean") {
     import graft.operators.Stats
     val orders = Tables(spark, sf, "orders")
