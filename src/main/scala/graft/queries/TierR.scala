@@ -714,6 +714,41 @@ object TierR {
     "r_scd2_lookup" -> rScd2Lookup,
     "r_scd2_chain" -> rScd2Chain,
     "r_agg_distinct" -> rAggDistinct,
+    "r_agg_listagg" -> ((s, d) =>
+      // Spark 4 ordered-set aggregate surface: LISTAGG(DISTINCT …)
+      // WITHIN GROUP — deterministic because the within-group order is
+      // total over the distinct values
+      Tables(s, d, "orders").groupBy("o_orderpriority")
+        .agg(expr("listagg(DISTINCT o_orderstatus, ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+    "r_variant_json" -> ((s, d) =>
+      // Spark 4 VARIANT surface for semi-structured data: parse once,
+      // typed-path extraction + schema introspection — the modern
+      // alternative to fixed-schema from_json (f_explode_json)
+      Tables(s, d, "events")
+        .select(col("event_id"), expr("parse_json(props)").as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k"),
+          expr("schema_of_variant(v)").as("v_schema"))
+        .filter(col("k") > 50)
+        .orderBy("event_id")),
+    "r_join_lateral" -> ((s, d) => {
+      // correlated LATERAL subquery (top-2 orders per customer):
+      // Catalyst decorrelates the ORDER BY … LIMIT body into a
+      // broadcast hash join + per-key rank — the declarative twin of
+      // r_window_rank's shape, no nested-loop execution
+      Tables(s, d, "customer").createOrReplaceTempView("graft_lat_cust")
+      Tables(s, d, "orders").createOrReplaceTempView("graft_lat_ord")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM graft_lat_cust c, LATERAL (
+              |  SELECT o_orderkey, o_totalprice FROM graft_lat_ord
+              |  WHERE o_custkey = c.c_custkey
+              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+        .stripMargin)
+    }),
     "r_agg_approx_distinct" -> rAggApproxDistinct,
     "r_agg_approx_percentile" -> rAggApproxPercentile,
     "r_agg_percentile" -> rAggPercentile,
@@ -883,6 +918,29 @@ object TierR {
     "r_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(1) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r_agg_listagg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |         AS statuses,
+        |       count(1) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // DuckDB's JSON extraction mirrors the typed variant path; the
+    // inferred variant schema is constant over the uniform {"k": int}
+    // corpus, asserted as the literal
+    "r_variant_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       'OBJECT<k: BIGINT>' AS v_schema
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "r_join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     // the *_sql declarative twins share their DataFrame form's oracle
     // verbatim — same output contract, same hash
     "r_agg_rollup_sql" ->

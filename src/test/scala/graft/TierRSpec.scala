@@ -321,6 +321,26 @@ class TierRSpec extends SparkSpec {
     assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
   }
 
+  test("lateral top-2 is row-identical to the window-rank formulation, no nested loops") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val lat = q("r_join_lateral")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val win = Tables(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .join(Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+    assert(lat.exceptAll(win).count() == 0 && win.exceptAll(lat).count() == 0)
+    lat.collect()
+    val plan = lat.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral did not decorrelate:\n$plan")
+  }
+
   test("quantile binning partitions the table into 4 orderly bins") {
     val bins = q("r_quantile_bin").collect()
     assert(bins.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
