@@ -251,6 +251,69 @@ object TextAnalysis {
       .select("doc_id", "tok", "tf", "df", "score", "trank")
   }
 
+  /** BM25 relevance ranking (Robertson/Spärck Jones; the Lucene
+    * `(k1+1)`-scaled form with the `ln(1 + (N-df+0.5)/(df+0.5))`
+    * non-negative idf): scores every document holding at least one
+    * query term and returns the top `topK` hits — the serving-side IR
+    * complement to [[tfIdfTopTerms]] (which describes documents;
+    * BM25 ranks them against a query).
+    *
+    * Per-term contributions are pivoted into FIXED columns and added
+    * in query-term order, so the floating-point sum has one
+    * deterministic association — never a `sum()` whose accumulation
+    * order varies by partitioning. Corpus stats (N, avgdl) and the
+    * per-term df ride broadcasts; the only data-sized shuffles are the
+    * per-doc tf/dl aggregates, both keyed on doc_id. The tf table is
+    * pre-filtered to the query terms BEFORE aggregating, so the big
+    * shuffle carries |query| counts per doc, not the vocabulary.
+    *
+    * Output: (doc_id, dl, score, rrank), rrank dense over
+    * (score desc, doc_id) after e4 rounding — cross-engine stable. */
+  def bm25Rank(
+      docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_corpus"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfx), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_corpus").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val perTermCols = queryTerms.map(t =>
+      max(when(col("tok") === t, col("contrib"))).as(s"c_$t"))
+    val pivoted = contrib.groupBy("doc_id", "dl")
+      .agg(perTermCols.head, perTermCols.tail: _*)
+    val total = queryTerms
+      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    // global top-k via TakeOrderedAndProject (per-partition heaps, one
+    // k-row driver merge) — the unpartitioned rank window then only
+    // ever sees ≤ topK rows, never the full hit set
+    val top = pivoted
+      .withColumn("score", round(total, 4))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top
+      .withColumn("rrank", row_number().over(w).cast("long"))
+      .select("doc_id", "dl", "score", "rrank")
+  }
+
   /** Repetition-based quality signal (the Gopher-rules family:
     * "fraction of duplicate n-grams"): for word n-grams of each size in
     * `sizes`, the duplicated fraction 1 − distinct/total per document.

@@ -222,6 +222,30 @@ object TierF {
       .orderBy("o_orderstatus")
   }
 
+  /** K1/K2 companion on JSON-lines (completing the source matrix:
+    * parquet, CSV, ORC, JSONL — the landing format of event feeds and
+    * API dumps). Write-once per JVM, read back through a DECLARED
+    * schema — never runtime inference, which costs a full extra pass
+    * at 100 TB — then filter + aggregate. Oracle-checked against the
+    * same aggregate over the parquet original, so the round-trip must
+    * preserve every value exactly (including float totalprice through
+    * JSON text representation). */
+  private val fJsonIngest: Q = (s, d) => {
+    val dir = graft.sources.Sinks.ensureJsonOrders(s, d)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+      StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+      StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+      StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+    s.read.schema(schema).json(dir)
+      .filter(col("o_totalprice") > 1000d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        graft.Conventions.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Schema evolution across dataset generations: two parquet
     * generations of orders (the later one adds `o_totalprice`) read
     * through `mergeSchema=true` — pre-evolution rows surface NULL for
@@ -268,6 +292,7 @@ object TierF {
     "f_star_join_sql" -> fStarJoinSql,
     "f_csv_ingest" -> fCsvIngest,
     "f_orc_ingest" -> fOrcIngest,
+    "f_json_ingest" -> fJsonIngest,
     "f_schema_merge" -> fSchemaMerge)
 
   val oracle: Map[String, String] = Map(
@@ -362,6 +387,12 @@ object TierF {
         |       ${moneySumSql("o_totalprice")} AS sum_price
         |FROM orders WHERE o_totalprice > 1000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the JSONL round-trip must be value-exact vs the parquet original
+    "f_json_ingest" ->
+      s"""SELECT o_orderpriority, count(1) AS n_orders,
+        |       ${moneySumSql("o_totalprice")} AS sum_price
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the evolved layout re-derived: even keys are generation v=1
     // (no price column -> NULL under the merged schema)
     "f_schema_merge" ->

@@ -702,7 +702,45 @@ object TierR {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Interval merge (gaps-and-islands over half-open activity
+    * intervals): each event opens [t, t+300 s); overlapping or touching
+    * intervals per user coalesce into one island — the canonical
+    * sessionize-by-coverage shape (calendar busy-time, sensor uptime,
+    * ad-exposure stitching). A new island starts exactly when an
+    * event's start exceeds the running max end of every earlier
+    * interval (running max, not lag(e): an early long interval must
+    * swallow later short ones).
+    *
+    * All arithmetic is integer epoch-µs (`unix_micros`), so the result
+    * is bit-exact cross-engine. Both windows and the final aggregate
+    * hash on user_id — one shuffle, reused across the two window
+    * passes; per-user windows never exceed one user's events, so the
+    * shape is flat at any corpus size. */
+  private val rIntervalMerge: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val ev = Tables(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("e", col("t") + lit(300000000L))
+    ev
+      .withColumn("prev_max_e",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_e").isNull || col("t") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(
+        min("t").as("start_us"), max("e").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "island")
+  }
+
   val queries: Map[String, Q] = Map(
+    "r_interval_merge" -> rIntervalMerge,
     "r_funnel" -> rFunnel,
     "r_retention" -> rRetention,
     "r_window_range_frame" -> rWindowRangeFrame,
@@ -778,6 +816,31 @@ object TierR {
     "r_map_json_fns" -> rMapJsonFns)
 
   val oracle: Map[String, String] = Map(
+    // integer epoch-µs interval coalescing — running-max-end island
+    // detection re-derived with the same explicit ROWS frames
+    "r_interval_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         epoch_us(ts) + 300000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t, e,
+        |         max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND 1 PRECEDING) AS prev_max_e
+        |  FROM ev),
+        |i AS (
+        |  SELECT user_id, t, e,
+        |         CAST(sum(CASE WHEN prev_max_e IS NULL OR t > prev_max_e
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM m)
+        |SELECT user_id, island, min(t) AS start_us, max(e) AS end_us,
+        |       count(1) AS n_events, max(e) - min(t) AS dur_us
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
     "r_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, lit, lpad, max, min, round, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, length, lit, lpad, max, min, round, substring, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -212,6 +212,12 @@ object TierX {
     "x_tfidf_topterms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(docs(s, d), k = 3)
         .orderBy("doc_id", "trank")),
+    "x_bm25_rank" -> ((s, d) =>
+      // serving-side IR ranking: top-20 BM25 hits for a fixed 3-term
+      // query; per-term contributions pivot into fixed columns so the
+      // float sum has ONE deterministic association cross-engine
+      TextAnalysis.bm25Rank(docs(s, d), Seq("table", "scan", "order"))
+        .orderBy("rrank")),
     "x_multimodal_meta" -> ((s, d) =>
       // REAL container decode: text bytes are wrapped in genuine
       // BMP/WAV headers (by doc_id residue) and round-tripped through
@@ -224,6 +230,28 @@ object TierX {
       // exact integer Σ s² per 16-sample frame; row-local, no shuffle
       Multimodal.audioEnergy(s, docs(s, d), frameSize = 16).toDF()
         .orderBy("doc_id", "frame_idx")),
+    "x_text_nfc" -> ((s, d) => {
+      // Unicode NFC normalization via the native codegen expression
+      // (expressions/NfcNormalize.scala). The corpus is verified ASCII,
+      // so denormalized spellings are injected deterministically —
+      // decomposed e+U+0301 / A+U+030A / o+U+0308 runs keyed by doc_id
+      // residue; nfc() must compose exactly those and pass the
+      // already-normalized rows through untouched (n_before == n_after)
+      val raw = docs(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(substring(col("text"), 1, 24), lit(" Café")))
+          .when(col("doc_id") % 3 === 1,
+            concat(substring(col("text"), 1, 24), lit(" Ångström")))
+          .otherwise(substring(col("text"), 1, 24)).as("raw"))
+      raw.select(
+        col("doc_id"),
+        graft.expressions.NfcNormalize.of(col("raw")).as("norm"),
+        length(col("raw")).cast("long").as("n_before"),
+        length(graft.expressions.NfcNormalize.of(col("raw"))).cast("long")
+          .as("n_after"))
+        .orderBy("doc_id")
+    }),
     "x_multimodal_frames" -> ((s, d) =>
       Multimodal.frameSample(s, docs(s, d), everyNth = 2).toDF()
         .select(col("doc_id"), col("frame_idx"),
@@ -1393,6 +1421,43 @@ object TierX {
         |      FROM s)
         |SELECT doc_id, tok, tf, df, score, CAST(trank AS BIGINT) AS trank
         |FROM r WHERE trank <= 3 ORDER BY doc_id, trank""".stripMargin,
+    // BM25 re-derived with the IDENTICAL expression tree (same literal
+    // forms, same */÷ association, fixed-order pivoted sum), so the
+    // e4-rounded scores are bit-stable cross-engine; dl counts every
+    // split token (keep-empties), matching the Spark tokenization
+    "x_bm25_rank" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |dl AS (SELECT doc_id, count(1) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT count(1) AS n_corpus, avg(CAST(dl AS DOUBLE)) AS avgdl
+        |       FROM dl),
+        |tf AS (SELECT doc_id, tok, count(1) AS tf FROM toks
+        |       WHERE tok IN ('table', 'scan', 'order') GROUP BY 1, 2),
+        |dfx AS (SELECT tok, count(1) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT tf.doc_id, tf.tok,
+        |        ln(1.0 + (CAST(st.n_corpus AS DOUBLE) - dfx.df + 0.5)
+        |                 / (dfx.df + 0.5))
+        |        * (CAST(tf.tf AS DOUBLE) * (1.2e0 + 1e0))
+        |        / (CAST(tf.tf AS DOUBLE)
+        |           + 1.2e0 * ((1.0 - 0.75)
+        |                    + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+        |          AS contrib
+        |      FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id)
+        |      CROSS JOIN st),
+        |p AS (SELECT c.doc_id, dl.dl,
+        |        max(CASE WHEN tok = 'table' THEN contrib END) AS c1,
+        |        max(CASE WHEN tok = 'scan' THEN contrib END) AS c2,
+        |        max(CASE WHEN tok = 'order' THEN contrib END) AS c3
+        |      FROM c JOIN dl USING (doc_id) GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, dl,
+        |         round(COALESCE(c1, 0.0) + COALESCE(c2, 0.0)
+        |               + COALESCE(c3, 0.0), 4) AS score
+        |       FROM p),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+        |                  AS rrank
+        |      FROM sc)
+        |SELECT doc_id, dl, score, CAST(rrank AS BIGINT) AS rrank
+        |FROM r WHERE rrank <= 20 ORDER BY rrank""".stripMargin,
     "x_pipeline_curate" ->
       s"""WITH RECURSIVE
         |xd AS (SELECT min(doc_id) AS doc_id
@@ -1540,6 +1605,26 @@ object TierX {
         |       CAST(sum(smp * smp) AS BIGINT) AS energy
         |FROM smp GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the injected decomposed runs re-derived via chr() codepoints
+    // (769 = U+0301 combining acute, 778 = U+030A ring, 776 = U+0308
+    // diaeresis) and DuckDB's own nfc_normalize — both engines
+    // implement the same UAX #15 canonical composition, so a
+    // normalization bug on either side cannot hash-match; all chars
+    // are BMP so DuckDB codepoint length == Spark UTF-16 length
+    "x_text_nfc" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |                THEN substr(text, 1, 24) || ' Cafe' || chr(769)
+        |              WHEN doc_id % 3 = 1
+        |                THEN substr(text, 1, 24) || ' A' || chr(778)
+        |                     || 'ngstro' || chr(776) || 'm'
+        |              ELSE substr(text, 1, 24) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm,
+        |       CAST(length(raw) AS BIGINT) AS n_before,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after
+        |FROM raw ORDER BY doc_id""".stripMargin,
     "x_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, lang, n_chars,

@@ -110,6 +110,29 @@ object Sinks {
       dir
     }
 
+  /** JSON-lines copy of the orders table for the `f_json_ingest`
+    * round-trip query, written once per JVM per scale factor. JSONL is
+    * the third native source format after CSV and ORC — the landing
+    * format of most event feeds and API dumps before they're compacted
+    * to parquet. The read back goes through a DECLARED schema (never
+    * runtime inference, which costs a full extra pass over 100 TB and
+    * can mistype sparse columns), which also lets the scan prune to
+    * the projected fields instead of materializing every attribute. */
+  def ensureJsonOrders(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    synchronized {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_json/" +
+        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+      if (!writtenLayouts.contains(dir)) {
+        graft.Tables(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice")
+          .write.mode(SaveMode.Overwrite).json(dir)
+        writtenLayouts += dir
+      }
+      dir
+    }
+
   /** Schema-evolved orders layout for the `f_schema_merge` query,
     * written once per JVM per scale factor: generation v=1 holds the
     * narrow original schema (key, status, priority — even order keys),

@@ -162,6 +162,38 @@ class ExpressionSpec extends SparkSpec {
       s"GramFingerprint duplicated in plan:\n$plan")
   }
 
+  test("NfcNormalize: composes decomposed runs, identity on NFC, null") {
+    import spark.implicits._
+    import graft.expressions.NfcNormalize
+    val rows = Seq(
+      (0L, Option("Café")), // e + U+0301 -> é
+      (1L, Option("Ångström")), // ring + diaeresis fold in
+      (2L, Option("plain ascii")),
+      (3L, Option.empty[String]))
+      .toDF("id", "s")
+      .select(col("id"), NfcNormalize.of(col("s")).as("n"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(rows(0L) == "Café")
+    assert(rows(1L) == "Ångström")
+    assert(rows(2L) == "plain ascii")
+    assert(rows(3L) == null)
+  }
+
+  test("NfcNormalize: ASCII corpus is a fixed point, runs in codegen") {
+    import graft.expressions.NfcNormalize
+    val docs = Tables(spark, sf, "documents")
+    val changed = docs
+      .filter(NfcNormalize.of(col("text")) =!= col("text")).count()
+    assert(changed == 0, "NFC must be identity on the ASCII corpus")
+    val df = docs.select(NfcNormalize.of(col("text")).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      "NfcNormalize fell out of whole-stage codegen")
+  }
+
   test("interpreted eval path agrees with codegen path") {
     // force interpreted evaluation via an eval on literal rows
     val row = vecs.select("embedding").head()

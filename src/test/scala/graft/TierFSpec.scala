@@ -109,4 +109,23 @@ class TierFSpec extends SparkSpec {
       .agg(Conventions.moneySum(col("o_totalprice"))).collect()(0).getDouble(0)
     assert(math.abs(evolved - expected) < 1e-6)
   }
+
+  test("f_json_ingest: JSONL round-trip is value-exact vs parquet") {
+    val viaJson = q("f_json_ingest").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val direct = Tables(spark, sf, "orders")
+      .filter(col("o_totalprice") > 1000d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        Conventions.moneySum(col("o_totalprice")).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaJson.keySet == direct.keySet)
+    direct.foreach { case (k, (n, s)) =>
+      val (nj, sj) = viaJson(k)
+      assert(nj == n, s"$k count drifted through JSON")
+      // doubles survive Spark's JSON shortest-round-trip representation
+      assert(sj == s, s"$k sum drifted through JSON text round-trip")
+    }
+  }
 }

@@ -357,6 +357,52 @@ class TierRSpec extends SparkSpec {
     assert(avgs.zip(avgs.tail).forall { case (a, b) => a < b })
   }
 
+  test("r_interval_merge: islands tile the events, gap-separated, ≥ 300 s") {
+    val out = q("r_interval_merge").collect()
+    val nEvents = Tables(spark, sf, "events").count()
+    assert(out.map(_.getLong(4)).sum == nEvents,
+      "every event must land in exactly one island")
+    out.foreach { r =>
+      assert(r.getLong(5) == r.getLong(3) - r.getLong(2))
+      assert(r.getLong(5) >= 300000000L,
+        "an island is at least one full interval long")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.size).toSeq,
+        s"user $u islands not consecutively numbered")
+      sorted.iterator.sliding(2).withPartial(false).foreach { pair =>
+        assert(pair(1).getLong(2) > pair(0).getLong(3),
+          s"user $u islands overlap — merge failed")
+      }
+    }
+  }
+
+  test("r_interval_merge: brute-force re-merge matches for every user") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val span = 300000000L
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val islands = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)] // start, end, n
+      ts.foreach { t =>
+        if (islands.nonEmpty && t <= islands.last._2) {
+          val (s0, e0, n0) = islands.last
+          islands(islands.size - 1) = (s0, math.max(e0, t + span), n0 + 1)
+        } else islands += ((t, t + span, 1L))
+      }
+      islands.zipWithIndex.map { case ((s0, e0, n0), i) =>
+        (u, i + 1L, s0, e0, n0)
+      }
+    }.toSet
+    val got = q("r_interval_merge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)

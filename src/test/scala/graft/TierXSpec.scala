@@ -1517,4 +1517,78 @@ class TierXSpec extends SparkSpec {
     // dirty variants (offset ids) resolve: some entities hold >= 2 records
     assert(byEnt.values.count(_.length >= 2) > 10)
   }
+
+  test("x_bm25_rank: consecutive ranks, monotone scores, hits hold a term") {
+    val out = q("x_bm25_rank").collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getLong(3)).toSeq == (1L to out.length).toSeq)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.iterator.sliding(2).withPartial(false)
+      .forall(p => p(0) >= p(1)), "scores must be non-increasing by rank")
+    val terms = Set("table", "scan", "order")
+    val text = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      assert(text(r.getLong(0)).split(" ", -1).exists(terms.contains),
+        s"doc ${r.getLong(0)} ranked without holding any query term")
+    }
+  }
+
+  test("x_bm25_rank: matches a driver-side brute force bit-for-bit") {
+    val terms = Seq("table", "scan", "order")
+    val (k1, b) = (1.2, 0.75)
+    val docsT = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val n = docsT.length
+    val dl = docsT.map { case (id, t) => id -> t.length.toLong }.toMap
+    val avgdl = dl.values.sum.toDouble / n
+    val tf = docsT.map { case (id, t) =>
+      id -> terms.map(q => q -> t.count(_ == q).toLong).toMap
+    }.toMap
+    val dfT = terms.map(q =>
+      q -> tf.values.count(m => m(q) > 0).toLong).toMap
+    def contrib(id: Long, q: String): Double = {
+      val tfd = tf(id)(q).toDouble
+      val idf = Math.log(1.0 + (n.toDouble - dfT(q) + 0.5) / (dfT(q) + 0.5))
+      idf * (tfd * (k1 + 1.0)) /
+        (tfd + k1 * ((1.0 - b) + b * dl(id).toDouble / avgdl))
+    }
+    val expected = dl.keys.toSeq
+      .filter(id => terms.exists(q => tf(id)(q) > 0))
+      .map { id =>
+        val raw = terms.map(q => if (tf(id)(q) > 0) contrib(id, q) else 0.0)
+          .reduceLeft(_ + _)
+        val score = BigDecimal(raw)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, dl(id), score)
+      }
+      .sortBy { case (id, _, s) => (-s, id) }
+      .take(20)
+      .zipWithIndex
+      .map { case ((id, d, s), i) => (id, d, s, i + 1L) }
+    val got = q("x_bm25_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("x_text_nfc: injected decomposed runs compose, rest untouched") {
+    val out = q("x_text_nfc").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, norm) = (r.getLong(0), r.getString(1))
+      val (before, after) = (r.getLong(2), r.getLong(3))
+      (id % 3) match {
+        case 0 =>
+          // one combining acute composes away
+          assert(after == before - 1 && norm.endsWith("Café"))
+        case 1 =>
+          // ring + diaeresis both compose
+          assert(after == before - 2 && norm.endsWith("Ångström"))
+        case _ =>
+          // pure-ASCII rows are NFC fixed points
+          assert(after == before && norm.forall(_ < 128))
+      }
+    }
+  }
 }
