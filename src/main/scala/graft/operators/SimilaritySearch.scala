@@ -429,8 +429,28 @@ object SimilaritySearch {
   }
 
   /** Subvector width + per-subspace codebooks for [[pqEncode]] /
-    * [[pqTopK]] — m independent [[trainIvfCentroids]] runs over the
-    * sliced frames. */
+    * [[pqTopK]] — the m subspace k-means trainings FUSED into one
+    * corpus pass per Lloyd round (round-5 bench: the three PQ queries
+    * were paying m× passes per iteration for work that shares every
+    * scan). Bit-identical to m independent [[trainIvfCentroids]] runs
+    * over the sliced frames, which remain the reference semantics:
+    *
+    *  - seeding: [[seedVectors]] picks by hash(vec_id) alone, so the m
+    *    per-subspace seed sets are slices of the SAME full vectors —
+    *    one collect, sliced driver-side;
+    *  - each round: every subspace's literal-codebook argmax evaluates
+    *    in the same projection, the full embedding posexplodes once,
+    *    and one (subspace, cell, pos) aggregate carries the exact e6
+    *    long sums — identical integer totals per cell coordinate, so
+    *    the updated codewords are float-for-float the per-subspace
+    *    result (pinned by TierXSpec's bit-for-bit oracle re-derivation
+    *    and the partition-invariance spec);
+    *  - shuffle rows = m × codebookSize × sub = codebookSize × dim per
+    *    round — still independent of corpus size.
+    *
+    * Driver jobs drop from m×(1 seed + iters rounds) to
+    * 1 seed + iters rounds — at a production m of 8-16 subspaces this
+    * is the difference between ~50 scheduled jobs and ~4 per train. */
   private def pqBooks(
       vecs: DataFrame, m: Int, codebookSize: Int, iters: Int)
       : (Int, Seq[Seq[(Int, Seq[Float])]]) = {
@@ -439,12 +459,48 @@ object SimilaritySearch {
     val dim = vecs.select(size(col("embedding")).as("d")).head().getInt(0)
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val sub = dim / m
-    (sub, (0 until m).map { j =>
-      trainIvfCentroids(
-        vecs.select(col("vec_id"),
-          slice(col("embedding"), j * sub + 1, sub).as("embedding")),
-        codebookSize, iters)
-    })
+    val seeds = seedVectors(vecs, codebookSize)
+    var books: Seq[Seq[(Int, Seq[Float])]] = (0 until m).map { j =>
+      seeds.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(j * sub, j * sub + sub))
+      }
+    }
+    val subspaceOf = (col("pos") / lit(sub)).cast("int")
+    for (_ <- 0 until iters) {
+      val cellCols = books.zipWithIndex.map { case (book, j) =>
+        nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
+          .as(s"cell$j")
+      }
+      val sums = vecs
+        // the m argmaxes evaluate once per VECTOR (below the generate),
+        // not once per exploded element
+        .select(cellCols :+ posexplode(col("embedding")).as(Seq("pos", "v")): _*)
+        .select(
+          subspaceOf.as("j"),
+          element_at(
+            array((0 until m).map(j => col(s"cell$j")): _*),
+            subspaceOf + 1).as("cell"),
+          (col("pos") % lit(sub)).as("p"),
+          col("v"))
+        .groupBy("j", "cell", "p")
+        .agg(sum(round(col("v") * lit(1e6)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getAs[Int]("j"), r.getAs[Int]("cell"), r.getAs[Int]("p")),
+          (r.getAs[Long]("s"), r.getAs[Long]("n"))))
+        .toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.map { case (c, old) =>
+          (c, old.indices.map { p =>
+            sums.get((j, c, p)) match {
+              case Some((s, n)) => (s.toDouble / n.toDouble / 1e6).toFloat
+              case None => old(p) // empty cell keeps its codeword
+            }
+          })
+        }
+      }
+    }
+    (sub, books)
   }
 
   /** ADC (asymmetric distance computation) top-k over PQ codes — the
