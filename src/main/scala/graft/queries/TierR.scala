@@ -739,8 +739,36 @@ object TierR {
       .orderBy("user_id", "island")
   }
 
+  /** Spark's NATIVE `session_window` aggregation surface, in batch
+    * mode: each event opens [ts, ts+120 s) and overlapping windows
+    * merge — semantically the same coalescing as [[rIntervalMerge]]
+    * (different gap, so the two queries don't alias), but planned
+    * through Catalyst's dedicated SessionWindow machinery
+    * (UpdatingSessionsExec) rather than hand-rolled running-max
+    * windows. Running BOTH surfaces against the same islands oracle
+    * cross-validates the engine's session implementation against the
+    * first-principles formulation — a Spark session_window bug could
+    * not hash-match.
+    *
+    * The money-convention value sum rides along so the merge is
+    * checked on a carried aggregate, not just counts. One shuffle on
+    * (user_id) for session assembly — flat at any scale. */
+  private val rSessionWindowFn: Q = (s, d) =>
+    Tables(s, d, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "120 seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.Conventions.moneySum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   val queries: Map[String, Q] = Map(
     "r_interval_merge" -> rIntervalMerge,
+    "r_session_window_fn" -> rSessionWindowFn,
     "r_funnel" -> rFunnel,
     "r_retention" -> rRetention,
     "r_window_range_frame" -> rWindowRangeFrame,
@@ -841,6 +869,34 @@ object TierR {
         |       count(1) AS n_events, max(e) - min(t) AS dur_us
         |FROM i GROUP BY user_id, island
         |ORDER BY user_id, island""".stripMargin,
+    // Spark's native session_window re-derived from first principles:
+    // the islands formulation with the MERGING boundary — probed
+    // empirically on Spark 4.1.2, an event at exactly prev_end still
+    // joins the session (touching windows coalesce, same boundary as
+    // r_interval_merge) — so a SessionWindow implementation bug on
+    // the Spark side cannot hash-match
+    "r_session_window_fn" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+        |         epoch_us(ts) + 120000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                         ROWS BETWEEN UNBOUNDED PRECEDING
+        |                         AND 1 PRECEDING) AS prev_max_e
+        |  FROM ev),
+        |i AS (
+        |  SELECT user_id, t, e, value,
+        |         CAST(sum(CASE WHEN prev_max_e IS NULL OR t > prev_max_e
+        |                       THEN 1 ELSE 0 END)
+        |              OVER (PARTITION BY user_id ORDER BY t, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND CURRENT ROW) AS BIGINT) AS island
+        |  FROM m)
+        |SELECT user_id, min(t) AS start_us, max(e) AS end_us,
+        |       count(1) AS n_events, ${moneySumSql("value")} AS sum_value
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, start_us""".stripMargin,
     "r_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -39,6 +39,9 @@ class PlanGuardSpec extends SparkSpec {
     // the |groups|-row rate table
     "x_domain_mix", "x_domain_upsample", "x_ngram_lm",
     "x_encode_ids", "x_nb_classify", "x_quality_filter", "r_funnel",
+    // BM25's 1-row (n_corpus, avgdl) stats scalar crossed onto the
+    // per-(doc, term) contribution table
+    "x_bm25_rank",
     // inherits x_quality_filter's OOV-floor scalar through its first stage
     "x_pipeline_prepare",
     // inherits x_encode_ids' 1-row <unk>-id scalar through its encode stage

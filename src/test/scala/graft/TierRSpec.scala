@@ -403,6 +403,55 @@ class TierRSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("session_window boundary: an event at exactly prev+gap MERGES (probed)") {
+    import spark.implicits._
+    // probed empirically against Spark 4.1.2: session windows are
+    // closed-boundary on merge — an event at exactly prev_ts + gap
+    // still joins the session (merge when t <= prev_end), exactly the
+    // touching-intervals-coalesce semantics of r_interval_merge; the
+    // oracle's islands formulation must use the same boundary
+    val df = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1000))),
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1120))),
+      (1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1180))))
+      .toDF("user_id", "ts")
+    val out = df
+      .groupBy(col("user_id"), session_window(col("ts"), "120 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"), col("n"))
+      .orderBy("s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1000000000L, 1300000000L, 3L)))
+  }
+
+  test("r_session_window_fn: native session_window matches an islands re-merge") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gap = 120000000L
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val islands = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)] // start, end, n, e6 value sum
+      sorted.foreach { case (_, t, v) =>
+        val e6 = Math.round(v * 1e6)
+        if (islands.nonEmpty && t <= islands.last._2) {
+          val (s0, e0, n0, v0) = islands.last
+          islands(islands.size - 1) =
+            (s0, math.max(e0, t + gap), n0 + 1, v0 + e6)
+        } else islands += ((t, t + gap, 1L, e6))
+      }
+      islands.map { case (s0, e0, n0, v0) => (u, s0, e0, n0, v0 / 1e6) }
+    }.toSet
+    val got = q("r_session_window_fn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expected)
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)
