@@ -314,6 +314,60 @@ object TextAnalysis {
       .select("doc_id", "dl", "score", "rrank")
   }
 
+  /** PMI collocation extraction (Church & Hanks '90): adjacent-bigram
+    * pointwise mutual information over the corpus,
+    * `pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )` with bigram/unigram MLE
+    * probabilities — the classic detector of multi-word units
+    * ("new york", "prime minister") that single-token statistics
+    * can't see; feeds phrase-aware tokenization and vocab builds.
+    *
+    * `minCount` floors the bigram count before scoring (raw PMI
+    * over-rewards hapax pairs — the standard filter). The ratio is
+    * computed in ONE double expression with fixed association
+    * (`c_ab·T·T / (B·c_a·c_b)`), so both engines evaluate the same
+    * IEEE operation sequence and the e4-rounded scores hash-match.
+    *
+    * Scale shape: unigram and bigram counts are partial+final
+    * aggregates (combiners collapse the token stream map-side); the
+    * two unigram joins are word-keyed equi-joins against the
+    * SCORED (≥ minCount) bigram table — vocabulary-sized, never
+    * corpus-sized; T and B ride 1-row broadcasts; top-k via
+    * TakeOrderedAndProject.
+    *
+    * Output: (w1, w2, c_ab, pmi, crank), top `topK` by
+    * (pmi desc, w1, w2). */
+  def pmiCollocations(
+      docs: DataFrame, minCount: Long = 5L, topK: Int = 30): DataFrame = {
+    val toksArr = docs.select(split(col("text"), " ").as("w"))
+    val uni = toksArr.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("t_tokens"))
+    val big = toksArr.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .persist() // consumed by the B scalar and the scoring pass
+    val btot = big.agg(sum("c_ab").as("b_bigrams"))
+    val scored = big.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(btot))
+      .withColumn("pmi",
+        round(log(
+          (col("c_ab").cast("double") * col("t_tokens") * col("t_tokens"))
+            / (col("b_bigrams").cast("double") * col("c_a") * col("c_b"))),
+          4))
+    val top = scored
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+    val w = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    top.withColumn("crank", row_number().over(w).cast("long"))
+      .select("w1", "w2", "c_ab", "pmi", "crank")
+  }
+
   /** Repetition-based quality signal (the Gopher-rules family:
     * "fraction of duplicate n-grams"): for word n-grams of each size in
     * `sizes`, the duplicated fraction 1 − distinct/total per document.

@@ -218,6 +218,11 @@ object TierX {
       // float sum has ONE deterministic association cross-engine
       TextAnalysis.bm25Rank(docs(s, d), Seq("table", "scan", "order"))
         .orderBy("rrank")),
+    "x_colloc_pmi" -> ((s, d) =>
+      // multi-word-unit detection: top-30 adjacent bigrams by corpus
+      // PMI (minCount 5); the ratio is one fixed-association double
+      // expression, so e4-rounded scores hash-match cross-engine
+      TextAnalysis.pmiCollocations(docs(s, d)).orderBy("crank")),
     "x_multimodal_meta" -> ((s, d) =>
       // REAL container decode: text bytes are wrapped in genuine
       // BMP/WAV headers (by doc_id residue) and round-tripped through
@@ -1458,6 +1463,35 @@ object TierX {
         |      FROM sc)
         |SELECT doc_id, dl, score, CAST(rrank AS BIGINT) AS rrank
         |FROM r WHERE rrank <= 20 ORDER BY rrank""".stripMargin,
+    // PMI re-derived with the IDENTICAL fixed-association ratio
+    // (c_ab·T·T / (B·c_a·c_b), one ln, e4 round); 1-based list
+    // indexing builds the same adjacent bigrams as the Spark transform
+    "x_colloc_pmi" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |u AS (SELECT tok, count(1) AS c
+        |      FROM (SELECT unnest(w) AS tok FROM w) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens FROM u),
+        |b AS (SELECT s.w1 AS w1, s.w2 AS w2, count(1) AS c_ab
+        |      FROM (SELECT unnest([struct_pack(w1 := w[i], w2 := w[i+1])
+        |                           for i in range(1, len(w))]) AS s
+        |            FROM w) t
+        |      GROUP BY 1, 2),
+        |bt AS (SELECT CAST(sum(c_ab) AS BIGINT) AS b_bigrams FROM b),
+        |sc AS (SELECT b.w1, b.w2, b.c_ab,
+        |         round(ln((CAST(b.c_ab AS DOUBLE) * tot.t_tokens
+        |                   * tot.t_tokens)
+        |                  / (CAST(bt.b_bigrams AS DOUBLE) * ua.c * ub.c)),
+        |               4) AS pmi
+        |       FROM b
+        |       JOIN u ua ON b.w1 = ua.tok
+        |       JOIN u ub ON b.w2 = ub.tok
+        |       CROSS JOIN tot CROSS JOIN bt
+        |       WHERE b.c_ab >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2)
+        |                  AS crank
+        |      FROM sc)
+        |SELECT w1, w2, c_ab, pmi, CAST(crank AS BIGINT) AS crank
+        |FROM r WHERE crank <= 30 ORDER BY crank""".stripMargin,
     "x_pipeline_curate" ->
       s"""WITH RECURSIVE
         |xd AS (SELECT min(doc_id) AS doc_id

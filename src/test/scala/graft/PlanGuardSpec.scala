@@ -42,6 +42,9 @@ class PlanGuardSpec extends SparkSpec {
     // BM25's 1-row (n_corpus, avgdl) stats scalar crossed onto the
     // per-(doc, term) contribution table
     "x_bm25_rank",
+    // PMI's 1-row T and B scalars crossed onto the >=minCount bigram
+    // table
+    "x_colloc_pmi",
     // inherits x_quality_filter's OOV-floor scalar through its first stage
     "x_pipeline_prepare",
     // inherits x_encode_ids' 1-row <unk>-id scalar through its encode stage

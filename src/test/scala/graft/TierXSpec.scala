@@ -1572,6 +1572,38 @@ class TierXSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("x_colloc_pmi: matches a driver-side brute force bit-for-bit") {
+    val texts = Tables(spark, sf, "documents").select("text")
+      .collect().map(_.getString(0).split(" ", -1))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { w =>
+      w.foreach(t => uni(t) = uni.getOrElse(t, 0L) + 1)
+      w.iterator.sliding(2).withPartial(false).foreach { p =>
+        val k = (p(0), p(1)); big(k) = big.getOrElse(k, 0L) + 1
+      }
+    }
+    val t = uni.values.sum
+    val bSum = big.values.sum
+    val expected = big.toSeq
+      .filter(_._2 >= 5L)
+      .map { case ((w1, w2), cAb) =>
+        val raw = Math.log(
+          (cAb.toDouble * t * t) / (bSum.toDouble * uni(w1) * uni(w2)))
+        val pmi = BigDecimal(raw)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (w1, w2, cAb, pmi)
+      }
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+      .take(30)
+      .zipWithIndex
+      .map { case ((w1, w2, c, p), i) => (w1, w2, c, p, i + 1L) }
+    val got = q("x_colloc_pmi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
   test("x_text_nfc: injected decomposed runs compose, rest untouched") {
     val out = q("x_text_nfc").collect()
     assert(out.nonEmpty)
