@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -16,6 +16,34 @@ import graft.functions.Hashing
   * assignment gives every row a stable fate derived only from its key.
   */
 object Curation {
+
+  /** Canonical form of a URL column — the equivalence key web-corpus
+    * curation dedups on before any content hashing (the same page is
+    * crawled as http/https, with/without default port, with tracking
+    * params, with a trailing slash — content-identical fetches that
+    * naive exact-dedup treats as distinct):
+    *
+    *  - scheme and host lowercase (case-insensitive per RFC 3986);
+    *  - port dropped (`parse_url HOST` excludes it — correct for the
+    *    default-port duplicates this key targets);
+    *  - trailing path slashes stripped;
+    *  - `utm_*` tracking params dropped, the rest SORTED (param order
+    *    is transport noise) and rejoined.
+    *
+    * Pure row-local projection over codegen'd builtins (`parse_url`,
+    * `filter`/`array_sort` HOFs) — composes with the scan at zero plan
+    * cost, like [[graft.expressions.NfcNormalize]]. Path case is
+    * preserved (paths are case-sensitive). */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(parse_url(url, lit("PROTOCOL")))
+    val host = lower(parse_url(url, lit("HOST")))
+    val path = regexp_replace(parse_url(url, lit("PATH")), lit("/+$"), lit(""))
+    val kept = array_join(
+      array_sort(filter(split(parse_url(url, lit("QUERY")), "&"),
+        p => !p.like("utm_%"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
 
   /** Deterministic train/val/test split by key hash.
     *

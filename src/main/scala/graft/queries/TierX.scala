@@ -223,6 +223,27 @@ object TierX {
       // PMI (minCount 5); the ratio is one fixed-association double
       // expression, so e4-rounded scores hash-match cross-engine
       TextAnalysis.pmiCollocations(docs(s, d)).orderBy("crank")),
+    "x_url_canon" -> ((s, d) => {
+      // the corpus has no URL column, so content-identical crawl
+      // variants are injected deterministically (scheme/host case,
+      // default port, tracking params, param order, trailing slash —
+      // keyed by doc_id residues); canonicalization must merge exactly
+      // the variant families and keep distinct articles apart
+      val base = (col("doc_id") % 50).cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW.Host"), base,
+            lit(".COM:443/Articles/Item?utm_source=feed&b=2&a=1")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://www.host"), base,
+            lit(".com/Articles/Item?b=2&a=1&utm_campaign=x")))
+        .otherwise(concat(lit("https://www.host"), base,
+          lit(".com/Articles/Item2/?a=1&b=2")))
+      docs(s, d)
+        .select(col("doc_id"), Curation.canonicalizeUrl(url).as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_urls"), min("doc_id").as("min_doc"))
+        .orderBy("canon")
+    }),
     "x_multimodal_meta" -> ((s, d) =>
       // REAL container decode: text bytes are wrapped in genuine
       // BMP/WAV headers (by doc_id residue) and round-tripped through
@@ -1492,6 +1513,53 @@ object TierX {
         |      FROM sc)
         |SELECT w1, w2, c_ab, pmi, CAST(crank AS BIGINT) AS crank
         |FROM r WHERE crank <= 30 ORDER BY crank""".stripMargin,
+    // canonicalization re-derived with regexes + list ops over the
+    // same injected variants: lowercase scheme/host, default port and
+    // utm_* params dropped, params sorted, trailing slashes stripped —
+    // the variant families must collapse to identical keys
+    "x_url_canon" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'HTTPS://WWW.Host' || CAST(doc_id % 50 AS VARCHAR)
+        |           || '.COM:443/Articles/Item?utm_source=feed&b=2&a=1'
+        |    WHEN doc_id % 3 = 1
+        |      THEN 'https://www.host' || CAST(doc_id % 50 AS VARCHAR)
+        |           || '.com/Articles/Item?b=2&a=1&utm_campaign=x'
+        |    ELSE 'https://www.host' || CAST(doc_id % 50 AS VARCHAR)
+        |         || '.com/Articles/Item2/?a=1&b=2' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    regexp_replace(url, '^[A-Za-z]+://', '') AS rest
+        |  FROM raw),
+        |h AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_extract(rest, '^([^/]+)', 1) AS hostport,
+        |    substr(rest, length(regexp_extract(rest, '^([^/]+)', 1)) + 1)
+        |      AS pathq
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, scheme,
+        |    lower(regexp_replace(hostport, ':[0-9]+$', '')) AS host,
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+        |      AS path,
+        |    CASE WHEN contains(pathq, '?')
+        |         THEN regexp_extract(pathq, '[?](.*)$', 1)
+        |         ELSE '' END AS qs
+        |  FROM h),
+        |k AS (
+        |  SELECT doc_id,
+        |    scheme || '://' || host || path ||
+        |      CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon
+        |  FROM (SELECT *,
+        |          array_to_string(list_sort(list_filter(
+        |            string_split(qs, '&'), q -> q NOT LIKE 'utm_%')), '&')
+        |            AS kept
+        |        FROM c))
+        |SELECT canon, count(1) AS n_urls, min(doc_id) AS min_doc
+        |FROM k GROUP BY canon ORDER BY canon""".stripMargin,
     "x_pipeline_curate" ->
       s"""WITH RECURSIVE
         |xd AS (SELECT min(doc_id) AS doc_id

@@ -1604,6 +1604,52 @@ class TierXSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("x_url_canon: variant families merge, distinct articles stay apart") {
+    // independent driver-side canonicalization of the same injected
+    // variants (string ops, not parse_url — a parse_url quirk would
+    // surface as a mismatch)
+    val ids = Tables(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    def inject(id: Long): String = {
+      val b = id % 50
+      (id % 3) match {
+        case 0 => s"HTTPS://WWW.Host$b.COM:443/Articles/Item?utm_source=feed&b=2&a=1"
+        case 1 => s"https://www.host$b.com/Articles/Item?b=2&a=1&utm_campaign=x"
+        case _ => s"https://www.host$b.com/Articles/Item2/?a=1&b=2"
+      }
+    }
+    def canon(url: String): String = {
+      val Array(scheme, rest) = url.split("://", 2)
+      val slash = rest.indexOf('/')
+      val hostport = rest.substring(0, slash)
+      val pathq = rest.substring(slash)
+      val host = hostport.replaceAll(":[0-9]+$", "").toLowerCase
+      val qMark = pathq.indexOf('?')
+      val (path0, qs) =
+        if (qMark == -1) (pathq, "")
+        else (pathq.substring(0, qMark), pathq.substring(qMark + 1))
+      val path = path0.replaceAll("/+$", "")
+      val kept = qs.split("&").filterNot(_.startsWith("utm_")).sorted
+      scheme.toLowerCase + "://" + host + path +
+        (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
+    }
+    val expected = ids.map(id => id -> canon(inject(id)))
+      .groupBy(_._2)
+      .map { case (c, rows) =>
+        (c, rows.length.toLong, rows.map(_._1).min)
+      }.toSet
+    val got = q("x_url_canon").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // residues 0 and 1 of the same base collapse to ONE key; the
+    // Item2 article never merges with the Item family
+    val keys = got.map(_._1)
+    assert(keys.exists(_.endsWith("/Articles/Item?a=1&b=2")))
+    assert(keys.exists(_.endsWith("/Articles/Item2?a=1&b=2")))
+    assert(keys.forall(k => k.startsWith("https://www.host") &&
+      !k.contains(":443") && !k.contains("utm_")))
+  }
+
   test("x_text_nfc: injected decomposed runs compose, rest untouched") {
     val out = q("x_text_nfc").collect()
     assert(out.nonEmpty)
