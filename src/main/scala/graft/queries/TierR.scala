@@ -766,9 +766,32 @@ object TierR {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "start_us")
 
+  /** The IGNORE NULLS window navigation surface (SQL:2008; Spark 3.2+
+    * `lag`/`lead` overloads): nearest non-null neighbor value looking
+    * back and forward — the gap-bridging primitive sensor/telemetry
+    * interpolation is built from (and distinct from [[rResample]]'s
+    * `last(…, ignoreNulls)` carry-forward: lag/lead skip nulls while
+    * COUNTING only non-null rows toward the offset). Nulls are
+    * injected deterministically ('error' events), values pass through
+    * with no arithmetic, so results are exact cross-engine. One
+    * user_id shuffle for both windows. */
+  private val rWindowFill: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(s, d, "events")
+      .withColumn("v",
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+      .select(
+        col("user_id"), col("event_id"), col("v"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+        lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_v"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "r_interval_merge" -> rIntervalMerge,
     "r_session_window_fn" -> rSessionWindowFn,
+    "r_window_fill" -> rWindowFill,
     "r_funnel" -> rFunnel,
     "r_retention" -> rRetention,
     "r_window_range_frame" -> rWindowRangeFrame,
@@ -897,6 +920,20 @@ object TierR {
         |       count(1) AS n_events, ${moneySumSql("value")} AS sum_value
         |FROM i GROUP BY user_id, island
         |ORDER BY user_id, start_us""".stripMargin,
+    // the same SQL:2008 IGNORE NULLS navigation, DuckDB's native form;
+    // values pass through untouched so the match is exact
+    "r_window_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         CASE WHEN event_type = 'error' THEN NULL
+        |              ELSE value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, v,
+        |       lag(v IGNORE NULLS) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id) AS prev_v,
+        |       lead(v IGNORE NULLS) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id) AS next_v
+        |FROM ev ORDER BY user_id, event_id""".stripMargin,
     "r_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

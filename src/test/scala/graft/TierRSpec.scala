@@ -452,6 +452,35 @@ class TierRSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("r_window_fill: IGNORE NULLS lag/lead match a driver-side scan") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.getString(3) == "error") None else Some(r.getDouble(4))))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val prev = sorted.take(i).reverse.collectFirst {
+          case (_, _, _, Some(v)) => v
+        }
+        val next = sorted.drop(i + 1).collectFirst {
+          case (_, _, _, Some(v)) => v
+        }
+        (u, sorted(i)._2, sorted(i)._4, prev, next)
+      }
+    }.toSet
+    val got = q("r_window_fill").collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), r.getLong(1), opt(2), opt(3), opt(4))
+    }.toSet
+    assert(got == expected)
+    // the injection produced genuine nulls AND genuine bridges
+    assert(got.exists(_._3.isEmpty) && got.exists(r =>
+      r._3.isEmpty && r._4.nonEmpty && r._5.nonEmpty))
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)
