@@ -18,12 +18,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Legacy conf kept for older Spark 4 jars that reject parquet
-    * TIMESTAMP(NANOS) unless read as a raw long. Spark 4.1.2 ignores it and
-    * reads the column natively as `timestamp_ntz`; [[apply]] handles both
-    * physical shapes by dispatching on the loaded dtype. */
-  val requiredConfs: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  // No session confs are required to read the testdata: the jar floor is
+  // pinned to Spark 4.1+ (/opt/spark/jars), which reads parquet
+  // TIMESTAMP(NANOS) natively as timestamp_ntz, and normalizeTs dispatches
+  // on the loaded dtype anyway (it still accepts the legacy LongType shape
+  // should a reader ever surface it). The former requiredConfs map
+  // (spark.sql.legacy.parquet.nanosAsLong) was dead on 4.1.2 and is gone.
 
   /** Normalize `events.ts` to a µs-precision session-UTC TimestampType —
     * matching how DuckDB casts TIMESTAMP_NS to TIMESTAMP in the oracle —

@@ -64,11 +64,21 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
 
-  /** Shared by interpreted eval and generated code. Already-normalized
-    * inputs (the overwhelming majority in practice — `isNormalized`
-    * short-circuits on the NFC quick-check property) are returned
-    * untouched; only denormalized strings allocate. */
+  /** Shared by interpreted eval and generated code. Pure-ASCII inputs
+    * (the overwhelming majority in practice) are NFC by definition and
+    * return untouched after a byte scan on the UTF8String — no UTF-16
+    * decode, no allocation. Non-ASCII strings pay one `toString`
+    * (UTF-16 decode) for the NFC quick-check; only strings that are
+    * actually denormalized allocate a new normalized copy. */
   def compute(t: UTF8String): UTF8String = {
+    var i = 0
+    val n = t.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if ((t.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return t
     val s = t.toString
     if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) t
     else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))

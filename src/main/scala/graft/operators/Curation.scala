@@ -40,7 +40,10 @@ object Curation {
     val path = regexp_replace(parse_url(url, lit("PATH")), lit("/+$"), lit(""))
     val kept = array_join(
       array_sort(filter(split(parse_url(url, lit("QUERY")), "&"),
-        p => !p.like("utm_%"))), "&")
+        // literal-prefix test, NOT `like("utm_%")`: LIKE's `_` is a
+        // single-char wildcard, so the pattern would also drop
+        // non-tracking params such as `utma=1`/`utmx=...`
+        p => !startswith(p, lit("utm_")))), "&")
     concat(scheme, lit("://"), host, path,
       when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
   }

@@ -365,15 +365,21 @@ object Dedup {
       bloomExpectedItems: Long = 1000000L): DataFrame = {
     // distinct AFTER hashing: two distinct grams may hash-collide, and
     // both the df count and the overlap count are over hash-distinct
-    // grams — the oracle-portable definition. Both streams persist:
-    // each feeds the df aggregate AND its side of the pairing (the
-    // eval stream additionally feeds the Bloom build), and without the
-    // persist the tokenize→hash→distinct derivation re-runs per use.
+    // grams — the oracle-portable definition. The dedup is ROW-LOCAL:
+    // [[shingles]] already emits a distinct shingle array per doc, so
+    // hash-distinct needs only an array_distinct over the hashed array
+    // BEFORE the explode — the previous `.distinct()` after the
+    // explode shuffled the entire corpus-sized gram stream per side
+    // for what a per-row operation computes for free (the 100×
+    // rehearsal paid two ~corpus-sized exchanges for it). Both streams
+    // persist: each feeds the df aggregate AND its side of the pairing
+    // (the eval stream additionally feeds the Bloom build), and
+    // without the persist the tokenize→hash derivation re-runs per
+    // use.
     def gramStream(docs: DataFrame): DataFrame =
       shingles(docs, n).select(col("doc_id"),
-        explode(col("shingles")).as("s"))
-        .select(col("doc_id"), Hashing.hash32(col("s")).as("g"))
-        .distinct()
+        explode(array_distinct(transform(col("shingles"),
+          s => Hashing.hash32(s)))).as("g"))
     val tg = gramStream(train).persist(StorageLevel.MEMORY_AND_DISK)
     val eg = gramStream(eval).persist(StorageLevel.MEMORY_AND_DISK)
     // global df over both sides; rows are distinct per doc already, so

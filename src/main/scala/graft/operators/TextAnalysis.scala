@@ -272,6 +272,9 @@ object TextAnalysis {
   def bm25Rank(
       docs: DataFrame, queryTerms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    require(queryTerms.distinct == queryTerms,
+      s"duplicate query terms would create ambiguous pivot columns: $queryTerms")
     val toks = docs.select(
       col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
@@ -294,12 +297,16 @@ object TextAnalysis {
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) +
               lit(b) * col("dl").cast("double") / col("avgdl"))))
-    val perTermCols = queryTerms.map(t =>
-      max(when(col("tok") === t, col("contrib"))).as(s"c_$t"))
+    // pivot columns are named by term INDEX, not term text: a term
+    // containing `.` or a backtick would break col() resolution, and
+    // the name only has to carry the query-order position anyway
+    val perTermCols = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("tok") === t, col("contrib"))).as(s"c_$i")
+    }
     val pivoted = contrib.groupBy("doc_id", "dl")
       .agg(perTermCols.head, perTermCols.tail: _*)
-    val total = queryTerms
-      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+    val total = queryTerms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
       .reduceLeft(_ + _)
     // global top-k via TakeOrderedAndProject (per-partition heaps, one
     // k-row driver merge) — the unpartitioned rank window then only
@@ -348,7 +355,16 @@ object TextAnalysis {
           "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
-      .persist() // consumed by the B scalar and the scoring pass
+      // INTENTIONAL cache-lifetime leak (same contract as the Sinks
+      // write-once tables): the bigram counts feed both the lazy B
+      // scalar and the scoring pass, and both execute only when the
+      // CALLER consumes the returned frame — unpersisting here would
+      // defeat the share, and this method has no post-consumption
+      // hook. The entry is vocabulary-sized (bounded), and harness
+      // runs (Bench/Verify) clear it via `spark.catalog.clearCache()`
+      // between queries; a long-lived service should do the same after
+      // consuming the result.
+      .persist()
     val btot = big.agg(sum("c_ab").as("b_bigrams"))
     val scored = big.filter(col("c_ab") >= minCount)
       .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")

@@ -1555,7 +1555,7 @@ object TierX {
         |      CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon
         |  FROM (SELECT *,
         |          array_to_string(list_sort(list_filter(
-        |            string_split(qs, '&'), q -> q NOT LIKE 'utm_%')), '&')
+        |            string_split(qs, '&'), q -> NOT starts_with(q, 'utm_'))), '&')
         |            AS kept
         |        FROM c))
         |SELECT canon, count(1) AS n_urls, min(doc_id) AS min_doc

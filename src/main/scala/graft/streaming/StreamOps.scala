@@ -740,19 +740,26 @@ object StreamOps {
     * time, not pinned order. Multi-batch eviction over unbounded input
     * is additionally pinned by StreamingSpec's MemoryStream tests. */
   def lateDataWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    // one parquet scan serves all four consumers (max-ts probe, the
+    // on-time file, the empty marker, the late file) — unpersisted in
+    // the finally: the stream below reads the written FILES, so the
+    // cache's only life is the setup phase
     val events = graft.Tables(spark, sfDir, "events")
       .select(col("ts"), col("event_type"))
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
-    val slice = col("ts") >= lit(maxTs) - expr("INTERVAL 10 HOURS") &&
-      col("ts") < lit(maxTs) - expr("INTERVAL 8 HOURS")
+      .persist()
     val work = java.nio.file.Files
       .createTempDirectory("graft_late").toString
     val src = s"$work/src"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-    val t0 = System.currentTimeMillis()
-    writeSingleFile(events.filter(!slice), s"$src/a_ontime.parquet", t0 - 60000)
-    writeSingleFile(events.limit(0), s"$src/b_marker.parquet", t0 - 30000)
-    writeSingleFile(events.filter(slice), s"$src/c_late.parquet", t0)
+    try {
+      val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+      val slice = col("ts") >= lit(maxTs) - expr("INTERVAL 10 HOURS") &&
+        col("ts") < lit(maxTs) - expr("INTERVAL 8 HOURS")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      val t0 = System.currentTimeMillis()
+      writeSingleFile(events.filter(!slice), s"$src/a_ontime.parquet", t0 - 60000)
+      writeSingleFile(events.limit(0), s"$src/b_marker.parquet", t0 - 30000)
+      writeSingleFile(events.filter(slice), s"$src/c_late.parquet", t0)
+    } finally events.unpersist()
     val stream = spark.readStream
       .schema(events.schema)
       .option("maxFilesPerTrigger", "1")

@@ -125,6 +125,21 @@ object ScaleRehearsal {
           .as("embedding"),
         col("label"))
 
+  /** Optional comma-separated op subset for local iteration
+    * (`SPARK_GRAFT_REHEARSAL_ONLY=ngram_overlap`). Subset runs print
+    * their line but do NOT rewrite SCALE_REHEARSAL.json — a partial
+    * block must never clobber the standing full-run record. */
+  private val onlyOps: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+  private def selectOps(
+      ops: Seq[(String, () => DataFrame)]): Seq[(String, () => DataFrame)] =
+    onlyOps match {
+      case Some(names) => ops.filter(o => names(o._1))
+      case None        => ops
+    }
+
   /** Time each op, drain every captured plan it fired, count guard
     * violations. `keepResident` re-pins shared inputs after the per-op
     * cache clear. */
@@ -188,6 +203,8 @@ object ScaleRehearsal {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.listenerManager.register(Captured)
     if (mode == "100x") { run100x(spark, sfDir, parts); return }
+    if (mode == "stream10x") { runStream10x(spark, sfDir, parts); return }
+    if (mode == "skew10x") { runSkew10x(spark, sfDir, parts); return }
 
     val docs = docs10x(spark, graft.Tables(spark, sfDir, "documents"))
       .persist() // shared input of every text op — synthesize once
@@ -288,7 +305,7 @@ object ScaleRehearsal {
           nCentroids = 16, nProbe = 4, m = 2, codebookSize = 16,
           iters = 2)))
 
-    val results = runOps(spark, ops, () => {
+    val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist() // keep the shared inputs resident
       docs.count(); vecs.count()
     })
@@ -306,7 +323,7 @@ object ScaleRehearsal {
     val line =
       s"""{"rehearsal":"10x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
-    writeBlock("10x", line)
+    if (onlyOps.isEmpty) writeBlock("10x", line)
     require(bad.isEmpty,
       s"plan guard violated at 10x scale: ${bad.map(_._1).mkString(", ")}")
     spark.stop()
@@ -346,7 +363,7 @@ object ScaleRehearsal {
       "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
         n = 5, minShared = 3, maxDf = 20,
         bloomExpectedItems = 1L << 24)))
-    val results = runOps(spark, ops, () => {
+    val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
     })
@@ -365,9 +382,250 @@ object ScaleRehearsal {
     val line =
       s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
-    writeBlock("100x", line)
+    if (onlyOps.isEmpty) writeBlock("100x", line)
     require(bad.isEmpty,
       s"plan/fan-out guard violated at 100x scale: ${bad.map(_._1).mkString(", ")}")
+    spark.stop()
+  }
+
+  /** STATEFUL-STREAMING rehearsal at 10× events: the batch blocks above
+    * bound dedup/ANN shuffles; this block bounds STATE-STORE growth for
+    * the three stateful shapes (`x_stream_join`, `x_stream_state`,
+    * `x_stream_upsert`) when the stream is 10× longer than the declared
+    * query's input and arrives as many watermark-advancing microbatches
+    * — the axis on which an unbounded stream actually kills a job.
+    *
+    * Input: 1M events (10 replicas, disjoint event_id/user_id stripes —
+    * 15k state keys, same per-user event density as the base table),
+    * written as `nStripes` time-range files with ascending pinned
+    * mtimes, so `maxFilesPerTrigger=1` yields a deterministic
+    * watermark TRAJECTORY (the [[graft.streaming.StreamOps]]
+    * lateDataWindowed trick at rehearsal scale).
+    *
+    * Asserted contracts, from the queries' own `StreamingQueryProgress`
+    * state metrics:
+    *   - stream-stream join: the event-time bound EVICTS — rows removed
+    *     from state > 0, and PEAK state rows ≪ total buffered input
+    *     (both sides would otherwise hold 2M rows); final state holds
+    *     only the last watermark horizon.
+    *   - flatMapGroupsWithState totals: state rows == distinct users
+    *     (key-cardinality bound, NOT event-count growth).
+    *   - foreachBatch CDC upsert: merged state table rows == distinct
+    *     users (same key bound; the state lives in the table, so the
+    *     metric is its row count).
+    */
+  private def runStream10x(
+      spark: SparkSession, sfDir: String, parts: String): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    val nStripes = 10
+    val ev10 = graft.Tables(spark, sfDir, "events")
+      .select(col("*"), explode(sequence(lit(0L), lit(9L))).as("replica"))
+      .select(
+        (col("event_id") + col("replica") * lit(1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("replica") * lit(100000L)).as("user_id"),
+        col("event_type"), col("value"))
+      .persist()
+    val nRows = ev10.count()
+    val nUsers = ev10.select("user_id").distinct().count()
+    val bounds = ev10.agg(min(col("ts")), max(col("ts"))).head()
+    val (tMin, tMax) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val span = tMax.getTime - tMin.getTime
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_stream10x").toString
+    val src = s"$work/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val t0 = System.currentTimeMillis()
+    (0 until nStripes).foreach { i =>
+      val lo = new java.sql.Timestamp(tMin.getTime + span * i / nStripes)
+      val hi = new java.sql.Timestamp(tMin.getTime + span * (i + 1) / nStripes)
+      val stripe = ev10.filter(col("ts") >= lit(lo) &&
+        (if (i == nStripes - 1) lit(true) else col("ts") < lit(hi)))
+      stripe.coalesce(1).write.mode("overwrite")
+        .parquet(s"$work/tmp$i")
+      val part = new java.io.File(s"$work/tmp$i").listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $work/tmp$i"))
+      val dest = java.nio.file.Paths.get(s"$src/stripe$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(t0 - (nStripes - i) * 30000L))
+    }
+    val schema = ev10.schema
+    def stripedStream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+
+    /** Run to a noop sink, return (secs, progress-derived state rows:
+      * peak total, final total, removed sum, batches). */
+    def runStateful(name: String, out: DataFrame): (Double, Long, Long, Long, Int) = {
+      val t = System.nanoTime()
+      val q: StreamingQuery = out.writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckpt_$name")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val secs = (System.nanoTime() - t) / 1e9
+      val progresses = q.recentProgress.toSeq
+      val states = progresses.flatMap(_.stateOperators.toSeq)
+      val peak = if (states.isEmpty) 0L else states.map(_.numRowsTotal).max
+      val fin = progresses.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      val removed = states.map(_.numRowsRemoved).sum
+      (secs, peak, fin, removed, progresses.count(_.numInputRows > 0))
+    }
+
+    // scope shuffle partitions like runToMemory: state stores
+    // materialize per shuffle partition per stateful operator
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    // 1) stream-stream inner join, 10-min event-time bound, 1h watermark
+    val a = stripedStream().select(
+      col("event_id").as("a_id"), col("user_id"),
+      col("ts").as("a_ts"), col("event_type").as("a_type"))
+      .withWatermark("a_ts", "1 hour")
+    val b = stripedStream().select(
+      col("event_id").as("b_id"), col("user_id").as("b_user"),
+      col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = a.join(b,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+        col("a_id") < col("b_id"))
+    val (jSec, jPeak, jFin, jRemoved, jBatches) =
+      runStateful("join", joined)
+
+    // 2) flatMapGroupsWithState running totals (NoTimeout: state is
+    // intentionally key-bounded, never event-bounded)
+    val (sSec, sPeak, sFin, _, _) = runStateful("state",
+      graft.streaming.StreamOps.runningUserTotals(spark, stripedStream()))
+
+    // 3) foreachBatch CDC upsert: merge every stripe into the
+    // partition-pruned state table; "state" = the table itself
+    import graft.operators.ChangeCapture
+    val keys = Seq("user_id"); val versions = Seq("ts", "event_id")
+    val payload = Seq("event_type", "value")
+    val statePath = s"$work/cdc_state"
+    val log0 = spark.read.schema(schema).parquet(s"$src/stripe0.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("event_type"), col("value"))
+    ChangeCapture.writeCdcState(log0, statePath, keys, versions, "op", payload)
+    val tU = System.nanoTime()
+    val uq = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (id > 0) { // stripe0 seeded the state
+          val cdc = batch.select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "error", "D").otherwise("U").as("op"),
+            col("event_type"), col("value"))
+          ChangeCapture.mergeIntoState(
+            batch.sparkSession, statePath, cdc, keys, versions, "op", payload)
+        }
+      }
+      .option("checkpointLocation", s"$work/ckpt_upsert")
+      // default microbatch trigger, NOT AvailableNow: this build
+      // coalesces all available files into one batch under
+      // AvailableNow (see StreamOps.lateDataWindowed), and the
+      // rehearsal's point is one MERGE PER STRIPE
+      .start()
+    try uq.processAllAvailable() finally uq.stop()
+    val uSec = (System.nanoTime() - tU) / 1e9
+    val uRows = ChangeCapture.readCurrentState(spark, statePath, "op").count()
+
+    // contracts
+    val checks = Seq(
+      ("join_evicts", jRemoved > 0L),
+      ("join_state_bounded", jPeak < nRows / 2), // vs 2M rows buffered unwatermarked
+      ("state_key_bounded", sFin == nUsers && sPeak <= nUsers),
+      ("upsert_key_bounded", uRows <= nUsers))
+    val bad = checks.filterNot(_._2).map(_._1)
+    val qs = Seq(
+      s""""stream_join":{"sec":${math.round(jSec * 100) / 100.0},"batches":$jBatches,"state_peak":$jPeak,"state_final":$jFin,"state_removed":$jRemoved}""",
+      s""""stream_state":{"sec":${math.round(sSec * 100) / 100.0},"state_peak":$sPeak,"state_final":$sFin,"n_keys":$nUsers}""",
+      s""""stream_upsert":{"sec":${math.round(uSec * 100) / 100.0},"state_rows":$uRows,"n_keys":$nUsers}""")
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"rehearsal":"stream10x","sf":"$sfDir","n_events":$nRows,"n_users":$nUsers,"stripes":$nStripes,"partitions":32,"ops":$qs,"state_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+    println(line)
+    if (onlyOps.isEmpty) writeBlock("stream10x", line)
+    require(bad.isEmpty, s"state guard violated at 10x: ${bad.mkString(", ")}")
+    spark.stop()
+  }
+
+  /** Manual salting vs AQE skew-split, decided by MEASUREMENT (the
+    * SCALING.md decision record): a pathologically skewed sort-merge
+    * join — 10× lineitem (6M rows) on `l_returnflag`, 3 distinct keys,
+    * so an unsalted shuffle join puts ~2M rows in each of exactly 3
+    * reduce tasks while the rest of the cluster idles. Broadcast is
+    * disabled to force the SMJ shape (at 100 TB the dim that triggers
+    * real skew is too big to broadcast; here it must be simulated).
+    *
+    * Three plans over identical inputs, identical results:
+    *   1. `plain`      — AQE skew-split off: the straggler baseline;
+    *   2. `aqe_skew`   — AQE `OptimizeSkewedJoin` on, with
+    *     `skewedPartitionThresholdInBytes`/`advisoryPartitionSizeInBytes`
+    *     lowered to engage at rehearsal volume (defaults are 256M/64M —
+    *     cluster-sized; a 2M-row key here is ~60 MB and would not trip
+    *     them);
+    *   3. `salted`     — [[graft.operators.SkewJoin.saltedJoin]],
+    *     saltFactor 32.
+    */
+  private def runSkew10x(
+      spark: SparkSession, sfDir: String, parts: String): Unit = {
+    val li10 = graft.Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      .select(col("*"), explode(sequence(lit(0L), lit(9L))).as("replica"))
+      .drop("replica")
+      .persist()
+    val n = li10.count()
+    val flags = li10.select(col("l_returnflag")).distinct()
+      .withColumn("flag_tag", concat(lit("tag_"), col("l_returnflag")))
+      .persist()
+    flags.count()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def agg(j: DataFrame): DataFrame =
+      j.groupBy("l_returnflag", "flag_tag")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+    def timeIt(f: () => DataFrame): Double = {
+      val t = System.nanoTime()
+      f().write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    def withConfs(confs: (String, String)*)(body: => Double): Double = {
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    val plain = withConfs(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+      timeIt(() => agg(li10.join(flags, "l_returnflag")))
+    }
+    val aqeSkew = withConfs(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2") {
+      timeIt(() => agg(li10.join(flags, "l_returnflag")))
+    }
+    val salted = withConfs(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false") {
+      timeIt(() => agg(
+        graft.operators.SkewJoin.saltedJoin(li10, flags, "l_returnflag",
+          saltFactor = 32)))
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    val winner =
+      Seq("plain" -> plain, "aqe_skew" -> aqeSkew, "salted" -> salted)
+        .minBy(_._2)._1
+    val line =
+      s"""{"rehearsal":"skew10x","sf":"$sfDir","n_rows":$n,"partitions":$parts,"ops":{"plain":${math.round(plain * 100) / 100.0},"aqe_skew":${math.round(aqeSkew * 100) / 100.0},"salted":${math.round(salted * 100) / 100.0}},"winner":"$winner"}"""
+    println(line)
+    if (onlyOps.isEmpty) writeBlock("skew10x", line)
     spark.stop()
   }
 }
