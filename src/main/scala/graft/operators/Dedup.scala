@@ -343,10 +343,12 @@ object Dedup {
     *    [[sharedSpans]] bounds its diagonal pairing;
     *  - a Bloom filter over the eval side's gram hashes
     *    ([[BloomPrune.pruneLarge]]'s native distributed build +
-    *    codegen'd probe) prunes the train-side gram stream before the
-    *    exchange: the shuffle carries ≈ matching-grams + fpp instead
-    *    of the whole train corpus. Exactness survives because the
-    *    equi-join then removes false positives.
+    *    codegen'd probe) prunes the train-side gram stream before ANY
+    *    exchange — including the df aggregate's: every shuffle carries
+    *    ≈ matching-grams + fpp instead of the whole train corpus.
+    *    Exactness survives because the Bloom has no false negatives
+    *    (eval-side grams keep exact df) and the equi-join removes the
+    *    false positives.
     *
     * Grams ride as portable 32-bit hashes ([[Hashing.hash32]]), so the
     * overlap count is over hash-distinct grams — re-derivable by any
@@ -371,30 +373,42 @@ object Dedup {
     // BEFORE the explode — the previous `.distinct()` after the
     // explode shuffled the entire corpus-sized gram stream per side
     // for what a per-row operation computes for free (the 100×
-    // rehearsal paid two ~corpus-sized exchanges for it). Both streams
-    // persist: each feeds the df aggregate AND its side of the pairing
-    // (the eval stream additionally feeds the Bloom build), and
-    // without the persist the tokenize→hash derivation re-runs per
-    // use.
+    // rehearsal paid two ~corpus-sized exchanges for it). The eval
+    // stream and the Bloom-narrowed train stream persist: each feeds
+    // the df aggregate AND its side of the pairing (the eval stream
+    // additionally feeds the Bloom build); the RAW train stream is
+    // consumed exactly once (the Bloom probe), so it streams unpersisted.
     def gramStream(docs: DataFrame): DataFrame =
       shingles(docs, n).select(col("doc_id"),
         explode(array_distinct(transform(col("shingles"),
           s => Hashing.hash32(s)))).as("g"))
-    val tg = gramStream(train).persist(StorageLevel.MEMORY_AND_DISK)
+    val tg = gramStream(train)
     val eg = gramStream(eval).persist(StorageLevel.MEMORY_AND_DISK)
-    // global df over both sides; rows are distinct per doc already, so
-    // count(1) IS the document frequency
-    // the hot-gram set is tiny (df-cap survivors' complement) but its
-    // df aggregate reads both full streams — persist so the three
-    // anti-join consumers (train side, eval side × bloom/join) don't
-    // re-aggregate
-    val hot = tg.union(eg).groupBy("g")
+    // Bloom-prune the train stream FIRST: a train-only gram can never
+    // produce a pair, and its document frequency is irrelevant — if it
+    // lands in `hot` it is dropped from a stream it never matches in;
+    // if not, the equi-join drops it. So the df aggregate only needs
+    // EXACT df for grams present on the eval side, and the Bloom has no
+    // false negatives: every train row carrying an eval gram survives
+    // into `tgB`, making its counted df exact. This reorder is the
+    // 100 TB shape — df over the full train gram stream would shuffle
+    // the training corpus to rule on grams that mostly cannot pair;
+    // post-prune it shuffles ≈ eval-matched grams + fpp noise. (The
+    // false-positive survivors inflate only their own never-pairing df
+    // rows, removed at no cost by the final equi-join.)
+    val tgB = BloomPrune.pruneLarge(tg, eg, "g",
+      expectedItems = bloomExpectedItems)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // global df over both sides (train side already Bloom-narrowed);
+    // rows are distinct per doc already, so count(1) IS the document
+    // frequency. The hot-gram set is tiny (df-cap survivors'
+    // complement) but its aggregate reads both streams — persist so
+    // the anti-join consumers don't re-aggregate
+    val hot = tgB.union(eg).groupBy("g")
       .agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
       .select("g").persist(StorageLevel.MEMORY_AND_DISK)
     val egClean = eg.join(hot, Seq("g"), "left_anti")
-    val tgClean = BloomPrune.pruneLarge(
-      tg.join(hot, Seq("g"), "left_anti"), egClean, "g",
-      expectedItems = bloomExpectedItems)
+    val tgClean = tgB.join(hot, Seq("g"), "left_anti")
     tgClean.select(col("doc_id").as("train_id"), col("g"))
       .join(egClean.select(col("doc_id").as("eval_id"), col("g")), "g")
       .groupBy("train_id", "eval_id")

