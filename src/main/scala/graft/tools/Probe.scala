@@ -61,7 +61,7 @@ object Probe {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       println(f"[probe] chain 8-parts      ${time(2)(() => spark.sql(chainSql("")))}%.2f s")
-      println(f"[probe] chain 8p+bcast     ${time(2)(() => spark.sql(chainSql("/*+ BROADCAST(n) */")))}%.2f s")
+      println(f"[probe] chain 8p+bcast-c   ${time(2)(() => spark.sql(chainSql("/*+ BROADCAST(c) */")))}%.2f s")
       spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 

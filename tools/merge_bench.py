@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Merge N bench-run JSON lines into one BENCH_LOCAL snapshot.
+
+Usage: merge_bench.py OUT.json RUN1.json [RUN2.json ...]
+
+Per-query steady value = min across runs (each run is itself a
+min-of-2 within one JVM, so this is the documented min-of-N protocol:
+between-JVM noise — JIT, GC heap layout, co-tenant stalls — lands on
+different queries per run and the min recovers the plan cost).
+Plan-node counts must agree across runs for a timing to count: AQE
+re-plans at runtime, so a borderline broadcast/coalesce can shift a
+query's final plan in one run — such a run's timing for THAT query is
+excluded from the min (with a warning), because it timed a different
+plan. The recorded plan is the across-runs majority plan. cold_total
+is taken from the first run (cold JVM semantics exist only once).
+"""
+import json
+import sys
+from collections import Counter
+
+
+def main() -> None:
+    out, first, *rest = sys.argv[1:]
+    runs = []
+    for p in [first] + rest:
+        with open(p) as f:
+            runs.append(json.load(f))
+    base = runs[0]
+    names = set(base["queries"])
+    for r in runs[1:]:
+        if set(r["queries"]) != names:
+            sys.exit(f"query sets differ: {sorted(names ^ set(r['queries']))}")
+    plans, merged = {}, {}
+    for q in names:
+        votes = Counter(json.dumps(r["plans"][q], sort_keys=True) for r in runs)
+        majority = votes.most_common(1)[0][0]
+        plans[q] = json.loads(majority)
+        keep = [r["queries"][q] for r in runs
+                if json.dumps(r["plans"][q], sort_keys=True) == majority]
+        if len(keep) < len(runs):
+            print(f"warning: {q} plan diverged in {len(runs) - len(keep)} "
+                  f"run(s); min over the {len(keep)} majority-plan run(s)")
+        merged[q] = min(keep)
+    base["plans"] = plans
+    snap = {
+        "metric": "total",
+        "value": sum(merged.values()),
+        "unit": "sec",
+        "cold_total": base["cold_total"],
+        "n": len(merged),
+        "runs_merged": len(runs),
+        "failed": 0,
+        "top5": dict(sorted(merged.items(), key=lambda kv: -kv[1])[:5]),
+        "queries": merged,
+        "plans": base["plans"],
+        "sf": base["sf"],
+    }
+    with open(out, "w") as f:
+        json.dump(snap, f, indent=1, sort_keys=True)
+    print(f"merged {len(runs)} runs -> {out}: steady {snap['value']:.1f}s, "
+          f"top5 {list(snap['top5'].items())[:5]}")
+
+
+if __name__ == "__main__":
+    main()
