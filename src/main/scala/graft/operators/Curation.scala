@@ -457,4 +457,129 @@ object Curation {
     draws.join(corpus, "neg_did")
       .select(col("doc_id"), col("slot"), col("neg_doc_id"), col("neg_lang"))
   }
+
+  /** Preference-pair construction — the DPO/RLHF dataset shape: within
+    * each group (a prompt-cluster proxy), pair the i-th BEST document
+    * with the i-th WORST by [[TextAnalysis.qualityScore]], emitting
+    * (chosen, rejected) rows with their score gap. Best-vs-worst
+    * maximizes the preference margin per pair, the property a
+    * preference-optimization loss wants.
+    *
+    * Both ranks come from row_number over the SAME group partition —
+    * the ascending order is the exact mirror of the descending one
+    * (quality DESC, doc_id ASC vs quality ASC, doc_id DESC), so
+    * r_best(x) + r_worst(x) = n + 1 and capping pair_idx at
+    * least(maxPairs, n/2) guarantees chosen ≠ rejected. The pair join
+    * is a self-join on (group, pair_idx): at most maxPairs rows per
+    * group on each side, so the join input is bounded by the group
+    * count, not the corpus. Pairs whose quality gap rounds to 0 are
+    * dropped — an unseparable pair teaches a preference loss nothing.
+    *
+    * Scale shape: one shuffle on the group key (two window functions
+    * and the count ride the same partitioning), then a tiny
+    * (groups × maxPairs) self-join.
+    *
+    * Output: (group, pair_idx, chosen_id, rejected_id, q_chosen,
+    * q_rejected, gap). */
+  def preferencePairs(
+      docs: DataFrame,
+      groupCol: String = "source",
+      maxPairs: Int = 3): DataFrame = {
+    require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
+    val scored = docs.select(col("doc_id"), col(groupCol)).join(
+      TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")),
+      "doc_id")
+    val grp = Window.partitionBy(groupCol)
+    val ranked = scored
+      .withColumn("r_best", row_number().over(
+        grp.orderBy(col("quality").desc, col("doc_id").asc)))
+      .withColumn("r_worst", row_number().over(
+        grp.orderBy(col("quality").asc, col("doc_id").desc)))
+      .withColumn("cap",
+        least(lit(maxPairs.toLong), floor(count(lit(1)).over(grp) / 2)))
+    val chosen = ranked.filter(col("r_best") <= col("cap"))
+      .select(col(groupCol), col("r_best").cast("long").as("pair_idx"),
+        col("doc_id").as("chosen_id"), col("quality").as("q_chosen"))
+    val rejected = ranked.filter(col("r_worst") <= col("cap"))
+      .select(col(groupCol), col("r_worst").cast("long").as("pair_idx"),
+        col("doc_id").as("rejected_id"), col("quality").as("q_rejected"))
+    chosen.join(rejected, Seq(groupCol, "pair_idx"))
+      .withColumn("gap", round(col("q_chosen") - col("q_rejected"), 4))
+      .filter(col("gap") > 0)
+      .select(col(groupCol), col("pair_idx"), col("chosen_id"),
+        col("rejected_id"), col("q_chosen"), col("q_rejected"), col("gap"))
+  }
+
+  /** Importance-resampled data selection (the DSIR shape — Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by its log-likelihood ratio
+    * under a hashed-unigram LM of the TARGET domain vs the RAW pool,
+    * then keep the top keepPct% — "select raw data that looks like the
+    * target".
+    *
+    * Hashed features are the scale lever: tokens map to
+    * hash32(tok) mod `nBuckets` buckets, so BOTH language models are
+    * dense `nBuckets`-row tables regardless of corpus size — always
+    * broadcastable, never a vocabulary-sized shuffle. Add-one
+    * smoothing keeps every bucket finite.
+    *
+    * Determinism across engines: the per-bucket log-ratio is rounded
+    * to integer MICRO-nats (`round(ln(...) * 1e6)` as BIGINT) before
+    * the per-document sum, so the sum is exact integer arithmetic with
+    * no float-association hazard (the BM25 fixed-column lesson); only
+    * the final length normalization divides, and a single IEEE
+    * division is order-free.
+    *
+    * Scale shape: two bucket aggregates (≤ nBuckets rows each, partial
+    * agg does the work) → one broadcast join onto the token stream →
+    * one shuffle on doc_id for the per-doc sum. The global top-K rank
+    * is a window here (rank must appear in the output); at corpus
+    * scale it refines to the [[quotaCap]] two-phase top-N with
+    * identical cutoff semantics.
+    *
+    * Output: selected rows (doc_id, lang, n_toks, score, rnk),
+    * score in nats/token rounded to 4 decimals. */
+  def importanceResample(
+      docs: DataFrame,
+      targetLang: String = "en",
+      nBuckets: Int = 1024,
+      keepPct: Int = 20): DataFrame = {
+    require(nBuckets >= 2 && keepPct >= 1 && keepPct <= 100,
+      s"invalid nBuckets=$nBuckets / keepPct=$keepPct")
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket", Hashing.hash32(col("tok")) % nBuckets)
+    val rawCnt = toks.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = toks.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val rawTot = rawCnt.agg(sum("c_raw").as("t_raw"))
+    val tgtTot = tgtCnt.agg(sum("c_tgt").as("t_tgt"))
+    val b = lit(nBuckets.toDouble)
+    val lm = rawCnt
+      .join(tgtCnt, Seq("bucket"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("bucket"),
+        round(log(
+          ((col("c_tgt") + 1) * (col("t_raw") + b)) /
+            ((col("c_raw") + 1) * (col("t_tgt") + b))) * 1e6)
+          .cast("long").as("llr_u"))
+    val perDoc = toks
+      .join(broadcast(lm), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum("llr_u").as("score_u"), count(lit(1)).as("n_toks"))
+      .withColumn("score",
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny negative score rounded
+        // to 4 decimals) to +0.0 — engines disagree on the sign bit
+        round(col("score_u").cast("double") / col("n_toks") / 1e6, 4)
+          + lit(0.0))
+    val n = docs.count()
+    val k = math.max(1L, n * keepPct / 100)
+    perDoc
+      .withColumn("rnk", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "lang", "n_toks", "score", "rnk")
+  }
 }

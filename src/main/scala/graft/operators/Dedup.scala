@@ -862,4 +862,84 @@ object Dedup {
     blockedHamming(hs, Seq("simhash"), blockStructs,
       expr("bit_count(simhash1 ^ simhash2)"), maxHamming)
   }
+
+  /** Incremental crawl dedup: a new BATCH of documents arrives against
+    * an already-indexed CORPUS, and only batch documents whose content
+    * is unseen survive — the steady-state shape of a recurring crawl,
+    * where re-deduplicating the whole corpus per increment would be
+    * O(corpus) instead of O(batch).
+    *
+    * Membership (batch vs corpus) is the house hash-fated draw
+    * ([[graft.operators.Curation.hashSplit]] rationale): bucket =
+    * hash32(salt ':' doc_id) mod `batchMod`, bucket 0 is the arriving
+    * batch (~1/batchMod of the table), so both engines derive the same
+    * split with no RNG.
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT 256-bit
+    * digests before the anti-join — exactly the persisted fingerprint
+    * index a production pipeline keeps between increments; neither the
+    * corpus text nor the batch text ever shuffles, only (digest, id).
+    * Within-batch copies collapse first (min doc_id canonical, same
+    * convention as [[exact]]), then the LEFT ANTI join against the
+    * index drops everything the corpus has already seen.
+    *
+    * Output: surviving batch rows
+    * (content_hash, doc_id, n_batch_copies). */
+  def incrementalExact(
+      docs: DataFrame,
+      batchMod: Int = 10,
+      salt: String = "incr"): DataFrame = {
+    require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
+    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
+    val bucket = Hashing.hash32(
+      concat(lit(s"$salt:"), col("doc_id").cast("string"))) % batchMod
+    val hashed = docs.select(
+      sha2(norm, 256).as("content_hash"), col("doc_id"),
+      (bucket === 0).as("is_batch"))
+    val corpusIndex =
+      hashed.filter(!col("is_batch")).select("content_hash").distinct()
+    hashed.filter(col("is_batch"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+      .join(corpusIndex, Seq("content_hash"), "left_anti")
+  }
+
+  /** Intra-document repeated-span removal — the WITHIN-document half of
+    * line/paragraph dedup (C4's "discard repeated three-sentence spans",
+    * re-expressed over w-token units since the corpus has no sentence
+    * boundaries): tokens chunk into non-overlapping w-token units and a
+    * unit repeated inside the same document keeps only its first
+    * occurrence. Complements [[graft.operators.TextAnalysis.boilerplateStrip]]
+    * (which removes spans repeated ACROSS documents).
+    *
+    * Entirely row-local higher-order functions — no explode, no
+    * shuffle, no join: the frame keeps the scan's partitioning, so at
+    * corpus scale this is a free map over the text column.
+    * `array_distinct` preserves first-occurrence order, which IS the
+    * keep-first rule.
+    *
+    * Because the synthetic corpus has near-zero natural repetition, the
+    * query layer injects a deterministic duplicate (docs with
+    * doc_id % 3 = 0 get their own first w tokens PREPENDED, which
+    * shifts every original unit boundary by exactly w and forces
+    * units(0) == units(1)) — the same injected-variant convention as
+    * `x_url_canon`.
+    *
+    * Output: (doc_id, n_units, n_unique, n_dropped, kept_tokens). */
+  def withinDocSpanDedup(docs: DataFrame, w: Int = 5): DataFrame = {
+    require(w >= 1, s"unit width must be >= 1, got $w")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("units", expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $w.0) as int) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $w + 1, $w)))"))
+      .withColumn("uniq", array_distinct(col("units")))
+      .select(col("doc_id"),
+        size(col("units")).cast("long").as("n_units"),
+        size(col("uniq")).cast("long").as("n_unique"),
+        (size(col("units")) - size(col("uniq"))).cast("long")
+          .as("n_dropped"),
+        expr("aggregate(uniq, 0L, (acc, u) -> acc + size(split(u, ' ')))")
+          .as("kept_tokens"))
+  }
 }

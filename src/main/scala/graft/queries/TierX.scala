@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, count, expr, length, lit, lpad, max, min, round, substring, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, length, lit, lpad, max, min, round, slice, split, substring, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -91,6 +91,33 @@ object TierX {
           Conventions.moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("zb")
     }),
+    "x_dedup_incremental" -> ((s, d) =>
+      // incremental crawl dedup: batch docs (hash-fated ~10%) survive
+      // only if unseen — within-batch collapse, then LEFT ANTI against
+      // the corpus digest index
+      Dedup.incrementalExact(docs(s, d)).orderBy("doc_id")),
+    "x_dedup_within_doc" -> ((s, d) => {
+      // intra-doc repeated-span removal; the corpus has near-zero
+      // natural repetition, so docs with doc_id % 3 = 0 get their own
+      // first 5 tokens PREPENDED (boundary-aligned guaranteed dup) —
+      // the x_url_canon injected-variant convention
+      val dd = docs(s, d)
+      val injected = dd.withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ",
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5)),
+            col("text")))
+          .otherwise(col("text")))
+      Dedup.withinDocSpanDedup(injected, w = 5).orderBy("doc_id")
+    }),
+    "x_pref_pairs" -> ((s, d) =>
+      // DPO-shape preference pairs: i-th best vs i-th worst by quality
+      // within each source group, gap-separable pairs only
+      Curation.preferencePairs(docs(s, d)).orderBy("source", "pair_idx")),
+    "x_select_dsir" -> ((s, d) =>
+      // DSIR-shape importance resampling: hashed-unigram LM log-ratio
+      // vs the 'en' target, top 20% kept
+      Curation.importanceResample(docs(s, d)).orderBy("rnk")),
     "x_dedup_cluster" -> ((s, d) =>
       Dedup.clusters(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
@@ -996,6 +1023,122 @@ object TierX {
       """SELECT sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |       min(doc_id) AS doc_id, count(1) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // same digest + hash-fated batch split; batch collapses within
+    // itself, then NOT EXISTS against the corpus digest set
+    "x_dedup_incremental" ->
+      s"""WITH h AS (SELECT doc_id,
+        |    sha256(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+        |      AS content_hash,
+        |    ${hash32("'incr:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+        |      AS is_batch
+        |  FROM documents),
+        |b AS (SELECT content_hash, min(doc_id) AS doc_id,
+        |        count(1) AS n_batch_copies
+        |      FROM h WHERE is_batch GROUP BY 1)
+        |SELECT content_hash, doc_id, n_batch_copies
+        |FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM h c
+        |                  WHERE NOT c.is_batch
+        |                    AND c.content_hash = b.content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    // same injected head-prepend, same non-overlapping 5-token units;
+    // list_distinct order differs from Spark's array_distinct but every
+    // output column is order-independent (counts and a token sum)
+    "x_dedup_within_doc" ->
+      """WITH inj AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN array_to_string(
+        |             list_slice(string_split(text, ' '), 1, 5), ' ')
+        |           || ' ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM inj),
+        |u AS (SELECT doc_id,
+        |        [array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ')
+        |         for i in range(0, CAST(ceil(len(toks) / 5.0) AS INT))]
+        |          AS units
+        |      FROM t),
+        |d AS (SELECT doc_id, units, list_distinct(units) AS uniq FROM u)
+        |SELECT doc_id,
+        |       CAST(len(units) AS BIGINT) AS n_units,
+        |       CAST(len(uniq) AS BIGINT) AS n_unique,
+        |       CAST(len(units) - len(uniq) AS BIGINT) AS n_dropped,
+        |       CAST(list_sum([len(string_split(x, ' ')) for x in uniq])
+        |            AS BIGINT) AS kept_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the x_quality_score derivation, then mirrored asc/desc
+    // row_numbers per source group and a best-vs-worst pair join
+    "x_pref_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS DOUBLE) AS n_tokens,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_unique,
+        |        CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS DOUBLE) AS n_stop
+        |      FROM t),
+        |r AS (SELECT doc_id, n_tokens,
+        |        round(n_unique / n_tokens, 4) AS ttr,
+        |        round(n_stop / 5.0, 4) AS stop_hit_ratio,
+        |        round(least(n_tokens / 100.0, 1.0), 4) AS len_sat
+        |      FROM m),
+        |q AS (SELECT doc_id,
+        |        round(0.4 * ttr + 0.3 * stop_hit_ratio + 0.3 * len_sat, 4)
+        |          AS quality
+        |      FROM r),
+        |s AS (SELECT d.doc_id, d.source, q.quality
+        |      FROM documents d JOIN q USING (doc_id)),
+        |rk AS (SELECT *,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY quality DESC, doc_id ASC) AS r_best,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY quality ASC, doc_id DESC) AS r_worst,
+        |        least(3, count(1) OVER (PARTITION BY source) // 2) AS cap
+        |      FROM s),
+        |c AS (SELECT source, CAST(r_best AS BIGINT) AS pair_idx,
+        |        doc_id AS chosen_id, quality AS q_chosen
+        |      FROM rk WHERE r_best <= cap),
+        |j AS (SELECT source, CAST(r_worst AS BIGINT) AS pair_idx,
+        |        doc_id AS rejected_id, quality AS q_rejected
+        |      FROM rk WHERE r_worst <= cap)
+        |SELECT source, pair_idx, chosen_id, rejected_id,
+        |       q_chosen, q_rejected,
+        |       round(q_chosen - q_rejected, 4) AS gap
+        |FROM c JOIN j USING (source, pair_idx)
+        |WHERE round(q_chosen - q_rejected, 4) > 0
+        |ORDER BY source, pair_idx""".stripMargin,
+    // hashed-unigram add-one LMs re-derived; per-bucket log-ratio in
+    // integer micro-nats so the per-doc sum is exact, one IEEE divide
+    // at the end (the Spark side's determinism contract)
+    "x_select_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bk AS (SELECT doc_id, lang, ${hash32("tok")} % 1024 AS bucket
+        |       FROM toks),
+        |rc AS (SELECT bucket, count(1) AS c_raw FROM bk GROUP BY 1),
+        |tc AS (SELECT bucket, count(1) AS c_tgt FROM bk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |rt AS (SELECT CAST(sum(c_raw) AS DOUBLE) AS t_raw FROM rc),
+        |tt AS (SELECT CAST(sum(c_tgt) AS DOUBLE) AS t_tgt FROM tc),
+        |lm AS (SELECT rc.bucket,
+        |        CAST(round(ln(
+        |            ((coalesce(tc.c_tgt, 0) + 1) * (rt.t_raw + 1024))
+        |          / ((rc.c_raw + 1) * (tt.t_tgt + 1024))) * 1e6) AS BIGINT)
+        |          AS llr_u
+        |      FROM rc LEFT JOIN tc USING (bucket)
+        |      CROSS JOIN rt CROSS JOIN tt),
+        |pd AS (SELECT doc_id, lang, sum(llr_u) AS score_u,
+        |        count(1) AS n_toks
+        |      FROM bk JOIN lm USING (bucket) GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+        |        round(CAST(score_u AS DOUBLE) / n_toks / 1e6, 4) + 0.0
+        |          AS score
+        |      FROM pd),
+        |nn AS (SELECT count(1) AS n FROM documents),
+        |rk AS (SELECT *, CAST(row_number() OVER
+        |          (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+        |       FROM sc)
+        |SELECT doc_id, lang, n_toks, score, rnk
+        |FROM rk, nn WHERE rnk <= greatest(1, nn.n * 20 // 100)
+        |ORDER BY rnk""".stripMargin,
     "x_dedup_near" ->
       s"""WITH $shinglesCte,
         |pairs AS (

@@ -1650,6 +1650,86 @@ class TierXSpec extends SparkSpec {
       !k.contains(":443") && !k.contains("utm_")))
   }
 
+  test("incremental dedup: batch-only survivors, corpus content filtered") {
+    // corpus-vs-batch membership is hash-fated on doc_id; recompute the
+    // same fate driver-side and assert the survivor set exactly
+    val docs = Tables(spark, sf, "documents")
+    val fate = docs.select(col("doc_id"),
+        (graft.functions.Hashing.hash32(
+          concat(lit("incr:"), col("doc_id").cast("string"))) % 10 === 0)
+          .as("is_batch"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+    val corpusContent = fate.filter(!_._2).map(_._3).toSet
+    val batch = fate.filter(_._2)
+    val expected = batch.groupBy(_._3).collect {
+      case (norm, rows) if !corpusContent(norm) => rows.map(_._1).min
+    }.toSet
+    val got = q("x_dedup_incremental").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+    // every survivor is a batch member (LEFT ANTI kept no corpus row)
+    val batchIds = batch.map(_._1).toSet
+    assert(got.subsetOf(batchIds))
+  }
+
+  test("within-doc span dedup: repeated unit drops, clean doc untouched") {
+    val crafted = Seq(
+      // unit(0) == unit(2) == "a b c d e" → one drop, 10 kept tokens
+      (0L, "a b c d e f g h i j a b c d e", "en", "s", 29L),
+      // no repetition; 7 tokens → units of 5 + 2, nothing drops
+      (1L, "p q r s t u v", "en", "s", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Dedup.withinDocSpanDedup(crafted, w = 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows(0L) == ((3L, 2L, 1L, 10L)))
+    assert(rows(1L) == ((2L, 2L, 0L, 7L)))
+    // query layer: every doc_id % 3 == 0 row has its injected dup
+    // dropped; other rows keep everything
+    q("x_dedup_within_doc").collect().foreach { r =>
+      val (id, dropped) = (r.getLong(0), r.getLong(3))
+      if (id % 3 == 0) assert(dropped >= 1)
+      assert(r.getLong(1) - dropped == r.getLong(2))
+    }
+  }
+
+  test("preference pairs: mirror ranks never pair a doc with itself") {
+    val pairs = q("x_pref_pairs").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (chosen, rejected) = (r.getLong(2), r.getLong(3))
+      val (qc, qr, gap) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(chosen != rejected)
+      assert(qc > qr && gap > 0)
+      assert(math.abs(gap - BigDecimal(qc - qr)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // at most maxPairs=3 per group, pair_idx dense from 1
+    pairs.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val idxs = rs.map(_.getLong(1)).sorted
+      assert(idxs.length <= 3 && idxs.head >= 1L)
+    }
+  }
+
+  test("importance resampling selects target-like docs, k = 20% of corpus") {
+    val docs = Tables(spark, sf, "documents")
+    val n = docs.count()
+    val sel = q("x_select_dsir").collect()
+    assert(sel.length == math.max(1L, n * 20 / 100))
+    // ranks are dense 1..k and scores non-increasing along the rank
+    val byRank = sel.sortBy(_.getLong(4))
+    assert(byRank.map(_.getLong(4)).toSeq == (1L to sel.length).toSeq)
+    val scores = byRank.map(_.getDouble(3)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the target language must be over-represented among the selected
+    // relative to the corpus (that is the entire point of DSIR)
+    val enCorpus = docs.filter(col("lang") === "en").count().toDouble / n
+    val enSel = byRank.count(_.getString(1) == "en").toDouble / sel.length
+    assert(enSel > enCorpus,
+      s"selected en fraction $enSel not above corpus fraction $enCorpus")
+  }
+
   test("x_text_nfc: injected decomposed runs compose, rest untouched") {
     val out = q("x_text_nfc").collect()
     assert(out.nonEmpty)
