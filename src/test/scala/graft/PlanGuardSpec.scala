@@ -48,7 +48,10 @@ class PlanGuardSpec extends SparkSpec {
     // inherits x_quality_filter's OOV-floor scalar through its first stage
     "x_pipeline_prepare",
     // inherits x_encode_ids' 1-row <unk>-id scalar through its encode stage
-    "x_pipeline_tokenize")
+    "x_pipeline_tokenize",
+    // DSIR's 1-row t_raw / t_tgt LM totals crossed onto the
+    // <=nBuckets-row log-ratio table
+    "x_select_dsir")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {
