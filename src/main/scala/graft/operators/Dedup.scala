@@ -529,14 +529,19 @@ object Dedup {
       fpCols.map(c => col(c).as(c + "1")) :+ col("blk") :+ col("key"): _*)
     val b = blocked.select(col("doc_id").as("d2") +:
       fpCols.map(c => col(c).as(c + "2")) :+ col("blk") :+ col("key"): _*)
+    // The Hamming filter is a codegen'd bit_count on columns already
+    // present in the join output, so it runs BEFORE the
+    // duplicate-collision distinct: the distinct then shuffles only
+    // qualifying pairs (× their collision multiplicity) instead of
+    // every block collision. On a sparse output this is the difference
+    // between shuffling hundreds and shuffling millions; on the dense
+    // 32-bit corpus it is neutral (output pairs ARE most collisions).
     a.join(b, Seq("blk", "key"))
       .filter(col("d1") < col("d2"))
-      .select(("d1" +: "d2" +:
-        (fpCols.map(_ + "1") ++ fpCols.map(_ + "2"))).map(col): _*)
-      .distinct() // a pair can collide in several blocks
       .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
+      .distinct() // a pair can collide in several blocks
   }
 
   /** (blockIndex, bitOffset, mask) triples splitting `width` bits into
@@ -854,6 +859,15 @@ object Dedup {
       s"maxHamming must be in [0, 31], got $maxHamming")
     // both join sides derive from the same sketch frame
     val hs = simHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // Single-block r+1 pigeonhole, measured as the right choice HERE:
+    // at sf0.1 this query truly outputs 1.49M pairs (12% of all doc
+    // pairs sit within Hamming 6 — a 32-bit sketch over a shared small
+    // vocabulary is coarse), and candidates are only ~15× the output.
+    // Manku agree-on-2 combination blocking (the simHash64Combi
+    // refinement) was tried and is ~1.6× SLOWER on this sketch: a
+    // truly-close pair collides in ~all 28 block-pair tables instead
+    // of ~7 single blocks, and with an output this dense the repeated
+    // collisions dominate the narrower buckets' savings.
     val blockStructs = simHashBlockSpec(maxHamming).map { case (t, off, mask) =>
       struct(
         lit(t).as("blk"),
