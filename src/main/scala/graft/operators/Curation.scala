@@ -458,6 +458,48 @@ object Curation {
       .select(col("doc_id"), col("slot"), col("neg_doc_id"), col("neg_lang"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): each row draws u ∈ (0, 1) from the hash fate and
+    * ranks by the key u^(1/w) — taking the top k yields exactly the
+    * distribution of sequential weighted draws without replacement,
+    * with heavier documents proportionally likelier. The log transform
+    * ln(u)/w is order-equivalent and avoids pow entirely.
+    *
+    * The RNG-free [[hashSplit]] rationale, plus the DSIR determinism
+    * contract: u = (hash32 + 0.5) / 2³² is exact (offset keeps
+    * u > 0 so ln never sees 0), ln(u) rounds to integer micro-nats per
+    * row, and the sort key is ONE IEEE division of two exactly-
+    * representable integers — deterministic across engines; ranking
+    * happens on the unrounded key with a doc_id tie-break.
+    *
+    * Scale shape: per-row arithmetic plus one global top-k. The rank
+    * is a window here (it appears in the output); at corpus scale it
+    * refines to the [[quotaCap]] two-phase top-N.
+    *
+    * Output: (doc_id, weight, score, rnk) for the k winners. */
+  def weightedSample(
+      docs: DataFrame,
+      k: Int = 50,
+      weightCol: String = "n_chars",
+      salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (Hashing.hash32(
+      concat(lit(s"$salt:"), col("doc_id").cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296d)
+    docs
+      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+        round(log(u) * lit(1000000d)).cast("long").as("ku"))
+      .withColumn("skey", col("ku").cast("double") / col("weight"))
+      .withColumn("rnk", row_number().over(
+          Window.orderBy(col("skey").desc, col("doc_id").asc))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      // + 0.0 canonicalizes IEEE -0.0 after the display rounding (the
+      // importanceResample hazard)
+      .select(col("doc_id"), col("weight"),
+        (round(col("skey"), 4) + lit(0.0)).as("score"), col("rnk"))
+  }
+
   /** Preference-pair construction — the DPO/RLHF dataset shape: within
     * each group (a prompt-cluster proxy), pair the i-th BEST document
     * with the i-th WORST by [[TextAnalysis.qualityScore]], emitting

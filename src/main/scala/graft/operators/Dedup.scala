@@ -877,6 +877,32 @@ object Dedup {
       expr("bit_count(simhash1 ^ simhash2)"), maxHamming)
   }
 
+  /** Near-dup cluster collapse keeping the BEST copy — the canonical-
+    * selection policy a curation pipeline actually wants: [[clusters]]
+    * picks min-doc_id as representative (an arbitrary but stable
+    * label), while the KEPT document should be the highest-quality
+    * member (longest/cleanest crawl of the page, not whichever arrived
+    * first).
+    *
+    * One aggregate, no per-cluster sort: `max(struct(quality,
+    * −doc_id))` rides the whole argmax through partial aggregation
+    * (the [[latestByKey]] trick — a hot cluster costs one combiner
+    * cell), with the negated id making ties resolve to the SMALLEST
+    * doc_id.
+    *
+    * Output: (cluster_rep, kept_doc_id, kept_quality, n_members). */
+  def keepBestInCluster(
+      clusters: DataFrame, quality: DataFrame): DataFrame =
+    clusters.join(quality, "doc_id")
+      .groupBy("rep_id")
+      .agg(
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("rep_id").as("cluster_rep"),
+        (-col("best.neg_id")).as("kept_doc_id"),
+        col("best.quality").as("kept_quality"), col("n_members"))
+
   /** Incremental crawl dedup: a new BATCH of documents arrives against
     * an already-indexed CORPUS, and only batch documents whose content
     * is unseen survive — the steady-state shape of a recurring crawl,

@@ -82,4 +82,62 @@ object GraphRank {
     ranks.select(col("id"), col("r_e9"),
       (col("r_e9").cast("double") / 1e9).as("rank"))
   }
+
+  /** Degree-oriented triangle counting + local clustering coefficient
+    * over an undirected pair frame — the graph-quality probe a dedup
+    * pipeline runs on its similarity graph (high clustering = dense
+    * template families; triangles are the unit of edge transitivity
+    * that [[Dedup.clusters]] exploits).
+    *
+    * `pairs` must be canonical undirected edges (d1 < d2, no
+    * duplicates). Every edge is ORIENTED toward the higher key
+    * k(v) = deg(v)·10⁹ + v, and wedges enumerate only at each edge's
+    * lower-key endpoint with both spokes outgoing — so every triangle
+    * is generated exactly once and per-vertex wedge fan-out is bounded
+    * by orientation out-degree, O(√|E|) (the arboricity bound; Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11). A hub of degree d costs its NEIGHBORS' small
+    * out-degrees, not d² — the standard scale defense. The composite
+    * key assumes vertex ids < 10⁹ (true of the corpus; a wider id
+    * space would use a (deg, id) struct key instead).
+    *
+    * Scale shape: two degree joins onto the edge list, one
+    * wedge self-join on the low endpoint, one closing equi-join on
+    * (x, y) — all shuffled equi-joins, no vertex ever enumerates a
+    * quadratic neighborhood. The edge frame enters the plan four
+    * times, so its lineage is truncated once ([[pageRank]]'s defense).
+    *
+    * Output: (doc_id, deg, n_tri, clustering) for every vertex of the
+    * graph, clustering = 2·tri / (deg·(deg−1)). */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val edges = Lineage.truncate(
+      pairs.select(col("d1").as("a"), col("d2").as("b")))
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withK = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        (col("da") * lit(1000000000L) + col("a")).as("ka"),
+        (col("db") * lit(1000000000L) + col("b")).as("kb"))
+    val oriented = withK.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+      greatest(col("ka"), col("kb")).as("kv"))
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("kv").as("ky"))
+    val wedges = w1.join(w2, "u").filter(col("kx") < col("ky"))
+    val closing = oriented.select(col("u").as("x"), col("v").as("y"))
+    val tris = wedges.join(closing, Seq("x", "y"))
+    val perVertex = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(when(col("deg") >= 2,
+          lit(2d) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0d)), 4).as("clustering"))
+  }
 }

@@ -100,4 +100,52 @@ object Stats {
         (col("s").cast("double") / lit(1000000d) / col("n_eff"))
           .as("boot_mean"))
   }
+
+  /** Per-group percentile clipping (winsorization) — the outlier
+    * treatment a feature/metrics pipeline applies before aggregation:
+    * values outside the group's [lo, hi] exact-interpolated percentiles
+    * clamp to the boundary, and the group reports raw vs clipped means
+    * plus how many rows were clamped.
+    *
+    * Determinism: Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition (the
+    * x_bootstrap_ci precedent), and both means accumulate
+    * scaled-integer micro-units so the sums are order-free.
+    *
+    * Scale shape: one percentile aggregate over the groups (small
+    * output), broadcast back onto the fact stream, one final
+    * aggregate — the fact table shuffles once for the percentile pass
+    * and once for the report, never sorts globally. (Exact percentile
+    * holds per-group value multisets in the aggregate; at corpus scale
+    * the drop-in refinement is `approx_percentile` with a pinned
+    * accuracy — semantics then carry an error bound, which is why the
+    * exact form is the declared contract here.)
+    *
+    * Output: (group, n, mean_raw, mean_clip, n_clipped, p_lo, p_hi). */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"invalid bounds [$lo, $hi]")
+    val bounds = df.groupBy(groupCol).agg(
+      expr(s"percentile($valueCol, $lo)").as("p_lo"),
+      expr(s"percentile($valueCol, $hi)").as("p_hi"))
+    def microSum(c: Column) =
+      sum(round(c * lit(1000000d)).cast("long")).cast("double") /
+        lit(1000000d)
+    df.join(broadcast(bounds), groupCol)
+      .withColumn("cv",
+        least(greatest(col(valueCol), col("p_lo")), col("p_hi")))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(microSum(col(valueCol)) / count(lit(1)), 4).as("mean_raw"),
+        round(microSum(col("cv")) / count(lit(1)), 4).as("mean_clip"),
+        sum(when(col(valueCol) < col("p_lo")
+          || col(valueCol) > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        round(max(col("p_lo")), 4).as("p_lo"),
+        round(max(col("p_hi")), 4).as("p_hi"))
+  }
 }

@@ -124,6 +124,33 @@ object TierX {
           .otherwise(col("text")))
       Dedup.withinDocSpanDedup(injected, w = 5).orderBy("doc_id")
     }),
+    "x_graph_triangles" -> ((s, d) =>
+      // triangle census of the minhash similarity graph: degree-
+      // oriented wedge join, every triangle generated exactly once
+      graft.operators.GraphRank.triangleCounts(
+        Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
+        .orderBy("doc_id")),
+    "x_dedup_keepbest" -> ((s, d) => {
+      // near-dup collapse keeping the highest-QUALITY member per
+      // cluster (not the arbitrary min-id representative)
+      val dd = docs(s, d)
+      Dedup.keepBestInCluster(
+        Dedup.clustersStar(
+          Dedup.nearDupMinHash(dd, k = 3, threshold = 0.8)),
+        TextAnalysis.qualityScore(dd).select(col("doc_id"), col("quality")))
+        .orderBy("cluster_rep")
+    }),
+    "x_winsorize" -> ((s, d) =>
+      // per-type percentile clipping over the event values: exact
+      // interpolated p05/p95 bounds, micro-unit exact means
+      graft.operators.Stats.winsorize(
+        Tables(s, d, "events").select(col("event_type"), col("value")),
+        groupCol = "event_type", valueCol = "value")
+        .orderBy("event_type")),
+    "x_sample_weighted" -> ((s, d) =>
+      // Efraimidis-Spirakis weighted top-50: length-weighted,
+      // hash-fated, RNG-free
+      Curation.weightedSample(docs(s, d), k = 50).orderBy("rnk")),
     "x_pref_pairs" -> ((s, d) =>
       // DPO-shape preference pairs: i-th best vs i-th worst by quality
       // within each source group, gap-separable pairs only
@@ -1088,6 +1115,115 @@ object TierX {
         |       CAST(list_sum([len(string_split(x, ' ')) for x in uniq])
         |            AS BIGINT) AS kept_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the same minhash pair chain, then degrees, the deg*1e9+id
+    // orientation, a wedge self-join at the low endpoint, and the
+    // closing-edge join; triangles unnest to per-vertex counts
+    "x_graph_triangles" ->
+      s"""WITH $minhashPairsCte,
+        |mp AS (SELECT d1, d2 FROM jx
+        |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+        |dg AS (SELECT v, count(1) AS deg
+        |       FROM (SELECT d1 AS v FROM mp
+        |             UNION ALL SELECT d2 FROM mp) GROUP BY 1),
+        |ok AS (SELECT mp.d1 AS a, mp.d2 AS b,
+        |         da.deg * 1000000000 + mp.d1 AS ka,
+        |         db.deg * 1000000000 + mp.d2 AS kb
+        |       FROM mp JOIN dg da ON mp.d1 = da.v
+        |                JOIN dg db ON mp.d2 = db.v),
+        |ori AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+        |               CASE WHEN ka < kb THEN b ELSE a END AS v,
+        |               greatest(ka, kb) AS kv FROM ok),
+        |wed AS (SELECT w1.u, w1.v AS x, w2.v AS y
+        |        FROM ori w1 JOIN ori w2
+        |          ON w1.u = w2.u AND w1.kv < w2.kv),
+        |tri AS (SELECT wed.u, wed.x, wed.y FROM wed
+        |        JOIN ori o ON o.u = wed.x AND o.v = wed.y),
+        |pv AS (SELECT v, count(1) AS n_tri
+        |       FROM (SELECT u AS v FROM tri
+        |             UNION ALL SELECT x FROM tri
+        |             UNION ALL SELECT y FROM tri) GROUP BY 1)
+        |SELECT dg.v AS doc_id, dg.deg,
+        |       CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+        |       round(CASE WHEN dg.deg >= 2
+        |             THEN 2.0 * coalesce(pv.n_tri, 0)
+        |                  / (dg.deg * (dg.deg - 1))
+        |             ELSE 0.0 END, 4) AS clustering
+        |FROM dg LEFT JOIN pv USING (v) ORDER BY doc_id""".stripMargin,
+    // connected components (recursive reach, the clusterOracle chain)
+    // joined with the quality derivation; argmax via ranked window
+    "x_dedup_keepbest" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+        |mp AS (SELECT d1, d2 FROM jx
+        |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM mp
+        |          UNION SELECT d2, d1 FROM mp),
+        |reach(id, x) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.x = e.a),
+        |lab AS (SELECT id, least(id, min(x)) AS rep_id
+        |        FROM reach GROUP BY id),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(ws) AS DOUBLE) AS n_tokens,
+        |        CAST(len(list_distinct(ws)) AS DOUBLE) AS n_unique,
+        |        CAST(len(list_intersect(ws, ['the','a','of','and','to'])) AS DOUBLE) AS n_stop
+        |      FROM t),
+        |r AS (SELECT doc_id, n_tokens,
+        |        round(n_unique / n_tokens, 4) AS ttr,
+        |        round(n_stop / 5.0, 4) AS stop_hit_ratio,
+        |        round(least(n_tokens / 100.0, 1.0), 4) AS len_sat
+        |      FROM m),
+        |q AS (SELECT doc_id,
+        |        round(0.4 * ttr + 0.3 * stop_hit_ratio + 0.3 * len_sat, 4)
+        |          AS quality
+        |      FROM r),
+        |j2 AS (SELECT lab.rep_id, lab.id AS doc_id, q.quality
+        |       FROM lab JOIN q ON q.doc_id = lab.id),
+        |r2 AS (SELECT rep_id, doc_id, quality,
+        |        row_number() OVER (PARTITION BY rep_id
+        |          ORDER BY quality DESC, doc_id ASC) AS rn,
+        |        count(1) OVER (PARTITION BY rep_id) AS n_members
+        |       FROM j2)
+        |SELECT rep_id AS cluster_rep, doc_id AS kept_doc_id,
+        |       quality AS kept_quality, n_members
+        |FROM r2 WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
+    // exact interpolated quantile bounds (quantile_cont == Spark's
+    // percentile), clamp, micro-unit exact means
+    "x_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |        quantile_cont(value, 0.05) AS p_lo,
+        |        quantile_cont(value, 0.95) AS p_hi
+        |      FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type, e.value,
+        |        least(greatest(e.value, b.p_lo), b.p_hi) AS cv,
+        |        b.p_lo, b.p_hi
+        |      FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(1) AS n,
+        |       round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+        |             / 1e6 / count(1), 4) AS mean_raw,
+        |       round(CAST(sum(CAST(round(cv * 1e6) AS BIGINT)) AS DOUBLE)
+        |             / 1e6 / count(1), 4) AS mean_clip,
+        |       CAST(sum(CASE WHEN value < p_lo OR value > p_hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |       round(max(p_lo), 4) AS p_lo, round(max(p_hi), 4) AS p_hi
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Efraimidis-Spirakis re-derived: the same offset hash draw, the
+    // same micro-nat ln rounding, one exact division as the sort key
+    "x_sample_weighted" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+        |    (${hash32("'ws:' || CAST(doc_id AS VARCHAR)")} + 0.5)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |        CAST(round(ln(u) * 1e6) AS BIGINT) AS ku FROM h),
+        |s AS (SELECT doc_id, weight,
+        |        CAST(ku AS DOUBLE) / weight AS skey FROM k),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |          (ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rnk
+        |      FROM s)
+        |SELECT doc_id, weight, round(skey, 4) + 0.0 AS score, rnk
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
     // the x_quality_score derivation, then mirrored asc/desc
     // row_numbers per source group and a best-vs-worst pair join
     "x_pref_pairs" ->

@@ -1730,6 +1730,69 @@ class TierXSpec extends SparkSpec {
       s"selected en fraction $enSel not above corpus fraction $enCorpus")
   }
 
+  test("triangle counts: crafted graph exact, corpus census consistent") {
+    import graft.operators.GraphRank
+    // triangle {1,2,3} plus pendant edge (3,4)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("d1", "d2")
+    val got = GraphRank.triangleCounts(pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((3L, 1L, 0.3333)))
+    assert(got(4L) == ((1L, 0L, 0.0)))
+    // corpus: every triangle contributes to exactly 3 vertices
+    val census = q("x_graph_triangles").collect()
+    assert(census.map(_.getLong(2)).sum % 3 == 0)
+  }
+
+  test("keepbest: the kept member maximizes quality within its cluster") {
+    val quality = q("x_quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val members = q("x_dedup_cluster").collect()
+      .map(r => (r.getLong(1), r.getLong(0))) // (rep_id, doc_id)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val kept = q("x_dedup_keepbest").collect()
+    assert(kept.nonEmpty && kept.length == members.size)
+    kept.foreach { r =>
+      val (rep, keptId, keptQ, n) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val ms = members(rep)
+      assert(ms.length.toLong == n)
+      val best = ms.map(m => (quality(m), -m)).max
+      assert(keptId == -best._2 && keptQ == best._1)
+    }
+  }
+
+  test("winsorize: hand-computed interpolated bounds and means") {
+    import graft.operators.Stats
+    val vals = (1 to 100).map(v => ("g", v.toDouble))
+      .toDF("grp", "value")
+    val r = Stats.winsorize(vals, "grp", "value").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 100L)
+    assert(row.getDouble(2) == 50.5)      // mean_raw
+    assert(row.getDouble(3) == 50.5)      // symmetric clip → same mean
+    assert(row.getLong(4) == 10L)         // 5 clamped each side
+    assert(row.getDouble(5) == 5.95 && row.getDouble(6) == 95.05)
+  }
+
+  test("weighted sample: deterministic and biased toward heavy docs") {
+    val docs = Tables(spark, sf, "documents")
+    val sel = q("x_sample_weighted").collect()
+    assert(sel.length == 50)
+    val again = q("x_sample_weighted").collect()
+    assert(sel.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // expectation: heavier docs win more often, so the mean selected
+    // weight exceeds the corpus mean
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val selMean = sel.map(_.getLong(1)).sum.toDouble / sel.length
+    assert(selMean > corpusMean,
+      s"selected mean weight $selMean not above corpus $corpusMean")
+  }
+
   test("x_text_nfc: injected decomposed runs compose, rest untouched") {
     val out = q("x_text_nfc").collect()
     assert(out.nonEmpty)
