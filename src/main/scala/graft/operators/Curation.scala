@@ -458,6 +458,43 @@ object Curation {
       .select(col("doc_id"), col("slot"), col("neg_doc_id"), col("neg_lang"))
   }
 
+  /** CCNet-shaped curation (Wenzek et al. 2020, "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data"): the
+    * three-stage web-corpus pipeline — exact dedup → language ID →
+    * LM scoring — with survivors bucketed into per-language
+    * HEAD / MIDDLE / TAIL tertiles by score, CCNet's signature output
+    * shape (downstream consumers train on head+middle and drop tail).
+    *
+    * Composed entirely from the verified stage operators
+    * ([[Dedup.exact]], [[TextAnalysis.langId]],
+    * [[TextAnalysis.unigramLmScore]]) as ONE lineage, the
+    * [[curate]]/[[prepare]] pattern. Tertiles come from ntile(3) over
+    * (score DESC, doc_id) per predicted language — the SQL-standard
+    * ntile both engines share.
+    *
+    * Scale shape: the stage shapes are unchanged (digest dedup,
+    * broadcast profiles/LM, one grouped aggregate); the only addition
+    * is a per-language window over the per-DOC frame (corpus-sized
+    * but one row per doc, partitioned by language).
+    *
+    * Output: (doc_id, pred_lang, n_tokens, avg_logp, bucket). */
+  def ccnet(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val kept = docs.join(Dedup.exact(docs).select("doc_id"), "doc_id")
+    val lid = TextAnalysis.langId(kept)
+      .select(col("doc_id"), col("pred_lang"))
+    val lm = TextAnalysis.unigramLmScore(kept, vocabSize)
+      .select(col("doc_id"), col("n_tokens"), col("avg_logp"))
+    val w = Window.partitionBy("pred_lang")
+      .orderBy(col("avg_logp").desc, col("doc_id").asc)
+    lid.join(lm, "doc_id")
+      .withColumn("tertile", ntile(3).over(w))
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        col("avg_logp"),
+        when(col("tertile") === 1, "head")
+          .when(col("tertile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): each row draws u ∈ (0, 1) from the hash fate and
     * ranks by the key u^(1/w) — taking the top k yields exactly the

@@ -435,4 +435,61 @@ object Multimodal {
         }
       }
   }
+
+  /** One perceptual-hash row: parsed BMP dimensions + 32-bit aHash. */
+  case class ImageHash(
+      doc_id: Long, width: Long, height: Long, n_pix: Long, ahash32: Long)
+
+  /** Perceptual (average) hash over DECODED BMP pixel bytes — the
+    * image-dedup primitive (near-identical images share or nearly
+    * share their aHash; downstream pairing is [[Dedup.simHash]]'s
+    * blocked-Hamming machinery). The BMP rows of [[packMediaTable]]
+    * round-trip through genuine container parsing: magic check, the
+    * header's pixel-data OFFSET, width/height — then the hash runs on
+    * the pixel region only.
+    *
+    * The hash is integer-exact so the DuckDB oracle replays it
+    * arithmetically from the packer's deterministic payload: pixel j
+    * (0-based, L pixels) lands in block ⌊j·32/L⌋, block mean and the
+    * global mean are floor divisions, bit b = 1 iff blockmean_b >
+    * globalmean. Typed mapPartitions, one pass per payload, no
+    * shuffle — at 100 TB of images this is a free map plus whatever
+    * pairing the caller composes on the 8-byte hashes.
+    *
+    * Output: one row per BMP-container document. */
+  def imageAHash(spark: SparkSession, docs: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    packMediaTable(spark, docs).flatMap { r =>
+      val b = r.payload
+      if (b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        val off = bb.getInt(10)
+        val w = bb.getInt(18).toLong
+        val h = bb.getInt(22).toLong
+        val l = b.length - off
+        if (l <= 0) None
+        else {
+          val sums = new Array[Long](32)
+          val cnts = new Array[Long](32)
+          var tot = 0L
+          var j = 0
+          while (j < l) {
+            val v = (b(off + j) & 0xff).toLong
+            val blk = (j.toLong * 32 / l).toInt
+            sums(blk) += v; cnts(blk) += 1; tot += v
+            j += 1
+          }
+          val gmean = tot / l
+          var hash = 0L
+          var i = 0
+          while (i < 32) {
+            if (cnts(i) > 0 && sums(i) / cnts(i) > gmean)
+              hash |= 1L << i
+            i += 1
+          }
+          Some(ImageHash(r.doc_id, w, h, l.toLong, hash))
+        }
+      } else None
+    }
+  }
 }

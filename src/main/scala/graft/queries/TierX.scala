@@ -124,6 +124,21 @@ object TierX {
           .otherwise(col("text")))
       Dedup.withinDocSpanDedup(injected, w = 5).orderBy("doc_id")
     }),
+    "x_image_phash" -> ((s, d) =>
+      // image near-dup primitive: real BMP container parse (magic,
+      // data offset, dims), integer-exact 32-bit average-hash over
+      // the pixel region
+      Multimodal.imageAHash(s, docs(s, d)).toDF().orderBy("doc_id")),
+    "x_pipeline_ccnet" -> ((s, d) => {
+      // the CCNet composition; verbatim replicas of every 5th doc are
+      // injected so the dedup stage removes real mass (the corpus has
+      // no natural exact dups), and min-id keeps the originals
+      val dd = docs(s, d)
+      val injected = dd.unionByName(
+        dd.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      Curation.ccnet(injected).orderBy("doc_id")
+    }),
     "x_graph_triangles" -> ((s, d) =>
       // triangle census of the minhash similarity graph: degree-
       // oriented wedge join, every triangle generated exactly once
@@ -1115,6 +1130,85 @@ object TierX {
         |       CAST(list_sum([len(string_split(x, ' ')) for x in uniq])
         |            AS BIGINT) AS kept_tokens
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the packer's BMP payload re-derived arithmetically (pixel bytes
+    // are the ASCII text bytes, dims are the packer's formulas), then
+    // the same integer block-mean / global-mean bit rule
+    "x_image_phash" ->
+      """WITH bmp AS (SELECT doc_id, text, n_chars,
+        |        CAST((n_chars % 640) + 1 AS BIGINT) AS width,
+        |        CAST((doc_id % 480) + 1 AS BIGINT) AS height
+        |      FROM documents WHERE doc_id % 5 = 0),
+        |ch AS (SELECT doc_id, i - 1 AS j,
+        |        ascii(substr(text, CAST(i AS INT), 1)) AS v,
+        |        n_chars AS l
+        |       FROM bmp, unnest(range(1, CAST(n_chars AS INT) + 1)) t(i)),
+        |bl AS (SELECT doc_id, (j * 32) // l AS blk,
+        |        sum(v) AS s, count(1) AS c
+        |       FROM ch GROUP BY 1, 2),
+        |g AS (SELECT doc_id, sum(v) // max(l) AS gmean FROM ch GROUP BY 1),
+        |hx AS (SELECT bl.doc_id,
+        |        CAST(sum(CASE WHEN s // c > g.gmean
+        |                 THEN CAST(1 AS BIGINT) << blk ELSE 0 END)
+        |             AS BIGINT) AS ahash32
+        |       FROM bl JOIN g USING (doc_id) GROUP BY 1)
+        |SELECT b.doc_id, b.width, b.height,
+        |       CAST(b.n_chars AS BIGINT) AS n_pix, hx.ahash32
+        |FROM bmp b JOIN hx USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the full CCNet chain re-derived: injected-replica base, digest
+    // dedup keep-min, the x_lang_id profile chain and the x_ngram_lm
+    // scoring chain over the survivors, ntile(3) per predicted lang
+    "x_pipeline_ccnet" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents
+        |              UNION ALL
+        |              SELECT doc_id + 10000000, text, lang
+        |              FROM documents WHERE doc_id % 5 = 0),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (
+        |         SELECT doc_id,
+        |           sha256(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+        |         FROM base) GROUP BY h),
+        |k AS (SELECT b.* FROM base b JOIN dd USING (doc_id)),
+        |toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |         FROM k),
+        |tc AS (SELECT lang, tok, count(1) AS cnt FROM toks GROUP BY 1, 2),
+        |prof AS (SELECT lang AS p_lang, tok FROM (
+        |           SELECT lang, tok,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY cnt DESC, tok) AS r
+        |           FROM tc) WHERE r <= 10),
+        |dt AS (SELECT DISTINCT doc_id, tok FROM toks),
+        |scores AS (SELECT dt.doc_id, prof.p_lang, count(1) AS score
+        |           FROM dt JOIN prof ON dt.tok = prof.tok GROUP BY 1, 2),
+        |langs AS (SELECT DISTINCT lang AS p_lang FROM k),
+        |grid AS (SELECT d.doc_id, d.lang, l.p_lang
+        |         FROM k d CROSS JOIN langs l),
+        |best AS (SELECT doc_id, p_lang,
+        |           row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY coalesce(score, 0) DESC, p_lang) AS r
+        |         FROM grid LEFT JOIN scores USING (doc_id, p_lang)),
+        |lid AS (SELECT doc_id, p_lang AS pred_lang FROM best WHERE r = 1),
+        |c AS (SELECT tok, count(1) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |v AS (SELECT tok,
+        |        CAST(round(log10(CAST(cnt AS DOUBLE) / total) * 10000)
+        |             AS BIGINT) AS logp_e4
+        |      FROM c, tot ORDER BY cnt DESC, tok LIMIT 20),
+        |f AS (SELECT CAST(round(log10(1.0 / total) * 10000) AS BIGINT)
+        |        AS floor_e4 FROM tot),
+        |sc AS (SELECT toks.doc_id,
+        |         coalesce(v.logp_e4, f.floor_e4) AS tok_e4
+        |       FROM toks LEFT JOIN v USING (tok), f),
+        |lm AS (SELECT doc_id, count(1) AS n_tokens,
+        |         CAST(sum(tok_e4) AS DOUBLE) / 10000 / count(1) AS avg_logp
+        |       FROM sc GROUP BY 1),
+        |j AS (SELECT lid.doc_id, lid.pred_lang, lm.n_tokens, lm.avg_logp
+        |      FROM lid JOIN lm USING (doc_id)),
+        |tt AS (SELECT *, ntile(3) OVER (PARTITION BY pred_lang
+        |         ORDER BY avg_logp DESC, doc_id) AS tertile FROM j)
+        |SELECT doc_id, pred_lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       avg_logp,
+        |       CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM tt ORDER BY doc_id""".stripMargin,
     // the same minhash pair chain, then degrees, the deg*1e9+id
     // orientation, a wedge self-join at the low endpoint, and the
     // closing-edge join; triangles unnest to per-vertex counts

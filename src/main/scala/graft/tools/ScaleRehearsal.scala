@@ -295,6 +295,15 @@ object ScaleRehearsal {
               nBits = 64, rowsPerBand = 8).persist(), k = 3)
             .select("src", "dst"),
           iterations = 3)),
+      // triangle census over the 10× similarity graph: the 10-member
+      // verbatim clusters are maximal transitivity pressure (each is a
+      // K10 — C(10,3)=120 triangles per source doc), so the degree
+      // orientation must keep wedge enumeration at the low endpoint
+      // (arboricity bound) instead of squaring hub neighborhoods
+      "triangles" -> (() =>
+        graft.operators.GraphRank.triangleCounts(
+          Dedup.nearDupMinHash(docs, k = 3, numHashes = 32, bands = 8,
+            threshold = 0.8).select("d1", "d2").persist())),
       // composed IVF+PQ at 10× vectors with scale-sized cells (16
       // cells ⇒ ~1.25k vectors/cell): training stays bounded-driver
       // (3 k-means runs), candidates come from the broadcast equi-join

@@ -51,7 +51,10 @@ class PlanGuardSpec extends SparkSpec {
     "x_pipeline_tokenize",
     // DSIR's 1-row t_raw / t_tgt LM totals crossed onto the
     // <=nBuckets-row log-ratio table
-    "x_select_dsir")
+    "x_select_dsir",
+    // inherits x_lang_id's |langs|-row prediction grid and
+    // x_ngram_lm's 1-row OOV-floor scalar through its stages
+    "x_pipeline_ccnet")
 
   private object Captured
       extends org.apache.spark.sql.util.QueryExecutionListener {

@@ -1730,6 +1730,65 @@ class TierXSpec extends SparkSpec {
       s"selected en fraction $enSel not above corpus fraction $enCorpus")
   }
 
+  test("image aHash: real BMP parse, integer hash replayed by hand") {
+    import graft.operators.Multimodal
+    val half = "a" * 50 + "z" * 50
+    val crafted = Seq(
+      (0L, "a" * 100, "en", "s", 100L),  // BMP, uniform bytes
+      (5L, "a" * 100, "en", "s", 100L),  // BMP, same pixels as doc 0
+      (10L, half, "en", "s", 100L),      // BMP, two-tone
+      (1L, "x" * 80, "en", "s", 80L)     // residue 1 → WAV, not hashed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.imageAHash(spark, crafted).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rows.keySet == Set(0L, 5L, 10L))
+    // parsed header fields equal the packer's formulas
+    assert(rows(0L).width == 101L && rows(0L).height == 1L
+      && rows(0L).n_pix == 100L)
+    // uniform pixels: every block mean == global mean → no bit set
+    assert(rows(0L).ahash32 == 0L)
+    // identical pixels hash identically regardless of doc id
+    assert(rows(5L).ahash32 == rows(0L).ahash32)
+    // hand-replay of the integer rule for the two-tone payload
+    val v = half.getBytes("UTF-8").map(_ & 0xff)
+    val l = v.length
+    val sums = new Array[Long](32); val cnts = new Array[Long](32)
+    v.zipWithIndex.foreach { case (x, j) =>
+      val blk = j * 32 / l; sums(blk) += x; cnts(blk) += 1
+    }
+    val gmean = v.map(_.toLong).sum / l
+    val expected = (0 until 32).foldLeft(0L) { (acc, i) =>
+      if (cnts(i) > 0 && sums(i) / cnts(i) > gmean) acc | (1L << i) else acc
+    }
+    assert(expected != 0L && rows(10L).ahash32 == expected)
+    // corpus: exactly the BMP-residue docs are hashed
+    val docs = Tables(spark, sf, "documents")
+    assert(q("x_image_phash").count() ==
+      docs.filter(col("doc_id") % 5 === 0).count())
+  }
+
+  test("ccnet composition: dedup removes all replicas, tertiles balance") {
+    val nDocs = Tables(spark, sf, "documents").count()
+    val out = q("x_pipeline_ccnet").collect()
+    // every injected replica (doc_id >= 10M) is an exact dup of an
+    // original, so dedup must remove exactly the injected mass and
+    // keep-min must keep only original ids
+    assert(out.length.toLong == nDocs)
+    assert(out.forall(_.getLong(0) < 10000000L))
+    // ntile contract: within each predicted language the three bucket
+    // sizes differ by at most one
+    out.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_.getString(4)).view.mapValues(_.length)
+      val counts = Seq("head", "middle", "tail").map(b => sizes.getOrElse(b, 0))
+      assert(counts.max - counts.min <= 1, s"unbalanced tertiles: $counts")
+      // head scores dominate tail scores within the language
+      val byB = rs.groupBy(_.getString(4)).view
+        .mapValues(_.map(_.getDouble(3))).toMap
+      for (h <- byB.get("head"); t <- byB.get("tail"))
+        assert(h.min >= t.max - 1e-9)
+    }
+  }
+
   test("triangle counts: crafted graph exact, corpus census consistent") {
     import graft.operators.GraphRank
     // triangle {1,2,3} plus pendant edge (3,4)
