@@ -524,6 +524,10 @@ object Curation {
       concat(lit(s"$salt:"), col("doc_id").cast("string")))
       .cast("double") + lit(0.5)) / lit(4294967296d)
     docs
+      // E-S requires strictly positive weights: w = 0 would make the
+      // key 0/0 = NaN, which Spark sorts FIRST and DuckDB's NULL sorts
+      // last — a zero-weight row is simply not in the draw
+      .filter(col(weightCol) > 0)
       .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
         round(log(u) * lit(1000000d)).cast("long").as("ku"))
       .withColumn("skey", col("ku").cast("double") / col("weight"))

@@ -53,14 +53,20 @@ object Dedup {
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), shingleExpr(k).as("shingles"))
 
+  /** The cross-engine exact-dedup digest: sha256 over whitespace-
+    * normalized lowercase text. ONE definition — [[exact]],
+    * [[incrementalExact]], and every oracle that re-derives it
+    * (x_dedup_exact, x_dedup_incremental, x_pipeline_ccnet) must stay
+    * in lockstep, so the Scala side must not fork. */
+  private def contentHash: Column =
+    sha2(lower(regexp_replace(col("text"), "\\s+", " ")), 256)
+
   /** Exact dedup on whitespace-normalized lowercase text: one row per
     * distinct content hash, keeping the smallest doc_id as canonical. */
-  def exact(docs: DataFrame): DataFrame = {
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
-    docs.select(sha2(norm, 256).as("content_hash"), col("doc_id"))
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(contentHash.as("content_hash"), col("doc_id"))
       .groupBy("content_hash")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-  }
 
   /** Snapshot compaction: keep the LATEST version per key — the
     * CDC-compaction / "dedup by recency" primitive (newest crawl of a
@@ -930,11 +936,10 @@ object Dedup {
       batchMod: Int = 10,
       salt: String = "incr"): DataFrame = {
     require(batchMod >= 2, s"batchMod must be >= 2, got $batchMod")
-    val norm = lower(regexp_replace(col("text"), "\\s+", " "))
     val bucket = Hashing.hash32(
       concat(lit(s"$salt:"), col("doc_id").cast("string"))) % batchMod
     val hashed = docs.select(
-      sha2(norm, 256).as("content_hash"), col("doc_id"),
+      contentHash.as("content_hash"), col("doc_id"),
       (bucket === 0).as("is_batch"))
     val corpusIndex =
       hashed.filter(!col("is_batch")).select("content_hash").distinct()

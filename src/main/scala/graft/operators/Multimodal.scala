@@ -461,7 +461,15 @@ object Multimodal {
     import spark.implicits._
     packMediaTable(spark, docs).flatMap { r =>
       val b = r.payload
-      if (b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
+      // strict container validation, not just the 2-byte magic: a raw
+      // text payload that happens to start with "BM" must not be
+      // parsed as pixels (the file-size and BITMAPINFOHEADER-size
+      // fields of real BMP output can't occur in text by accident)
+      if (b.length > 54 && b(0) == 'B'.toByte && b(1) == 'M'.toByte && {
+        val hb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        hb.getInt(2) == b.length && hb.getInt(14) == 40 &&
+          hb.getInt(10) >= 54 && hb.getInt(10) <= b.length
+      }) {
         val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
         val off = bb.getInt(10)
         val w = bb.getInt(18).toLong

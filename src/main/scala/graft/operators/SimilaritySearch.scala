@@ -87,7 +87,17 @@ object SimilaritySearch {
       case _ => None
     }
     if (paths.isEmpty || paths.exists(_.isEmpty)) None
-    else Some(plan.canonicalized.toString + "|" + paths.flatten.mkString(";"))
+    else {
+      // canonicalized.toString elides expression lists past
+      // spark.sql.debug.maxToStringFields (default 25), so two frames
+      // differing only in the elided tail would share a key string;
+      // the structural hashCode walks the FULL tree, so the pair
+      // (truncated string, full-tree hash, root paths) cannot collide
+      // for semantically different plans in practice
+      val c = plan.canonicalized
+      Some(c.toString + "#" + c.hashCode + "|" +
+        paths.flatten.mkString(";"))
+    }
   }
 
   /** Drop every cached trained model (tests / corpus-rewrite hook). */

@@ -1132,7 +1132,10 @@ object TierX {
         |FROM d ORDER BY doc_id""".stripMargin,
     // the packer's BMP payload re-derived arithmetically (pixel bytes
     // are the ASCII text bytes, dims are the packer's formulas), then
-    // the same integer block-mean / global-mean bit rule
+    // the same integer block-mean / global-mean bit rule. PRECONDITION
+    // (pinned by TierXSpec): the corpus text is pure ASCII with
+    // n_chars = length(text), so per-char codepoints equal the UTF-8
+    // payload bytes the Spark side genuinely decodes
     "x_image_phash" ->
       """WITH bmp AS (SELECT doc_id, text, n_chars,
         |        CAST((n_chars % 640) + 1 AS BIGINT) AS width,
@@ -1308,7 +1311,7 @@ object TierX {
       s"""WITH h AS (SELECT doc_id, n_chars,
         |    (${hash32("'ws:' || CAST(doc_id AS VARCHAR)")} + 0.5)
         |      / 4294967296.0 AS u
-        |  FROM documents),
+        |  FROM documents WHERE n_chars > 0),
         |k AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
         |        CAST(round(ln(u) * 1e6) AS BIGINT) AS ku FROM h),
         |s AS (SELECT doc_id, weight,

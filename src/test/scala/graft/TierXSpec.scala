@@ -1765,6 +1765,13 @@ class TierXSpec extends SparkSpec {
     val docs = Tables(spark, sf, "documents")
     assert(q("x_image_phash").count() ==
       docs.filter(col("doc_id") % 5 === 0).count())
+    // the oracle's codepoints-equal-bytes PRECONDITION: the corpus is
+    // pure ASCII and n_chars is the text length — if the generator
+    // ever emits multi-byte text this fails here, not as a silent
+    // cross-engine hash drift
+    assert(docs.filter(
+      length(col("text")) =!= col("n_chars") ||
+        !col("text").rlike("^[\\x00-\\x7F]*$")).count() == 0L)
   }
 
   test("ccnet composition: dedup removes all replicas, tertiles balance") {

@@ -33,10 +33,20 @@ def main() -> None:
     plans, merged = {}, {}
     for q in names:
         votes = Counter(json.dumps(r["plans"][q], sort_keys=True) for r in runs)
-        majority = votes.most_common(1)[0][0]
-        plans[q] = json.loads(majority)
+        top_plan, top_n = votes.most_common(1)[0]
+        if len(votes) > 1 and top_n * 2 <= len(runs):
+            # no strict majority (e.g. a 1-1 AQE split): there is no
+            # basis to prefer either plan's timings — min over ALL runs
+            # and record the first run's plan, loudly
+            print(f"warning: {q} has NO majority plan "
+                  f"({dict(votes.most_common())}); min over all runs, "
+                  f"first run's plan recorded")
+            plans[q] = runs[0]["plans"][q]
+            merged[q] = min(r["queries"][q] for r in runs)
+            continue
+        plans[q] = json.loads(top_plan)
         keep = [r["queries"][q] for r in runs
-                if json.dumps(r["plans"][q], sort_keys=True) == majority]
+                if json.dumps(r["plans"][q], sort_keys=True) == top_plan]
         if len(keep) < len(runs):
             print(f"warning: {q} plan diverged in {len(runs) - len(keep)} "
                   f"run(s); min over the {len(keep)} majority-plan run(s)")
