@@ -61,4 +61,74 @@ object AsOfJoin {
       .filter(col("_tag") === 1)
       .drop("_tag", "_rv")
   }
+
+  /** NEAREST-within-tolerance as-of join — the sensor-alignment
+    * variant of [[asofJoin]]: for every left row, the right row
+    * minimizing |l.ts − r.ts| per key, provided the distance is within
+    * `toleranceSec`, else null. Ties resolve (|dt| asc, r.ts asc,
+    * value asc) — backward beats forward at equal distance, smaller
+    * value wins among simultaneous right rows.
+    *
+    * Same union+window composition, run in BOTH directions: the
+    * backward pass is [[asofJoin]]'s (ts, tag) scan; the forward pass
+    * scans (ts DESC, tag) so `last` yields the EARLIEST right at or
+    * after the left row. Per-side nearest is monotone in distance, so
+    * applying the tolerance after the per-side pick equals restricting
+    * candidates first (a farther-back row can never beat the nearest
+    * backward row). The right payload rides as struct(ts, −value):
+    * struct order makes the within-timestamp winner (smallest value)
+    * the LAST row of each window scan in both directions.
+    *
+    * Scale shape: one shuffle on the key, two window sorts — still no
+    * candidate-pair explosion, state one carried struct per key per
+    * direction.
+    *
+    * Output: `left.*`, `matchCol` (null if nothing within tolerance),
+    * `dt_s` (whole seconds to the match, null when unmatched). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      matchCol: String,
+      toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, s"negative tolerance: $toleranceSec")
+    val internal = Seq("_tag", "_r", "_b", "_f")
+    require(internal.forall(c => !left.columns.contains(c)),
+      s"asofNearest: left frame must not contain internal columns $internal")
+    val r = right
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(key), col(tsCol),
+        struct(col(tsCol).as("rts"),
+          (-col(valueCol).cast("long")).as("negv")).as("_r"),
+        lit(0).as("_tag"))
+    val l = left.withColumn("_tag", lit(1))
+    val tagged = l.unionByName(r, allowMissingColumns = true)
+    val frame = Window.partitionBy(key)
+    val wB = frame.orderBy(col(tsCol).asc, col("_tag").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // primary ts DESC walks forward-in-time windows; at equal ts the
+    // struct's rts components tie, so _r ASC again leaves the smallest
+    // value last
+    val wF = frame.orderBy(col(tsCol).desc, col("_tag").asc, col("_r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolUs = toleranceSec * 1000000L
+    val dtb = unix_micros(col(tsCol)) - unix_micros(col("_b.rts"))
+    val dtf = unix_micros(col("_f.rts")) - unix_micros(col(tsCol))
+    val bOk = col("_b").isNotNull && dtb <= tolUs
+    val fOk = col("_f").isNotNull && dtf <= tolUs
+    tagged
+      .withColumn("_b", last(col("_r"), ignoreNulls = true).over(wB))
+      .withColumn("_f", last(col("_r"), ignoreNulls = true).over(wF))
+      .filter(col("_tag") === 1)
+      .withColumn(matchCol,
+        when(bOk && (!fOk || dtb <= dtf), -col("_b.negv"))
+          .when(fOk, -col("_f.negv")))
+      .withColumn("dt_s",
+        when(bOk && (!fOk || dtb <= dtf), dtb)
+          .when(fOk, dtf) / lit(1000000L))
+      .withColumn("dt_s", floor(col("dt_s")).cast("long"))
+      .drop("_tag", "_r", "_b", "_f")
+  }
 }

@@ -291,6 +291,43 @@ object TierR {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** Nearest-within-tolerance as-of: each purchase aligned to the
+    * click minimizing |Δt|, both directions, 600 s tolerance. */
+  private val rJoinAsofNear: Q = (s, d) => {
+    val e = Tables(s, d, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    graft.operators.AsOfJoin
+      .asofNearest(purchases, clicks, "user_id", "ts", "event_id",
+        "click_id", toleranceSec = 600L)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("dt_s"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** Equi-width 20-bin histogram of order totals: global min/max as
+    * bounded driver scalars (the x_zorder_prune pattern — no 1-row
+    * broadcast cross-join in the plan), bucket arithmetic row-local. */
+  private val rHistogram: Q = (s, d) => {
+    val o = Tables(s, d, "orders")
+    val mm = o.agg(min("o_totalprice"), max("o_totalprice")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val nb = 20
+    val bucket = least(
+      floor((col("o_totalprice") - mn) * nb / (mx - mn)),
+      lit(nb - 1.0)).cast("long")
+    o.select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        Conventions.moneySum(col("o_totalprice")).as("bucket_total"))
+      .withColumn("lo", round(lit(mn) + col("bucket") * (mx - mn) / nb, 4))
+      .withColumn("hi",
+        round(lit(mn) + (col("bucket") + 1) * (mx - mn) / nb, 4))
+      .orderBy("bucket")
+  }
+
   // ---- window family ----------------------------------------------------
 
   /** Ranking windows: top-3 orders per customer by price. */
@@ -859,6 +896,8 @@ object TierR {
     "r_join_full" -> rJoinFull,
     "r_join_range" -> rJoinRange,
     "r_join_asof" -> rJoinAsof,
+    "r_join_asof_near" -> rJoinAsofNear,
+    "r_histogram" -> rHistogram,
     "r_window_rank" -> rWindowRank,
     "r_window_rank_sql" -> rWindowRankSql,
     "r_window_running" -> rWindowRunning,
@@ -1203,6 +1242,43 @@ object TierR {
         |FROM p ASOF LEFT JOIN cl
         |ON p.user_id = cl.user_id AND p.ts >= cl.ts
         |ORDER BY p.user_id, purchase_id""".stripMargin,
+    // nearest re-derived candidate-exhaustively (LATERAL min) with the
+    // engine's explicit tie order (|dt|, r.ts, id); the composition's
+    // per-side monotonicity makes the two equivalent
+    "r_join_asof_near" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |                  CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |cl AS (SELECT user_id, event_id AS click_id,
+        |              CAST(ts AS TIMESTAMP) AS ts
+        |       FROM events WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p.purchase_id, c.click_id, c.dt_s
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT cl.click_id,
+        |         abs(epoch_us(cl.ts) - epoch_us(p.ts)) // 1000000 AS dt_s
+        |  FROM cl
+        |  WHERE cl.user_id = p.user_id
+        |    AND abs(epoch_us(cl.ts) - epoch_us(p.ts)) <= 600 * 1000000
+        |  ORDER BY abs(epoch_us(cl.ts) - epoch_us(p.ts)), cl.ts,
+        |           cl.click_id
+        |  LIMIT 1) c ON TRUE
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    // bounds re-derived as scalars, same IEEE bucket arithmetic and
+    // the same top-bucket clamp
+    "r_histogram" ->
+      s"""WITH mm AS (SELECT min(o_totalprice) AS mn,
+        |        max(o_totalprice) AS mx FROM orders),
+        |b AS (SELECT CAST(least(
+        |        floor((o_totalprice - mn) * 20 / (mx - mn)), 19.0)
+        |        AS BIGINT) AS bucket,
+        |        o_totalprice, mn, mx
+        |      FROM orders, mm)
+        |SELECT bucket, count(1) AS n,
+        |       ${moneySumSql("o_totalprice")} AS bucket_total,
+        |       round(max(mn) + bucket * (max(mx) - max(mn)) / 20, 4) AS lo,
+        |       round(max(mn) + (bucket + 1) * (max(mx) - max(mn)) / 20, 4)
+        |         AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "r_window_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

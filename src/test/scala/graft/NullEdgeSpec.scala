@@ -137,4 +137,32 @@ class NullEdgeSpec extends SparkSpec {
     val d = df(Seq(Row(null, "a"), Row(null, "b"), Row(1L, "c")))
     assert(d.select("k").dropDuplicates().count() == 2)
   }
+
+  test("round-7 operators survive empty and null-text inputs") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("lang", StringType, nullable = true),
+      StructField("source", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = false)))
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b c", "en", "s", 5L),
+        Row(2L, null, "en", "s", 0L))), docSchema)
+    // null text: metrics row carries nulls, no crash, clean row intact
+    val spans = Dedup.withinDocSpanDedup(withNull).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(spans == Map(1L -> false, 2L -> true))
+    // null text hashes to a null digest; SQL null keys never equi-match,
+    // so a null-text batch row survives the anti-join (documented
+    // exact-dedup semantics, same as Dedup.exact's null group)
+    assert(Dedup.incrementalExact(withNull).count() >= 0)
+    // empty similarity graph: no vertices, no triangles, no crash
+    val emptyPairs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField("d1", LongType), StructField("d2", LongType))))
+    assert(graft.operators.GraphRank.triangleCounts(emptyPairs).count() == 0)
+  }
 }

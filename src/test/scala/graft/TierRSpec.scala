@@ -87,6 +87,38 @@ class TierRSpec extends SparkSpec {
       100L -> None, 101L -> Some(11L), 102L -> Some(12L), 200L -> Some(21L)))
   }
 
+  test("nearest as-of: direction, side ties, value ties, tolerance") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:01:40"), 100L), // fwd at dt 5 beats bwd at dt 10
+      (2L, ts("2024-01-01 10:00:00"), 200L), // dt 5 both sides -> backward
+      (3L, ts("2024-01-01 10:00:00"), 300L), // two rights AT the ts -> min id
+      (4L, ts("2024-01-01 10:00:00"), 400L)  // only right is outside tolerance
+    ).toDF("user_id", "ts", "purchase_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:01:30"), 10L),
+      (1L, ts("2024-01-01 10:01:45"), 20L),
+      (2L, ts("2024-01-01 09:59:55"), 31L),
+      (2L, ts("2024-01-01 10:00:05"), 32L),
+      (3L, ts("2024-01-01 10:00:00"), 7L),
+      (3L, ts("2024-01-01 10:00:00"), 3L),
+      (4L, ts("2024-01-01 10:20:00"), 40L)
+    ).toDF("user_id", "ts", "event_id")
+    val res = graft.operators.AsOfJoin
+      .asofNearest(left, right, "user_id", "ts", "event_id",
+        "click_id", toleranceSec = 600L)
+      .collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("dt_s")).map(_.toLong))).toMap
+    assert(res(100L) == ((Some(20L), Some(5L))))
+    assert(res(200L) == ((Some(31L), Some(5L))))
+    assert(res(300L) == ((Some(3L), Some(0L))))
+    assert(res(400L) == ((None, None)))
+  }
+
   test("as-of join plans one shuffle, no range-join explosion") {
     val p = plan("r_join_asof")
     assert(!p.contains("CartesianProduct"))
