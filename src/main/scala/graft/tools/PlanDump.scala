@@ -19,6 +19,14 @@ import graft.{SparkEntry, Tables}
 object PlanDump {
 
   private val headliners: Seq[(String, String)] = Seq(
+    "x_graph_triangles" ->
+      "degree-oriented triangle census: wedge self-join at the low endpoint, closing equi-join on (x, y) — no neighborhood squaring",
+    "x_select_dsir" ->
+      "DSIR selection: bucket LMs broadcast onto the token stream, 1-row total scalars crossed onto the <=nBuckets table, one doc-id aggregate",
+    "x_dedup_incremental" ->
+      "incremental dedup: batch digests LEFT ANTI the corpus digest index — text never shuffles",
+    "r_join_asof_near" ->
+      "nearest as-of: one key shuffle, two window sorts (backward + forward scan), zero candidate-pair joins",
     "f_star_join" ->
       "broadcast star join: pruned fact scan, 4 BroadcastHashJoins, one exchange for the final sort",
     "r_agg_group" ->
