@@ -858,6 +858,32 @@ object Dedup {
       maxHamming)
   }
 
+  /** Blocked-Hamming pairing over an ARBITRARY precomputed 32-bit
+    * fingerprint column — the [[simHash]] machinery opened to other
+    * sketches (perceptual image hashes, audio fingerprints): exact
+    * recall at Hamming ≤ maxHamming via the same r+1-block pigeonhole
+    * equi-join, no all-pairs anywhere.
+    *
+    * Input must carry (idCol, hashCol); output (d1, d2, hamming). */
+  def hammingPairs32(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val hs = hashes
+      .select(col(idCol).as("doc_id"), col(hashCol).as("simhash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blockStructs = simHashBlockSpec(maxHamming).map { case (t, off, mask) =>
+      struct(
+        lit(t).as("blk"),
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("key"))
+    }
+    blockedHamming(hs, Seq("simhash"), blockStructs,
+      expr("bit_count(simhash1 ^ simhash2)"), maxHamming)
+  }
+
   def simHash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     // >= 32 would yield zero-width blocks whose key is 0 for every doc,
     // silently degrading the blocked equi-join to an all-pairs join

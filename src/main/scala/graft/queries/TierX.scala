@@ -129,6 +129,14 @@ object TierX {
       // data offset, dims), integer-exact 32-bit average-hash over
       // the pixel region
       Multimodal.imageAHash(s, docs(s, d)).toDF().orderBy("doc_id")),
+    "x_phash_pairs" -> ((s, d) =>
+      // image near-dup END-TO-END: the aHashes paired by the blocked
+      // pigeonhole equi-join at Hamming <= 6 — exact recall, never
+      // all-pairs (the oracle IS the all-pairs ground truth)
+      Dedup.hammingPairs32(
+        Multimodal.imageAHash(s, docs(s, d)).toDF(),
+        idCol = "doc_id", hashCol = "ahash32", maxHamming = 6)
+        .persist().orderBy("d1", "d2")),
     "x_pipeline_ccnet" -> ((s, d) => {
       // the CCNet composition; verbatim replicas of every 5th doc are
       // injected so the dedup stage removes real mass (the corpus has
@@ -747,6 +755,28 @@ object TierX {
   /** Shared oracle fragments (DuckDB SQL). */
   private val hash32 = (e: String) =>
     s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+  /** The BMP aHash chain (packer payload re-derived arithmetically;
+    * ASCII precondition pinned by TierXSpec) — ends with CTEs
+    * `bmp(doc_id, text, n_chars, width, height)` and
+    * `hx(doc_id, ahash32)`. Shared by x_image_phash / x_phash_pairs. */
+  private val phashCte =
+    """bmp AS (SELECT doc_id, text, n_chars,
+      |        CAST((n_chars % 640) + 1 AS BIGINT) AS width,
+      |        CAST((doc_id % 480) + 1 AS BIGINT) AS height
+      |      FROM documents WHERE doc_id % 5 = 0),
+      |ch AS (SELECT doc_id, i - 1 AS j,
+      |        ascii(substr(text, CAST(i AS INT), 1)) AS v,
+      |        n_chars AS l
+      |       FROM bmp, unnest(range(1, CAST(n_chars AS INT) + 1)) t(i)),
+      |bl AS (SELECT doc_id, (j * 32) // l AS blk,
+      |        sum(v) AS s, count(1) AS c
+      |       FROM ch GROUP BY 1, 2),
+      |g AS (SELECT doc_id, sum(v) // max(l) AS gmean FROM ch GROUP BY 1),
+      |hx AS (SELECT bl.doc_id,
+      |        CAST(sum(CASE WHEN s // c > g.gmean
+      |                 THEN CAST(1 AS BIGINT) << blk ELSE 0 END)
+      |             AS BIGINT) AS ahash32
+      |       FROM bl JOIN g USING (doc_id) GROUP BY 1)""".stripMargin
   private def shinglesCteFrom(src: String) =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       |sh AS (SELECT doc_id,
@@ -1137,26 +1167,21 @@ object TierX {
     // n_chars = length(text), so per-char codepoints equal the UTF-8
     // payload bytes the Spark side genuinely decodes
     "x_image_phash" ->
-      """WITH bmp AS (SELECT doc_id, text, n_chars,
-        |        CAST((n_chars % 640) + 1 AS BIGINT) AS width,
-        |        CAST((doc_id % 480) + 1 AS BIGINT) AS height
-        |      FROM documents WHERE doc_id % 5 = 0),
-        |ch AS (SELECT doc_id, i - 1 AS j,
-        |        ascii(substr(text, CAST(i AS INT), 1)) AS v,
-        |        n_chars AS l
-        |       FROM bmp, unnest(range(1, CAST(n_chars AS INT) + 1)) t(i)),
-        |bl AS (SELECT doc_id, (j * 32) // l AS blk,
-        |        sum(v) AS s, count(1) AS c
-        |       FROM ch GROUP BY 1, 2),
-        |g AS (SELECT doc_id, sum(v) // max(l) AS gmean FROM ch GROUP BY 1),
-        |hx AS (SELECT bl.doc_id,
-        |        CAST(sum(CASE WHEN s // c > g.gmean
-        |                 THEN CAST(1 AS BIGINT) << blk ELSE 0 END)
-        |             AS BIGINT) AS ahash32
-        |       FROM bl JOIN g USING (doc_id) GROUP BY 1)
+      s"""WITH $phashCte
         |SELECT b.doc_id, b.width, b.height,
         |       CAST(b.n_chars AS BIGINT) AS n_pix, hx.ahash32
         |FROM bmp b JOIN hx USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the aHash chain again, then exhaustive all-pairs Hamming over
+    // the <=|corpus|/5 hashes — ground truth for the blocked
+    // pigeonhole pairing (exact recall at the threshold)
+    "x_phash_pairs" ->
+      s"""WITH $phashCte
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(bit_count(xor(a.ahash32, b.ahash32)) AS BIGINT)
+        |         AS hamming
+        |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash32, b.ahash32)) <= 6
+        |ORDER BY d1, d2""".stripMargin,
     // the full CCNet chain re-derived: injected-replica base, digest
     // dedup keep-min, the x_lang_id profile chain and the x_ngram_lm
     // scoring chain over the survivors, ntile(3) per predicted lang

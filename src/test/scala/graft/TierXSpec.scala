@@ -1774,6 +1774,33 @@ class TierXSpec extends SparkSpec {
         !col("text").rlike("^[\\x00-\\x7F]*$")).count() == 0L)
   }
 
+  test("phash pairs: blocked pairing equals all-pairs Hamming ground truth") {
+    import graft.operators.{Dedup, Multimodal}
+    val hs = Multimodal.imageAHash(
+      spark, Tables(spark, sf, "documents")).toDF().cache()
+    val a = hs.select(col("doc_id").as("d1"), col("ahash32").as("h1"))
+    val b = hs.select(col("doc_id").as("d2"), col("ahash32").as("h2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 6)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.hammingPairs32(hs, "doc_id", "ahash32", 6)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute && brute.nonEmpty)
+    // identical pixel payloads pair at distance 0
+    import spark.implicits._
+    val twins = Seq(
+      (0L, "p q r s t u v w x y", "en", "s", 19L),
+      (5L, "p q r s t u v w x y", "en", "s", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = Dedup.hammingPairs32(
+      Multimodal.imageAHash(spark, twins).toDF(), "doc_id", "ahash32", 0)
+      .collect()
+    assert(p.length == 1 && p.head.getLong(2) == 0L)
+    hs.unpersist()
+  }
+
   test("ccnet composition: dedup removes all replicas, tertiles balance") {
     val nDocs = Tables(spark, sf, "documents").count()
     val out = q("x_pipeline_ccnet").collect()
