@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads as opaque `binary` columns
@@ -382,6 +383,42 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Audio fingerprint — the Shazam-lite constellation reduced to its
+    * integer core: bit i of the 32-bit fingerprint is 1 iff frame
+    * (i+1)'s PCM energy EXCEEDS frame i's (energy-delta signs are the
+    * classic loudness-robust audio hash; Haitsma & Kalker 2002 use
+    * exactly this band-energy-difference bit). Frame energies come
+    * from [[audioEnergy]]'s genuine RIFF parse; everything after is
+    * integer-exact, so the DuckDB oracle replays it from the packer's
+    * deterministic PCM bytes. Short clips simply fingerprint their
+    * available frames (missing bits stay 0, recorded via n_frames).
+    *
+    * Downstream near-dup pairing is [[Dedup.hammingPairs32]], same as
+    * the image path.
+    *
+    * Scale shape: one per-doc window lag + one aggregate — a single
+    * shuffle on doc_id over the frame stream.
+    *
+    * Output: (doc_id, n_frames, afp32) per WAV-container document. */
+  def audioFingerprint(
+      spark: SparkSession,
+      docs: DataFrame,
+      frameSize: Int = 4,
+      nBits: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 32, s"nBits must be in [1, 32]: $nBits")
+    val frames = audioEnergy(spark, docs, frameSize).toDF()
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev", lag("energy", 1).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        coalesce(sum(when(
+          col("frame_idx").between(1, nBits) && col("energy") > col("prev"),
+          expr("shiftleft(1L, cast(frame_idx - 1 as int))"))
+          .otherwise(0L)), lit(0L)).as("afp32"))
   }
 
   /** One sampled frame. */

@@ -129,6 +129,12 @@ object TierX {
       // data offset, dims), integer-exact 32-bit average-hash over
       // the pixel region
       Multimodal.imageAHash(s, docs(s, d)).toDF().orderBy("doc_id")),
+    "x_audio_fp" -> ((s, d) =>
+      // audio near-dup primitive: energy-delta sign bits over the
+      // genuinely parsed PCM frames (4-sample frames so short clips
+      // still carry bits)
+      Multimodal.audioFingerprint(s, docs(s, d), frameSize = 4)
+        .orderBy("doc_id")),
     "x_phash_pairs" -> ((s, d) =>
       // image near-dup END-TO-END: the aHashes paired by the blocked
       // pigeonhole equi-join at Hamming <= 6 — exact recall, never
@@ -2130,6 +2136,32 @@ object TierX {
         |       CAST(sum(smp * smp) AS BIGINT) AS energy
         |FROM smp GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the x_audio_energy PCM chain at 4-sample frames, then the same
+    // lag-window energy-delta bits (integer exact end to end)
+    "x_audio_fp" ->
+      """WITH w AS (SELECT doc_id, text, (doc_id % 2) + 1 AS ch,
+        |                 length(text) AS n
+        |           FROM documents WHERE doc_id % 5 = 1),
+        |d AS (SELECT doc_id, text, n - (n % (ch * 2)) AS data_len FROM w),
+        |f AS (SELECT doc_id, text, (data_len // 2) // 4 AS frames FROM d),
+        |s AS (SELECT doc_id, text, unnest(range(frames)) AS frame_idx FROM f),
+        |smp AS (SELECT doc_id, frame_idx,
+        |          unnest([ascii(substr(text, CAST(2 * (frame_idx * 4 + j) + 1 AS INT), 1))
+        |                  + 256 * ascii(substr(text, CAST(2 * (frame_idx * 4 + j) + 2 AS INT), 1))
+        |                  for j in range(4)]) AS smp
+        |        FROM s),
+        |en AS (SELECT doc_id, frame_idx, sum(smp * smp) AS energy
+        |       FROM smp GROUP BY 1, 2),
+        |lg AS (SELECT doc_id, frame_idx, energy,
+        |        lag(energy) OVER (PARTITION BY doc_id
+        |          ORDER BY frame_idx) AS prev
+        |       FROM en)
+        |SELECT doc_id, count(1) AS n_frames,
+        |       CAST(coalesce(sum(CASE WHEN frame_idx BETWEEN 1 AND 32
+        |                AND energy > prev
+        |                THEN CAST(1 AS BIGINT) << CAST(frame_idx - 1 AS INT)
+        |                ELSE 0 END), 0) AS BIGINT) AS afp32
+        |FROM lg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the injected decomposed runs re-derived via chr() codepoints
     // (769 = U+0301 combining acute, 778 = U+030A ring, 776 = U+0308
     // diaeresis) and DuckDB's own nfc_normalize — both engines

@@ -1774,6 +1774,38 @@ class TierXSpec extends SparkSpec {
         !col("text").rlike("^[\\x00-\\x7F]*$")).count() == 0L)
   }
 
+  test("audio fingerprint: energy-delta bits replayed by hand") {
+    import graft.operators.Multimodal
+    // residue 1 → WAV container; ascending chars → ascending samples →
+    // ascending frame energies → every delta bit set
+    val asc = ('a' to 'z').mkString("")  // 26 chars → 13 samples → 3 frames
+    val crafted = Seq(
+      (1L, asc, "en", "s", 26L),
+      (6L, "a" * 24, "en", "s", 24L),    // constant energy → no bit set
+      (0L, asc, "en", "s", 26L)          // residue 0 → BMP, not fingerprinted
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Multimodal.audioFingerprint(spark, crafted, frameSize = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(1L, 6L))
+    assert(rows(6L)._2 == 0L)
+    // hand-replay doc 1: ch = 2, data truncated to whole 4-byte blocks
+    val bytes = asc.getBytes("UTF-8")
+    val dataLen = bytes.length - bytes.length % 4
+    val samples = (0 until dataLen / 2).map(g =>
+      ((bytes(2 * g) & 0xff) | ((bytes(2 * g + 1).toInt) << 8)).toShort.toInt)
+    val energies = samples.grouped(4).filter(_.length == 4)
+      .map(fr => fr.map(s => s.toLong * s).sum).toSeq
+    val expected = energies.zipWithIndex.drop(1).foldLeft(0L) {
+      case (acc, (e, i)) =>
+        if (i <= 32 && e > energies(i - 1)) acc | (1L << (i - 1)) else acc
+    }
+    assert(rows(1L) == ((energies.length.toLong, expected)) && expected != 0L)
+    // corpus: exactly the WAV-residue docs are fingerprinted
+    val docs = Tables(spark, sf, "documents")
+    assert(q("x_audio_fp").count() ==
+      docs.filter(col("doc_id") % 5 === 1).count())
+  }
+
   test("phash pairs: blocked pairing equals all-pairs Hamming ground truth") {
     import graft.operators.{Dedup, Multimodal}
     val hs = Multimodal.imageAHash(
