@@ -371,15 +371,24 @@ object ScaleRehearsal {
       "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())),
       "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
         n = 5, minShared = 3, maxDf = 20,
-        bloomExpectedItems = 1L << 24)))
+        bloomExpectedItems = 1L << 24)),
+      // triangle census over the bounded-cluster similarity graph:
+      // each source doc's K10 yields a CONSTANT 120 triangles, so the
+      // per-vertex output stays exactly 1 row and the wedge fan-out
+      // the orientation bounds is the quantity under test
+      "triangles" -> (() => graft.operators.GraphRank.triangleCounts(
+        Dedup.nearDupMinHash(docs, k = 3, numHashes = 32, bands = 8,
+          threshold = 0.8).select("d1", "d2").persist())))
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
     })
     val denom = Map("ppjoin" -> nDocs, "embed_pairs" -> nVecs,
-      "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs)
+      "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
+      "triangles" -> nDocs)
     val fanoutCap = 10.0
-    val pairOps = Set("ppjoin", "embed_pairs", "ngram_overlap")
+    val pairOps = Set("ppjoin", "embed_pairs", "ngram_overlap",
+      "triangles")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||
         (pairOps(n) && r.toDouble / denom(n) > fanoutCap)
