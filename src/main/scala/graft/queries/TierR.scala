@@ -141,6 +141,28 @@ object TierR {
         r4(corr(col("o_totalprice"), col("o_custkey"))).as("price_cust_corr"))
       .orderBy("o_orderpriority")
 
+  /** Native argmax/argmin aggregate surface (`max_by` / `min_by`,
+    * DuckDB `arg_max`/`arg_min`): which order is the priciest/cheapest
+    * per priority. Both engines leave ties UNSPECIFIED, so the
+    * ordering key is a composite BIGINT — price in exact micro-units
+    * shifted by 10⁷ with the orderkey packed into the low digits
+    * (inverted for max so ties resolve to the SMALLEST key on both
+    * sides) — determinism by construction, not by engine luck. */
+  private val rAggArgmax: Q = (s, d) => {
+    val micro = round(col("o_totalprice") * 1e6).cast("long")
+    val kMax = micro * 10000000L + (lit(9999999L) - col("o_orderkey"))
+    val kMin = micro * 10000000L + col("o_orderkey")
+    Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), kMax).as("best_order"),
+        r4(max(col("o_totalprice"))).as("best_price"),
+        min_by(col("o_orderkey"), kMin).as("worst_order"),
+        r4(min(col("o_totalprice"))).as("worst_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   private def ordersCustNation(s: SparkSession, d: String): DataFrame = {
     val o = Tables(s, d, "orders")
     val c = Tables(s, d, "customer")
@@ -886,6 +908,7 @@ object TierR {
     "r_agg_percentile" -> rAggPercentile,
     "r_quantile_bin" -> rQuantileBin,
     "r_agg_stats" -> rAggStats,
+    "r_agg_argmax" -> rAggArgmax,
     "r_agg_rollup" -> rAggRollup,
     "r_agg_rollup_sql" -> rAggRollupSql,
     "r_agg_cube" -> rAggCube,
@@ -1102,6 +1125,21 @@ object TierR {
         |       round(var_samp(o_totalprice) / 1e6, 4) AS var_m,
         |       round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // arg_max/arg_min on the same composite micro-unit key — engine
+    // tie rules never consulted
+    "r_agg_argmax" ->
+      """WITH k AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        CAST(round(o_totalprice * 1e6) AS BIGINT) * 10000000
+        |          AS base
+        |      FROM orders)
+        |SELECT o_orderpriority,
+        |       arg_max(o_orderkey, base + (9999999 - o_orderkey))
+        |         AS best_order,
+        |       round(max(o_totalprice), 4) AS best_price,
+        |       arg_min(o_orderkey, base + o_orderkey) AS worst_order,
+        |       round(min(o_totalprice), 4) AS worst_price,
+        |       count(1) AS n
+        |FROM k GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "r_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ${moneySumSql("l_quantity")} AS sum_qty,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, length, lit, lpad, max, min, round, slice, split, substring, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, length, lit, lpad, max, min, round, slice, split, substring, sum, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -129,6 +129,32 @@ object TierX {
       // data offset, dims), integer-exact 32-bit average-hash over
       // the pixel region
       Multimodal.imageAHash(s, docs(s, d)).toDF().orderBy("doc_id")),
+    "x_ann_recall" -> ((s, d) => {
+      // index health check: recall/precision of a deliberately weak
+      // LSH config (8 hashes / 2 bands) against the PPJoin EXACT
+      // ground truth at the same threshold — both sides are
+      // corpus-scalable (PPJoin is exact without all-pairs), so the
+      // report runs at production scale, not on a sample. Precision
+      // must read 1.0: verified LSH pairs are a subset of exact by
+      // construction, and the oracle re-derives that cross-engine
+      val dd = docs(s, d)
+      val exact = Dedup.nearDupJaccard(dd, k = 3, threshold = 0.8)
+        .select(col("d1"), col("d2"), lit(1L).as("in_exact"))
+      val lsh = Dedup
+        .nearDupMinHash(dd, k = 3, threshold = 0.8,
+          numHashes = 8, bands = 2)
+        .select(col("d1"), col("d2"), lit(1L).as("in_lsh"))
+      exact.join(lsh, Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum("in_exact").as("n_exact"),
+          sum("in_lsh").as("n_lsh"),
+          sum(col("in_exact") * col("in_lsh")).as("n_both"))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          round(col("n_both").cast("double") / col("n_exact"), 4)
+            .as("recall"),
+          round(col("n_both").cast("double") / col("n_lsh"), 4)
+            .as("prec"))
+    }),
     "x_audio_fp" -> ((s, d) =>
       // audio near-dup primitive: energy-delta sign bits over the
       // genuinely parsed PCM frames (4-sample frames so short clips
@@ -2136,6 +2162,45 @@ object TierX {
         |       CAST(sum(smp * smp) AS BIGINT) AS energy
         |FROM smp GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // exact all-pairs ground truth + the same weakened 8-hash/2-band
+    // LSH chain re-derived; counts and the two ratios in one row
+    "x_ann_recall" ->
+      s"""WITH $shinglesCte,
+        |pairsx AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |        / (len(a.shingles) + len(b.shingles)
+        |           - len(list_intersect(a.shingles, b.shingles))) >= 0.8),
+        |ex2 AS (SELECT doc_id, unnest(shingles) AS s2 FROM sh),
+        |hw2 AS (SELECT doc_id, ${hash32("s2")} AS h1,
+        |              ${hash32("'1:' || s2")} AS h2 FROM ex2),
+        |hx2 AS (SELECT doc_id, j,
+        |         min((h1 + j * h2) % 4294967296) AS mh
+        |       FROM hw2, range(8) t(j) GROUP BY doc_id, j),
+        |bands2 AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+        |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+        |          FROM hx2 GROUP BY doc_id, j // 4),
+        |cand2 AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands2 a JOIN bands2 b
+        |         ON a.band = b.band AND a.key = b.key
+        |            AND a.doc_id < b.doc_id),
+        |lsh2 AS (SELECT c.d1, c.d2 FROM cand2 c
+        |         JOIN sh sa ON c.d1 = sa.doc_id
+        |         JOIN sh sb ON c.d2 = sb.doc_id
+        |         WHERE CAST(len(list_intersect(sa.shingles, sb.shingles))
+        |                    AS DOUBLE)
+        |           / (len(sa.shingles) + len(sb.shingles)
+        |              - len(list_intersect(sa.shingles, sb.shingles)))
+        |           >= 0.8),
+        |sel AS (SELECT
+        |  (SELECT count(1) FROM pairsx) AS n_exact,
+        |  (SELECT count(1) FROM lsh2) AS n_lsh,
+        |  (SELECT count(1) FROM pairsx p JOIN lsh2 l
+        |   ON p.d1 = l.d1 AND p.d2 = l.d2) AS n_both)
+        |SELECT n_exact, n_lsh, n_both,
+        |       round(CAST(n_both AS DOUBLE) / n_exact, 4) AS recall,
+        |       round(CAST(n_both AS DOUBLE) / n_lsh, 4) AS prec
+        |FROM sel""".stripMargin,
     // the x_audio_energy PCM chain at 4-sample frames, then the same
     // lag-window energy-delta bits (integer exact end to end)
     "x_audio_fp" ->

@@ -119,6 +119,22 @@ class TierRSpec extends SparkSpec {
     assert(res(400L) == ((None, None)))
   }
 
+  test("argmax composite key: price ties resolve to the smallest orderkey") {
+    import spark.implicits._
+    val ties = Seq(
+      (1L, "P", 500.0), (2L, "P", 500.0),  // tied max
+      (3L, "P", 100.0), (4L, "P", 100.0)   // tied min
+    ).toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val micro = round(col("o_totalprice") * 1e6).cast("long")
+    val r = ties.groupBy("o_orderpriority").agg(
+      max_by(col("o_orderkey"),
+        micro * 10000000L + (lit(9999999L) - col("o_orderkey")))
+        .as("best"),
+      min_by(col("o_orderkey"), micro * 10000000L + col("o_orderkey"))
+        .as("worst")).head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L)
+  }
+
   test("as-of join plans one shuffle, no range-join explosion") {
     val p = plan("r_join_asof")
     assert(!p.contains("CartesianProduct"))
