@@ -163,6 +163,22 @@ object TierR {
       .orderBy("o_orderpriority")
   }
 
+  /** Boolean + bitwise aggregate surface: predicate counting
+    * (count_if), universal/existential reducers (bool_and/bool_or),
+    * and the order-free bit reducers (bit_and/bit_or/bit_xor) — all
+    * associative-commutative, so partial aggregation is exact. */
+  private val rAggBoolbit: Q = (s, d) =>
+    Tables(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count_if(col("o_totalprice") > 100000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_totalprice") > 400000).as("any_jumbo"),
+        bit_and(col("o_orderkey")).as("key_and"),
+        bit_or(col("o_orderkey")).as("key_or"),
+        bit_xor(col("o_orderkey")).as("key_xor"))
+      .orderBy("o_orderpriority")
+
   private def ordersCustNation(s: SparkSession, d: String): DataFrame = {
     val o = Tables(s, d, "orders")
     val c = Tables(s, d, "customer")
@@ -909,6 +925,7 @@ object TierR {
     "r_quantile_bin" -> rQuantileBin,
     "r_agg_stats" -> rAggStats,
     "r_agg_argmax" -> rAggArgmax,
+    "r_agg_boolbit" -> rAggBoolbit,
     "r_agg_rollup" -> rAggRollup,
     "r_agg_rollup_sql" -> rAggRollupSql,
     "r_agg_cube" -> rAggCube,
@@ -1125,6 +1142,17 @@ object TierR {
         |       round(var_samp(o_totalprice) / 1e6, 4) AS var_m,
         |       round(corr(o_totalprice, o_custkey), 4) AS price_cust_corr
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // identical boolean/bitwise reducers; DuckDB shares every name
+    "r_agg_boolbit" ->
+      """SELECT o_orderpriority,
+        |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |       bool_and(o_totalprice > 0) AS all_positive,
+        |       bool_or(o_totalprice > 400000) AS any_jumbo,
+        |       bit_and(o_orderkey) AS key_and,
+        |       bit_or(o_orderkey) AS key_or,
+        |       bit_xor(o_orderkey) AS key_xor
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // arg_max/arg_min on the same composite micro-unit key — engine
     // tie rules never consulted
     "r_agg_argmax" ->
