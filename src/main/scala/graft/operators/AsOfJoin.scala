@@ -27,9 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Both joins carry the right value through integer tie-break
+    * arithmetic (`asofNearest` negates it inside its struct key), so a
+    * non-integral match column would be silently truncated to long.
+    * Enforce the contract at the schema instead. */
+  private def requireIntegral(df: DataFrame, valueCol: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"as-of match column '$valueCol' must be integral (byte/short/int/" +
+        s"long), got ${dt.simpleString}: the match value travels through " +
+        "long tie-break keys and any other type would be truncated")
+  }
+
   /** Returns `left` plus `matchCol` = `right(valueCol)` of the latest
     * right row with `right(tsCol) <= left(tsCol)` sharing `key` (null
-    * if none precedes). `valueCol` must be castable to long. */
+    * if none precedes). `valueCol` must be an integral column
+    * (enforced — see [[requireIntegral]]). */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -42,6 +56,7 @@ object AsOfJoin {
     // already carrying _tag/_rv would be silently corrupted by the drop
     require(!left.columns.contains("_tag") && !left.columns.contains("_rv"),
       "asofJoin: left frame must not contain internal columns _tag/_rv")
+    requireIntegral(right, valueCol)
     // right rows with null ts or null value cannot participate: a null
     // ts never satisfies l.ts >= r.ts in engines with SQL-null
     // comparison semantics, and a null value is indistinguishable from
@@ -97,6 +112,7 @@ object AsOfJoin {
     val internal = Seq("_tag", "_r", "_b", "_f")
     require(internal.forall(c => !left.columns.contains(c)),
       s"asofNearest: left frame must not contain internal columns $internal")
+    requireIntegral(right, valueCol)
     val r = right
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(key), col(tsCol),

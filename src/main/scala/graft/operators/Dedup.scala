@@ -864,6 +864,13 @@ object Dedup {
     * recall at Hamming ≤ maxHamming via the same r+1-block pigeonhole
     * equi-join, no all-pairs anywhere.
     *
+    * Caching contract (same as [[simHash]]/[[simHash64]]): the
+    * fingerprint frame is persisted because it feeds BOTH join sides;
+    * the persist lives until the caller runs
+    * `spark.catalog.clearCache()` (the Verify/Bench harnesses do) or
+    * unpersists it. A long-lived library caller invoking this
+    * repeatedly should clear the cache between invocations.
+    *
     * Input must carry (idCol, hashCol); output (d1, d2, hamming). */
   def hammingPairs32(
       hashes: DataFrame,

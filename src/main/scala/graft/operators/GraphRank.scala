@@ -97,9 +97,9 @@ object GraphRank {
     * by orientation out-degree, O(√|E|) (the arboricity bound; Suri &
     * Vassilvitskii, "Counting Triangles and the Curse of the Last
     * Reducer", WWW'11). A hub of degree d costs its NEIGHBORS' small
-    * out-degrees, not d² — the standard scale defense. The composite
-    * key assumes vertex ids < 10⁹ (true of the corpus; a wider id
-    * space would use a (deg, id) struct key instead).
+    * out-degrees, not d² — the standard scale defense. The orientation
+    * key is a (deg, id) STRUCT (lexicographic order), so it is a total
+    * order for ANY id range — no composite-integer overflow hazard.
     *
     * Scale shape: two degree joins onto the edge list, one
     * wedge self-join on the low endpoint, one closing equi-join on
@@ -118,8 +118,8 @@ object GraphRank {
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .select(col("a"), col("b"),
-        (col("da") * lit(1000000000L) + col("a")).as("ka"),
-        (col("db") * lit(1000000000L) + col("b")).as("kb"))
+        struct(col("da").as("deg"), col("a").as("id")).as("ka"),
+        struct(col("db").as("deg"), col("b").as("id")).as("kb"))
     val oriented = withK.select(
       when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),

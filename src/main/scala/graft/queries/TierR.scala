@@ -351,11 +351,23 @@ object TierR {
   private val rHistogram: Q = (s, d) => {
     val o = Tables(s, d, "orders")
     val mm = o.agg(min("o_totalprice"), max("o_totalprice")).head()
+    // degenerate inputs: an empty table aggregates to (null, null) —
+    // emit zero rows with the full schema; a constant column (mx == mn)
+    // would divide by zero in the bucket expression — collapse to one
+    // bucket covering the single value
+    if (mm.isNullAt(0)) {
+      val empty = o.limit(0)
+      empty.select(lit(0L).as("bucket"), lit(0L).as("n"),
+        lit(0d).as("bucket_total"), lit(0d).as("lo"), lit(0d).as("hi"))
+        .limit(0)
+    } else {
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val nb = 20
-    val bucket = least(
-      floor((col("o_totalprice") - mn) * nb / (mx - mn)),
-      lit(nb - 1.0)).cast("long")
+    val bucket =
+      if (mx == mn) lit(0L)
+      else least(
+        floor((col("o_totalprice") - mn) * nb / (mx - mn)),
+        lit(nb - 1.0)).cast("long")
     o.select(bucket.as("bucket"), col("o_totalprice"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -364,6 +376,7 @@ object TierR {
       .withColumn("hi",
         round(lit(mn) + (col("bucket") + 1) * (mx - mn) / nb, 4))
       .orderBy("bucket")
+    }
   }
 
   // ---- window family ----------------------------------------------------

@@ -154,10 +154,33 @@ class NullEdgeSpec extends SparkSpec {
     val spans = Dedup.withinDocSpanDedup(withNull).collect()
       .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(spans == Map(1L -> false, 2L -> true))
-    // null text hashes to a null digest; SQL null keys never equi-match,
-    // so a null-text batch row survives the anti-join (documented
-    // exact-dedup semantics, same as Dedup.exact's null group)
-    assert(Dedup.incrementalExact(withNull).count() >= 0)
+    // incrementalExact null/survivor semantics, asserted on the actual
+    // survivor SET (not just "doesn't crash"). Batch membership is
+    // hash-fated (hash32("incr:" + id) % 10 == 0), so pick ids whose
+    // fate we can compute with the same driver-side hash:
+    val bucket = (id: Long) =>
+      graft.functions.Hashing.hash32Local(s"incr:$id") % 10
+    val batchIds = (1L to 200L).filter(bucket(_) == 0L)
+    val corpusIds = (1L to 200L).filter(bucket(_) != 0L)
+    assert(batchIds.size >= 3 && corpusIds.size >= 2)
+    val Seq(bNull, bDup, bFresh) = batchIds.take(3)
+    val Seq(cNull, cSeen) = corpusIds.take(2)
+    val incr = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(bNull, null, "en", "s", 0L),   // batch, null text
+        Row(bDup, "seen text", "en", "s", 9L),  // batch, corpus-known
+        Row(bFresh, "fresh text", "en", "s", 10L), // batch, unseen
+        Row(cNull, null, "en", "s", 0L),   // corpus, null text
+        Row(cSeen, "seen text", "en", "s", 9L))), docSchema) // corpus
+    val survivors = Dedup.incrementalExact(incr).collect()
+    // the null-digest batch row survives even though the CORPUS also
+    // holds a null digest: SQL null keys never equi-match, so the LEFT
+    // ANTI join cannot drop it (documented exact-dedup semantics);
+    // corpus-known content is dropped, unseen content survives
+    assert(survivors.map(_.getAs[Long]("doc_id")).toSet ==
+      Set(bNull, bFresh))
+    assert(survivors.find(_.getAs[Long]("doc_id") == bNull)
+      .exists(_.isNullAt(0))) // content_hash column is the null digest
     // empty similarity graph: no vertices, no triangles, no crash
     val emptyPairs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row],
