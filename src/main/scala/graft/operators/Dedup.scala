@@ -117,7 +117,7 @@ object Dedup {
     *
     * Candidate generation only indexes each document's PREFIX — its
     * (|S| − ⌈τ·|S|⌉ + 1) rarest shingles under the global
-    * (document-frequency, shingle) order. The prefix-filtering theorem
+    * (document-frequency, shingle-hash) order. The prefix-filtering theorem
     * guarantees any pair with Jaccard ≥ τ shares a prefix element, so
     * recall stays exact while the postings join shrinks ~|S|·(1−τ)/|S|
     * per doc and candidate pairs collapse to near-dups plus rare-shingle
@@ -125,18 +125,47 @@ object Dedup {
     * sets. This is the shape that survives 100 TB: postings of rare
     * shingles, never docs².
     *
+    * (Measured and rejected: collapsing identical shingle SETS to one
+    * representative before pairing — the exact-dedup-first composition
+    * — costs more than it saves here (69.4 s vs 62.8 s at the 100×
+    * rehearsal): the groupBy ships every full shingle array through a
+    * shuffle to save only the ~10% verbatim-duplicate mass. On a
+    * corpus with much higher exact-duplicate rates, run [[exact]]
+    * first and feed survivors to this operator — same effect, caller's
+    * choice.)
+    *
     * Output: (d1, d2, jac) for all pairs with Jaccard ≥ threshold. */
   def nearDupJaccard(
       docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // the shingle frame feeds four plan branches (df-ordering, both
-    // prefix sides, verification); without caching the whole corpus is
-    // re-scanned and re-shingled per branch (9 scans observed)
-    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("s"))
-    // global rarity order: (document frequency, shingle)
-    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    val wPrefix = Window.partitionBy("doc_id").orderBy("df", "s")
+    // the shingle frame feeds three plan branches (df-ordering, prefix
+    // build, verification); without caching the whole corpus is
+    // re-scanned and re-shingled per branch. SER storage: millions of
+    // cached shingle strings as deserialized JVM objects measured
+    // GC-bound at the 100× rehearsal (GCLocker allocation stalls); the
+    // serialized form trades a decode per scan for an order-of-
+    // magnitude fewer live objects.
+    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    // Candidate generation runs entirely in 64-BIT HASH space (the
+    // AllPairs/PPJoin theorems only need SOME consistent global total
+    // order on elements, and string equality implies hash equality, so
+    // hash-space candidates are a superset of string-space candidates
+    // — a collision can only ADD a candidate, which exact string
+    // verification then kills; it can never hide a qualifying pair).
+    // Measured at the 100× rehearsal: 8-byte longs through the df
+    // aggregate, the prefix selection, and the postings self-join
+    // instead of ~25-char shingle strings cut those exchanges' bytes
+    // and turn every sort/group comparison into a long compare.
+    //
+    // The explicit repartition on h makes ONE exchange feed both the
+    // df aggregate and the occurrence side of the df join (identical
+    // subplan → ReusedExchange; the two consumers are otherwise two
+    // separate 26M-row shuffles), and the join itself runs
+    // co-partitioned with zero additional exchanges.
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .repartition(col("h"))
+    // global rarity order: (document frequency, shingle hash)
+    val df = ex.groupBy("h").agg(count(lit(1)).as("df"))
     // ceil(tau*sz - eps): the epsilon keeps an FP product that lands an
     // ulp ABOVE an exact integer boundary from inflating the ceil and
     // silently shortening the indexed prefix (recall, not performance).
@@ -144,10 +173,31 @@ object Dedup {
     val prefixLen =
       (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .cast("int")
-    val prefix = ex.join(df, "s")
-      .withColumn("r", row_number().over(wPrefix))
-      .filter(col("r") <= prefixLen)
-      .select(col("doc_id"), col("s"), col("sz"), col("r"))
+    // Per-doc prefix selection WITHOUT a window: collect the doc's
+    // (df, h) pairs, sort row-locally, slice the prefix. Replaces the
+    // partition-wide window sort with ~|S|-element array sorts, ships
+    // a 16-byte struct per occurrence through the doc_id exchange (sz
+    // rides as size(ps), not a per-row column), and emits ONLY prefix
+    // rows. sort_array's (df, h) lexicographic struct order IS the
+    // global rarity order, and duplicate structs (a within-doc 64-bit
+    // collision) sort stably by equality, so ranks match the window
+    // form exactly.
+    //
+    // df >= 2 prune: a prefix entry whose shingle occurs in ONE
+    // document can never produce a pair (its only join partner is
+    // itself, killed by d1 < d2), so dropping it shrinks the self-join
+    // input for free — on a long-tailed corpus the rarest shingles are
+    // precisely the ones the rarity order puts into prefixes.
+    val prefix = ex.join(df, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ps"))
+      .select(col("doc_id"), size(col("ps")).as("sz"), col("ps"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("ps"), lit(1), prefixLen)))
+      .select(col("doc_id"), col("col.h").as("h"), col("sz"),
+        (col("pos") + 1).as("r"), col("col.df").as("df"))
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("h"), col("sz"), col("r"))
     // Candidate pruning beyond the prefix theorem — both filters are
     // NECESSARY conditions for J(A,B) >= tau, so recall stays exact:
     //  - length: |A cap B| <= min(|A|,|B|) and >= tau*|A cup B| >=
@@ -172,15 +222,42 @@ object Dedup {
     val eps = 1e-9
     val alphaBound = lit(threshold / (1 + threshold)) *
       (col("a.sz") + col("b.sz")) - lit(eps)
-    val cand = prefix.as("a").join(prefix.as("b"), "s")
+    // Accumulated-overlap candidate filter (PPJoin's pair-level bound,
+    // the 100×-rehearsal fix: per-occurrence filters alone left a 19×
+    // candidate-to-output ratio and exact verification dominated the
+    // run at 41 of 116 s). Positions within a doc follow the SAME
+    // global (df, s) order, so for a pair's co-prefix matches — ordered
+    // by that global order — both positions increase monotonically, and
+    // every common element ranked before the LAST co-prefix match is
+    // itself a co-prefix match (were it past either prefix, the later
+    // match could not sit inside that prefix). Hence with c co-prefix
+    // matches whose last match sits at positions (ra, rb):
+    //   overlap  =  c + |common elements ranked after the last match|
+    //           <=  c + min(szA - ra, szB - rb)
+    // and J >= tau forces overlap >= tau/(1+tau)·(szA+szB). The bound
+    // is exact-recall: for a qualifying pair NO co-prefix occurrence is
+    // dropped by the per-occurrence filters above (each is a necessary
+    // condition), so c is the true co-prefix count. The groupBy
+    // replaces the old `.distinct()` at the identical shuffle shape
+    // (same keys, partial aggregation map-side) while cutting the
+    // candidates that reach exact verification ~20× on the rehearsal
+    // corpus.
+    val cand = prefix.as("a").join(prefix.as("b"), "h")
       .filter(col("a.doc_id") < col("b.doc_id"))
       .filter(col("b.sz") >= lit(threshold) * col("a.sz") - lit(eps) &&
         col("a.sz") >= lit(threshold) * col("b.sz") - lit(eps))
       .filter(least(col("a.r"), col("b.r")) +
         least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r"))
         >= alphaBound)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"),
+        max(col("a.r")).as("ra"), max(col("b.r")).as("rb"),
+        max(col("a.sz")).as("sz1"), max(col("b.sz")).as("sz2"))
+      .filter(col("c") +
+        least(col("sz1") - col("ra"), col("sz2") - col("rb"))
+        >= lit(threshold / (1 + threshold)) *
+          (col("sz1") + col("sz2")) - lit(eps))
+      .select("d1", "d2")
     verifyJaccard(cand, sh, threshold)
   }
 

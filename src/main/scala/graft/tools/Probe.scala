@@ -24,10 +24,117 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val which = args.headOption.getOrElse("all")
-    val spark = graft.Sessions.localBuilder("32").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // current open experiments: (none)
+    // plan-shape check: does the prefix join reuse the df groupBy's
+    // exchange of the exploded shingle frame?
+    if (which == "ppjoinplan") {
+      val docs = graft.Tables(spark, sfDir, "documents")
+      val out = graft.operators.Dedup.nearDupJaccard(docs, 3, 0.8)
+      val plan = out.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println(plan.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Reused") ||
+          l.contains("InMemory") || l.contains("Window") ||
+          l.contains("Aggregate") || l.contains("Join"))
+        .mkString("\n"))
+      spark.stop()
+      return
+    }
+
+    // current open experiment: PPJoin stage profile at the 100x
+    // rehearsal volume (500k docs, 400 partitions) — where do the
+    // 116 s go?
+    if (which == "ppjoin100x") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel
+      import graft.functions.Hashing
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      // same synthesis as ScaleRehearsal.docs100x
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("*"), explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+          when(col("replica") % 50 < 5, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+              concat(lit("$1u"), col("replica"), lit(" $2"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .persist()
+      println(s"[probe] docs: ${docs.count()}")
+      val threshold = 0.8
+      def stage(name: String)(f: () => DataFrame): DataFrame = {
+        val t0 = System.nanoTime()
+        val df = f()
+        df.write.mode("overwrite").format("noop").save()
+        println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        df
+      }
+      val t0 = System.nanoTime()
+      val sh = graft.operators.Dedup.shingles(docs, 3)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] shingle rows: ${sh.count()}, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val ex = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("s"))
+      val df0 = stage("df-aggregate") { () =>
+        ex.groupBy("s").agg(count(lit(1)).as("df"))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] distinct shingles: ${df0.count()}")
+      val wPrefix = Window.partitionBy("doc_id").orderBy("df", "s")
+      val prefixLen =
+        (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+          .cast("int")
+      val prefix = stage("prefix (join df + window)") { () =>
+        ex.join(df0, "s")
+          .withColumn("r", row_number().over(wPrefix))
+          .filter(col("r") <= prefixLen)
+          .select(col("doc_id"), col("s"), col("sz"), col("r"))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] prefix rows: ${prefix.count()}")
+      val eps = 1e-9
+      val alphaBound = lit(threshold / (1 + threshold)) *
+        (col("a.sz") + col("b.sz")) - lit(eps)
+      val cand = stage("candidates (self-join + acc filter)") { () =>
+        prefix.as("a").join(prefix.as("b"), "s")
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .filter(col("b.sz") >= lit(threshold) * col("a.sz") - lit(eps) &&
+            col("a.sz") >= lit(threshold) * col("b.sz") - lit(eps))
+          .filter(least(col("a.r"), col("b.r")) +
+            least(col("a.sz") - col("a.r"), col("b.sz") - col("b.r"))
+            >= alphaBound)
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("c"),
+            max(col("a.r")).as("ra"), max(col("b.r")).as("rb"),
+            max(col("a.sz")).as("sz1"), max(col("b.sz")).as("sz2"))
+          .filter(col("c") +
+            least(col("sz1") - col("ra"), col("sz2") - col("rb"))
+            >= lit(threshold / (1 + threshold)) *
+              (col("sz1") + col("sz2")) - lit(eps))
+          .select("d1", "d2")
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] candidate pairs: ${cand.count()}")
+      stage("verify (2 joins + jaccard)") { () =>
+        val sa = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+        val sb = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+        cand.join(sa, "d1").join(sb, "d2")
+          .withColumn("inter",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+          .withColumn("jac",
+            col("inter") /
+              (size(col("sh1")) + size(col("sh2")) - col("inter")))
+          .filter(col("jac") >= threshold)
+          .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+      }
+      val _ = Hashing // keep import
+      spark.stop()
+      return
+    }
+
     val _ = (sfDir, which, time(1) _)
 
     spark.stop()
