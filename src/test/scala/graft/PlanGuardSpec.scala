@@ -34,6 +34,11 @@ class PlanGuardSpec extends SparkSpec {
     // inherits x_sim_ivf's centroid-grid broadcast through
     // ivfAssignments; its own probe/LUT joins are broadcast EQUI-joins
     "x_sim_ivf_pq",
+    // inherits both the centroid grid (through ivfAssignments) and
+    // x_sim_topk's broadcast query grid (the exact ground truth it
+    // grades against); the per-probe grading itself is one left
+    // EQUI-join + one aggregate
+    "x_ann_recall_curve",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
     // domainMix/domainUpsample cross the 1-row n_min/n_max scalar onto
     // the |groups|-row rate table

@@ -199,6 +199,30 @@ class TierXSpec extends SparkSpec {
       assert(unpruned((r.getLong(0), r.getLong(1))) == r.getLong(4)))
   }
 
+  test("ann recall curve: cost and recall are monotone in nProbe") {
+    val rows = q("x_ann_recall_curve").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    val cands = rows.map(_.getLong(1))
+    val hits = rows.map(_.getLong(2))
+    val recall = rows.map(_.getDouble(3))
+    // more probed cells can only add candidates, and the ADC top-k over
+    // a candidate SUPERSET can only gain or keep exact-truth hits at
+    // the margin where true neighbors enter the probed cells — assert
+    // both axes monotone (equal allowed: extra cells may hold no
+    // neighbors)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidate cost not monotone: ${cands.toSeq}")
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"recall not monotone: ${recall.toSeq}")
+    // recall is hits / (5 queries * k=5), bounded by construction
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 25 && r.getDouble(3) >= 0 &&
+        r.getDouble(3) <= 1.0)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 25.0) < 1e-9)
+    }
+    val _ = hits
+  }
+
   test("inverted index: df counts the full posting set, lists cap at maxPostings") {
     val docs = Seq(
       (0L, "alpha beta", "en", "s", 10L),
