@@ -312,7 +312,23 @@ object ScaleRehearsal {
       "ivf_pq" -> (() =>
         SimilaritySearch.ivfPqTopK(vecs, nQueries = 5, k = 5,
           nCentroids = 16, nProbe = 4, m = 2, codebookSize = 16,
-          iters = 2)))
+          iters = 2)),
+      // incremental crawl dedup at 10×: only (digest, id) shuffles —
+      // the corpus side collapses to its distinct digest index before
+      // the LEFT ANTI, text never moves
+      "incremental_exact" -> (() => Dedup.incrementalExact(docs)),
+      // image aHash pairing at 10×: real BMP parse then the blocked
+      // Hamming pigeonhole equi-join — never all-pairs
+      "phash_pairs" -> (() => Dedup.hammingPairs32(
+        graft.operators.Multimodal.imageAHash(spark, docs).toDF(),
+        idCol = "doc_id", hashCol = "ahash32", maxHamming = 6)),
+      // DSIR importance selection at 10×: bucket LMs broadcast onto
+      // the token stream, 1-row total scalars, one doc aggregate
+      "select_dsir" -> (() =>
+        graft.operators.Curation.importanceResample(docs)),
+      // the composed CCNet pipeline at 10×: exact dedup → LM scoring
+      // → tertile split, every stage the already-rehearsed shape
+      "pipeline_ccnet" -> (() => graft.operators.Curation.ccnet(docs)))
 
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist() // keep the shared inputs resident
@@ -365,6 +381,19 @@ object ScaleRehearsal {
     val embedPairs = () => SimilaritySearch.cosinePairsLsh(
       vecs, threshold = 0.4, nBits = 64, rowsPerBand = 16)
       .select(col("v1").as("d1"), col("v2").as("d2"))
+    // The similarity-graph pair table is STAGED once: a production
+    // census runs over the dedup pass's already-materialized pairs,
+    // so timing the census with a fresh in-lambda MinHash derivation
+    // (the round-7 shape) measured the pair generation, not the
+    // operator (71.5 s of which the census itself was a small part).
+    // Generation is now its own guarded op (`minhash_pairs`), and
+    // `triangles` reads the staged parquet.
+    val minhashPairs = () => Dedup.nearDupMinHash(docs, k = 3,
+      numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")
+    val pairsDir = java.nio.file.Files
+      .createTempDirectory("graft_tri_pairs").toString
+    minhashPairs().write.mode("overwrite").parquet(pairsDir)
+    spark.catalog.clearCache() // drop the staging run's internal persists
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       "embed_pairs" -> (() => embedPairs()),
@@ -372,23 +401,59 @@ object ScaleRehearsal {
       "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
         n = 5, minShared = 3, maxDf = 20,
         bloomExpectedItems = 1L << 24)),
+      "minhash_pairs" -> (() => minhashPairs()),
       // triangle census over the bounded-cluster similarity graph:
       // each source doc's K10 yields a CONSTANT 120 triangles, so the
       // per-vertex output stays exactly 1 row and the wedge fan-out
       // the orientation bounds is the quantity under test
       "triangles" -> (() => graft.operators.GraphRank.triangleCounts(
-        Dedup.nearDupMinHash(docs, k = 3, numHashes = 32, bands = 8,
-          threshold = 0.8).select("d1", "d2").persist())))
+        spark.read.parquet(pairsDir)
+          .select(col("d1"), col("d2")))),
+      // incremental crawl dedup at 100×: the digest index absorbs the
+      // 10-member verbatim families, so survivors stay ~batch-sized
+      "incremental_exact" -> (() => Dedup.incrementalExact(docs)),
+      // image aHash pairing at 100×: maxHamming drops 6 → 2 — the
+      // 32-bit sketch's pigeonhole blocks are ~4.6 bits at radius 6,
+      // far too coarse for 100k images (bucket depth ~4k ⇒ quadratic
+      // candidates); radius 2 gives ~10.7-bit blocks, the documented
+      // corpus-scale knob rule (the shape — blocked equi-join, exact
+      // Hamming verify — is unchanged; a production corpus at this
+      // size uses the 64-bit sketch family)
+      "phash_pairs" -> (() => Dedup.hammingPairs32(
+        graft.operators.Multimodal.imageAHash(spark, docs).toDF(),
+        idCol = "doc_id", hashCol = "ahash32", maxHamming = 2)))
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
     })
+    // Skew audit for the wedge join (the census' only quadratic-risk
+    // site): per-vertex wedge work is C(outdeg, 2) under the (deg, id)
+    // orientation, so the MAX orientation out-degree bounds the worst
+    // task's fan-out. Reported so a hub regression is visible even
+    // when wall-clock noise hides it.
+    val pairsStaged = spark.read.parquet(pairsDir)
+    val degAudit = pairsStaged
+      .select(explode(array(col("d1"), col("d2"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = pairsStaged
+      .join(degAudit.select(col("v").as("d1"), col("deg").as("dega")), "d1")
+      .join(degAudit.select(col("v").as("d2"), col("deg").as("degb")), "d2")
+      .select(when(struct(col("dega"), col("d1")) <
+          struct(col("degb"), col("d2")), col("d1"))
+        .otherwise(col("d2")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("outdeg"))
+    val audit = oriented
+      .agg(max("outdeg").as("mx"),
+        sum(expr("(outdeg * (outdeg - 1)) div 2")).as("wedges"))
+      .head()
+    val (triMaxOutdeg, triWedges) = (audit.getLong(0), audit.getLong(1))
     val denom = Map("ppjoin" -> nDocs, "embed_pairs" -> nVecs,
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
-      "triangles" -> nDocs)
+      "minhash_pairs" -> nDocs, "triangles" -> nDocs,
+      "incremental_exact" -> nDocs, "phash_pairs" -> nDocs)
     val fanoutCap = 10.0
     val pairOps = Set("ppjoin", "embed_pairs", "ngram_overlap",
-      "triangles")
+      "minhash_pairs", "triangles", "phash_pairs")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||
         (pairOps(n) && r.toDouble / denom(n) > fanoutCap)
@@ -398,7 +463,7 @@ object ScaleRehearsal {
       s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"tri_max_outdeg":$triMaxOutdeg,"tri_wedges":$triWedges,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
     if (onlyOps.isEmpty) writeBlock("100x", line)
     require(bad.isEmpty,
@@ -474,9 +539,15 @@ object ScaleRehearsal {
     def stripedStream() = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
 
-    /** Run to a noop sink, return (secs, progress-derived state rows:
-      * peak total, final total, removed sum, batches). */
-    def runStateful(name: String, out: DataFrame): (Double, Long, Long, Long, Int) = {
+    /** Progress-derived state facts for one run to a noop sink.
+      * `rocksBytes` is the peak on-store footprint reported by the
+      * RocksDB provider's custom metrics (SST files + memtable/block
+      * memory) — 0 under the default HDFS-backed provider, so a
+      * positive value doubles as proof the disk-backed store actually
+      * carried the state. */
+    case class StatefulRun(secs: Double, peak: Long, fin: Long,
+        removed: Long, batches: Int, rocksBytes: Long)
+    def runStateful(name: String, out: DataFrame): StatefulRun = {
       val t = System.nanoTime()
       val q: StreamingQuery = out.writeStream.format("noop")
         .option("checkpointLocation", s"$work/ckpt_$name")
@@ -489,7 +560,18 @@ object ScaleRehearsal {
       val fin = progresses.reverse.find(_.stateOperators.nonEmpty)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
       val removed = states.map(_.numRowsRemoved).sum
-      (secs, peak, fin, removed, progresses.count(_.numInputRows > 0))
+      val rocksBytes =
+        if (states.isEmpty) 0L
+        else states.map { s =>
+          import scala.jdk.CollectionConverters._
+          s.customMetrics.asScala.collect {
+            case (k, v) if k.startsWith("rocksdb") &&
+                (k.contains("SstFileSize") || k.contains("MemoryUsage")) =>
+              v.longValue()
+          }.sum
+        }.max
+      StatefulRun(secs, peak, fin, removed,
+        progresses.count(_.numInputRows > 0), rocksBytes)
     }
 
     // scope shuffle partitions like runToMemory: state stores
@@ -510,13 +592,38 @@ object ScaleRehearsal {
         col("b_ts") >= col("a_ts") &&
         col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
         col("a_id") < col("b_id"))
-    val (jSec, jPeak, jFin, jRemoved, jBatches) =
-      runStateful("join", joined)
+    val j = runStateful("join", joined)
 
     // 2) flatMapGroupsWithState running totals (NoTimeout: state is
     // intentionally key-bounded, never event-bounded)
-    val (sSec, sPeak, sFin, _, _) = runStateful("state",
+    val st = runStateful("state",
       graft.streaming.StreamOps.runningUserTotals(spark, stripedStream()))
+
+    // 2b) the transformWithState RocksDB path at 10×, scoped exactly as
+    // the declared queries scope it (StreamOps.streamHighWaterRun):
+    //   - high-water marks: one ValueState per user on the DISK-backed
+    //     store — state must land at exactly |users| rows, and the
+    //     provider's own SST/memory metrics must be non-zero (proof the
+    //     rows live in RocksDB, not the default HDFS-backed heap store);
+    //   - timer sessions: ListState + event-time timers — closed
+    //     sessions are EMITTED AND DELETED as the watermark passes
+    //     them, so final state rows must drop below the mid-stream
+    //     peak (the eviction proof the ValueState op cannot give,
+    //     since a high-water mark is never evicted by design).
+    val rocksKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(rocksKey)
+    spark.conf.set(rocksKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (h, ts) = try {
+      val h = runStateful("hwm",
+        graft.streaming.StreamOps.highWaterMarks(spark, stripedStream()))
+      val ts = runStateful("timer_sessions",
+        graft.streaming.StreamOps.timerSessions(spark, stripedStream()))
+      (h, ts)
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(rocksKey, v)
+      case None    => spark.conf.unset(rocksKey)
+    }
 
     // 3) foreachBatch CDC upsert: merge every stripe into the
     // partition-pruned state table; "state" = the table itself
@@ -554,14 +661,19 @@ object ScaleRehearsal {
 
     // contracts
     val checks = Seq(
-      ("join_evicts", jRemoved > 0L),
-      ("join_state_bounded", jPeak < nRows / 2), // vs 2M rows buffered unwatermarked
-      ("state_key_bounded", sFin == nUsers && sPeak <= nUsers),
+      ("join_evicts", j.removed > 0L),
+      ("join_state_bounded", j.peak < nRows / 2), // vs 2M rows buffered unwatermarked
+      ("state_key_bounded", st.fin == nUsers && st.peak <= nUsers),
+      ("hwm_key_bounded", h.fin == nUsers && h.peak <= nUsers),
+      ("hwm_on_rocksdb", h.rocksBytes > 0L),
+      ("timer_sessions_evict", ts.removed > 0L || ts.fin < ts.peak),
       ("upsert_key_bounded", uRows <= nUsers))
     val bad = checks.filterNot(_._2).map(_._1)
     val qs = Seq(
-      s""""stream_join":{"sec":${math.round(jSec * 100) / 100.0},"batches":$jBatches,"state_peak":$jPeak,"state_final":$jFin,"state_removed":$jRemoved}""",
-      s""""stream_state":{"sec":${math.round(sSec * 100) / 100.0},"state_peak":$sPeak,"state_final":$sFin,"n_keys":$nUsers}""",
+      s""""stream_join":{"sec":${math.round(j.secs * 100) / 100.0},"batches":${j.batches},"state_peak":${j.peak},"state_final":${j.fin},"state_removed":${j.removed}}""",
+      s""""stream_state":{"sec":${math.round(st.secs * 100) / 100.0},"state_peak":${st.peak},"state_final":${st.fin},"n_keys":$nUsers}""",
+      s""""stream_hwm":{"sec":${math.round(h.secs * 100) / 100.0},"state_peak":${h.peak},"state_final":${h.fin},"rocksdb_bytes":${h.rocksBytes},"n_keys":$nUsers}""",
+      s""""stream_timer_sessions":{"sec":${math.round(ts.secs * 100) / 100.0},"state_peak":${ts.peak},"state_final":${ts.fin},"state_removed":${ts.removed},"rocksdb_bytes":${ts.rocksBytes}}""",
       s""""stream_upsert":{"sec":${math.round(uSec * 100) / 100.0},"state_rows":$uRows,"n_keys":$nUsers}""")
       .mkString("{", ",", "}")
     val line =
