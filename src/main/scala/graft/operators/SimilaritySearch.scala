@@ -387,12 +387,31 @@ object SimilaritySearch {
         substring(col("bits"), b * rowsPerBand + 1, rowsPerBand).as("key"))
     }
     val banded = withBits
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("vec_id"), col("bits"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bits"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // Multi-band dedup WITHOUT the candidate-pair `.distinct()`: a pair
+    // colliding in b bands used to emit b rows into a corpus-pair-sized
+    // dedup shuffle. Instead each collision row carries both sides'
+    // full bit strings, and a codegen'd when-chain keeps the pair only
+    // at its FIRST colliding band (all earlier bands' keys differ) —
+    // exactly one surviving row per candidate pair, identical output,
+    // zero extra exchange. The chain is bands×(bands−1)/2 substring
+    // compares worst-case, row-local and cheap next to the shuffle it
+    // replaces.
+    val firstBandOnly = (1 until bands).foldLeft(
+        when(col("band") === 0, lit(true))) { (acc, b) =>
+      acc.when(col("band") === b,
+        (0 until b).map { p =>
+          substring(col("a.bits"), p * rowsPerBand + 1, rowsPerBand) =!=
+            substring(col("b.bits"), p * rowsPerBand + 1, rowsPerBand)
+        }.reduce(_ && _))
+    }
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(firstBandOnly)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-      .distinct()
     val sa = withBits.select(
       col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val sb = withBits.select(
@@ -901,6 +920,97 @@ object SimilaritySearch {
         round(col("n_hits").cast("double") / (nQueries.toLong * k), 4)
           .as("recall"))
       .orderBy("n_probe")
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity-aware selection a retrieval/curation pipeline runs
+    * AFTER similarity search: from each query's top-`nCand` candidate
+    * pool, greedily pick `k` results maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s) with λ = 1/2, so two
+    * near-duplicate neighbors never both make the cut.
+    *
+    * Everything is exact integer arithmetic after one rounding point:
+    * relevance and candidate-pair cosines land on the 1e-6 fixed-point
+    * grid (`rel_e6`, `sim_e6` — the [[pqTopK]] ADC convention), and
+    * λ = 1/2 cancels into `score = rel_e6 − pen_e6` (argmax invariant
+    * under the ×2), so the greedy argmax chain — ties broken by lowest
+    * vec_id — replays bit-for-bit in any engine; the DuckDB oracle
+    * unrolls the same k steps as CTEs (the BPE-oracle pattern).
+    *
+    * Scale shape: the candidate pool is BOUNDED (nCand per query) by
+    * the upstream search — here the [[bruteTopK]] cross-join baseline
+    * at test scale; a production corpus feeds [[ivfPqTopK]]/[[lshTopK]]
+    * candidates instead — so the pairwise sim table is nCand² per
+    * query via a q_id equi-join, and each greedy step is a left-anti +
+    * equi-join + window over frames of ≤ nQueries·nCand rows. The k
+    * steps chain lazily off two checkpointed leaves ([[GraphRank]]'s
+    * ReusedExchange reasoning).
+    *
+    * Output: (q_id, sel_rank, vec_id, rel_e6, score_e6), sel_rank
+    * 1..k in greedy pick order. */
+  def mmrRerank(
+      vecs: DataFrame,
+      nQueries: Int = 5,
+      nCand: Int = 20,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && nCand >= k,
+      s"mmrRerank: need nCand >= k >= 1, got k=$k nCand=$nCand")
+    val corpus = withNorm(vecs, "vec_id", "embedding")
+    val queries = withNorm(vecs.filter(col("vec_id") < nQueries), "q_id", "q_vec")
+    val wRel = Window.partitionBy("q_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    val cand = Lineage.truncate(corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_raw",
+        Similarity.dot(col("embedding"), col("q_vec"))
+          / (col("vec_id_nrm") * col("q_id_nrm")))
+      .withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") <= nCand)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cos_raw") * 1e6).cast("long").as("rel_e6"),
+        col("embedding"), col("vec_id_nrm")))
+    val scalarCand = cand.select("q_id", "vec_id", "rel_e6")
+    // pairwise candidate sims, nCand² per query by construction
+    val pairSim = Lineage.truncate(
+      cand.as("a").join(cand.as("b"), Seq("q_id"))
+        .filter(col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("q_id"),
+          col("a.vec_id").as("c1"), col("b.vec_id").as("c2"),
+          round(Similarity.dot(col("a.embedding"), col("b.embedding"))
+            / (col("a.vec_id_nrm") * col("b.vec_id_nrm")) * 1e6)
+            .cast("long").as("sim_e6")))
+    val wPick = Window.partitionBy("q_id")
+      .orderBy(col("score_e6").desc, col("vec_id"))
+    // step 1: pure relevance (empty selected set ⇒ zero penalty)
+    var sel = scalarCand
+      .withColumn("score_e6", col("rel_e6"))
+      .withColumn("r", row_number().over(wPick))
+      .filter(col("r") === 1)
+      .select(col("q_id"), lit(1L).as("sel_rank"), col("vec_id"),
+        col("rel_e6"), col("score_e6"))
+    for (step <- 2 to k) {
+      // remaining candidates ⋈ their sims TO THE SELECTED SET (both
+      // joins carry q_id — candidate pools of different queries may
+      // share vec_ids), then the max-sim penalty per candidate
+      val scored = scalarCand
+        .join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+          "left_anti").as("r")
+        .join(pairSim.as("p"),
+          col("r.q_id") === col("p.q_id") &&
+            col("r.vec_id") === col("p.c1"))
+        .join(sel.select(col("q_id").as("sq"), col("vec_id").as("sv")),
+          col("p.q_id") === col("sq") && col("p.c2") === col("sv"))
+        .groupBy(col("r.q_id").as("q_id"), col("r.vec_id").as("vec_id"),
+          col("r.rel_e6").as("rel_e6"))
+        .agg(max("sim_e6").as("pen_e6"))
+        .withColumn("score_e6", col("rel_e6") - col("pen_e6"))
+      sel = sel.unionByName(scored
+        .withColumn("r", row_number().over(wPick))
+        .filter(col("r") === 1)
+        .select(col("q_id"), lit(step.toLong).as("sel_rank"),
+          col("vec_id"), col("rel_e6"), col("score_e6")))
+    }
+    sel
   }
 
   /** LSH-bucketed top-k: like [[bruteTopK]] but candidates come from

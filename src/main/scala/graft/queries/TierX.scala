@@ -302,6 +302,14 @@ object TierX {
     "x_sim_topk" -> ((s, d) =>
       SimilaritySearch.bruteTopK(vecs(s, d), nQueries = 5, k = 10)
         .orderBy("q_id", "rank")),
+    "x_mmr_rerank" -> ((s, d) =>
+      // diversity-aware selection AFTER similarity search: from each
+      // query's top-20 candidate pool, 5 greedy MMR picks (λ = 1/2 —
+      // score = rel_e6 − max sim_e6 to the already-picked set), so two
+      // near-duplicate neighbors never both make the cut
+      SimilaritySearch.mmrRerank(vecs(s, d), nQueries = 5, nCand = 20,
+        k = 5)
+        .orderBy("q_id", "sel_rank")),
     "x_sim_ann_lsh" -> ((s, d) =>
       SimilaritySearch
         .lshTopK(vecs(s, d), nQueries = 5, k = 5, nProbes = 4, probeHamming = 1)
@@ -859,6 +867,32 @@ object TierX {
       s"for i in range(1, len($a) + 1)])"
   private val cosSql = (a: String, b: String) =>
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** One MMR greedy step in DuckDB, mirroring
+    * [[graft.operators.SimilaritySearch.mmrRerank]] bit-for-bit:
+    * remaining candidates (NOT EXISTS in sel<i-1>) joined to their
+    * sims against the selected set, max-sim penalty, integer score
+    * rel_e6 − pen_e6, argmax with the (score desc, vec_id asc)
+    * tie-break. Emits pick<i> and sel<i> = sel<i-1> ∪ pick<i>.
+    * Reads CTEs `mcand` (q_id, vec_id, rel_e6) and `mps`
+    * (q_id, c1, c2, sim_e6). */
+  private def mmrStepSql(i: Int): String = {
+    val prev = s"sel${i - 1}"
+    s"""pick$i AS (SELECT q_id, CAST($i AS BIGINT) AS sel_rank, vec_id, rel_e6, score_e6
+      |  FROM (SELECT t.*, row_number() OVER (PARTITION BY t.q_id
+      |                ORDER BY t.score_e6 DESC, t.vec_id) AS r
+      |        FROM (SELECT c.q_id, c.vec_id, c.rel_e6,
+      |                     c.rel_e6 - max(p.sim_e6) AS score_e6
+      |              FROM mcand c
+      |              JOIN mps p ON p.q_id = c.q_id AND p.c1 = c.vec_id
+      |              JOIN $prev s ON s.q_id = p.q_id AND s.vec_id = p.c2
+      |              WHERE NOT EXISTS (SELECT 1 FROM $prev x
+      |                WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+      |              GROUP BY c.q_id, c.vec_id, c.rel_e6) t)
+      |  WHERE r = 1),
+      |sel$i AS (SELECT * FROM $prev UNION ALL
+      |          SELECT q_id, sel_rank, vec_id, rel_e6, score_e6 FROM pick$i)""".stripMargin
+  }
 
   /** One BPE training iteration in DuckDB, mirroring
     * [[graft.operators.Bpe.train]] bit-for-bit: adjacent-pair weighted
@@ -1705,6 +1739,35 @@ object TierX {
         |      FROM c)
         |SELECT q_id, vec_id, rank, round(cos_raw, 4) AS cos
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the x_sim_topk candidate chain at 1e-6 fixed point, then 5
+    // unrolled greedy MMR steps (the BPE-oracle unroll pattern):
+    // integer argmax of rel_e6 − max(sim_e6 to selected) per step
+    "x_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+        |mcand0 AS (SELECT q.q_id, c.vec_id,
+        |        ${cosSql("c.embedding", "q.q_vec")} AS cos_raw, c.embedding
+        |      FROM e c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |mcand1 AS (SELECT q_id, vec_id, cos_raw, embedding,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cos_raw DESC, vec_id) AS rnk
+        |      FROM mcand0),
+        |mcandE AS (SELECT q_id, vec_id,
+        |        CAST(round(cos_raw * 1000000.0) AS BIGINT) AS rel_e6, embedding
+        |      FROM mcand1 WHERE rnk <= 20),
+        |mcand AS (SELECT q_id, vec_id, rel_e6 FROM mcandE),
+        |mps AS (SELECT a.q_id, a.vec_id AS c1, b.vec_id AS c2,
+        |        CAST(round((${cosSql("a.embedding", "b.embedding")}) * 1000000.0) AS BIGINT) AS sim_e6
+        |      FROM mcandE a JOIN mcandE b
+        |        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+        |sel1 AS (SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_e6,
+        |               rel_e6 AS score_e6
+        |      FROM (SELECT c.*, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY rel_e6 DESC, vec_id) AS r FROM mcand c)
+        |      WHERE r = 1),
+        |${(2 to 5).map(mmrStepSql).mkString(",\n")}
+        |SELECT q_id, sel_rank, vec_id, rel_e6, score_e6
+        |FROM sel5 ORDER BY q_id, sel_rank""".stripMargin,
     "x_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,

@@ -39,6 +39,9 @@ class PlanGuardSpec extends SparkSpec {
     // grades against); the per-probe grading itself is one left
     // EQUI-join + one aggregate
     "x_ann_recall_curve",
+    // inherits x_sim_topk's broadcast query grid for its candidate
+    // pool; every greedy step is left-anti + equi-joins + a window
+    "x_mmr_rerank",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
     // domainMix/domainUpsample cross the 1-row n_min/n_max scalar onto
     // the |groups|-row rate table

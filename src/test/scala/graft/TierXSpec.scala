@@ -199,6 +199,62 @@ class TierXSpec extends SparkSpec {
       assert(unpruned((r.getLong(0), r.getLong(1))) == r.getLong(4)))
   }
 
+  test("mmr rerank: exact match with a driver-side greedy replay") {
+    import spark.implicits._
+    // deterministic small corpus, dim 4, no zero vectors
+    val vecs = (0L until 12L).map { id =>
+      (id, (0 until 4).map(i =>
+        (((id * 7 + i * 3) % 11).toInt - 5 + (if (i == 0) 7 else 0))
+          .toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.SimilaritySearch
+      .mmrRerank(vecs, nQueries = 2, nCand = 8, k = 4)
+      .orderBy("q_id", "sel_rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // driver replay with the SAME arithmetic: left-to-right double
+    // accumulation over float elements, HALF_UP e6 rounding
+    val raw = (0L until 12L).map { id =>
+      id -> (0 until 4).map(i =>
+        (((id * 7 + i * 3) % 11).toInt - 5 + (if (i == 0) 7 else 0))
+          .toFloat).toArray
+    }.toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cosE6(a: Array[Float], b: Array[Float]): Long =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+          * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = (0L until 2L).flatMap { q =>
+      val pool = (0L until 12L).filter(_ != q)
+        .map(c => (c, dot(raw(c), raw(q))
+          / (math.sqrt(dot(raw(c), raw(c))) * math.sqrt(dot(raw(q), raw(q))))))
+        .sortBy { case (c, cos) => (-cos, c) }
+        .take(8).map(_._1)
+      val rel = pool.map(c => c -> cosE6(raw(c), raw(q))).toMap
+      var selected = Vector.empty[(Long, Long, Long, Long, Long)]
+      for (step <- 1 to 4) {
+        val remaining = pool.filterNot(c => selected.exists(_._3 == c))
+        val scored = remaining.map { c =>
+          val pen = if (selected.isEmpty) 0L
+            else selected.map(s => cosE6(raw(c), raw(s._3))).max
+          (c, rel(c), if (step == 1) rel(c) else rel(c) - pen)
+        }
+        val (c, r6, s6) = scored.minBy { case (c, _, s) => (-s, c) }
+        selected :+= ((q, step.toLong, c, r6, s6))
+      }
+      selected
+    }
+    assert(out.toSeq == expected,
+      s"mmr mismatch:\n got ${out.toSeq}\n exp $expected")
+    // structural invariants: distinct picks, first pick = top relevance
+    assert(out.map(t => (t._1, t._3)).distinct.length == out.length)
+  }
+
   test("ann recall curve: cost and recall are monotone in nProbe") {
     val rows = q("x_ann_recall_curve").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
