@@ -123,6 +123,54 @@ object TextAnalysis {
         (col("p_lang") === col("lang")).as("match"))
   }
 
+  /** Reciprocal-rank-fusion quality ensemble (Cormack et al.,
+    * SIGIR'09) — the standard way a curation pipeline combines
+    * incommensurable quality signals (heuristics, classifier scores)
+    * without calibrating them onto one scale: each signal contributes
+    * only its RANK, and fused = Σ_s 1/(kRrf + rank_s).
+    *
+    * Signals here: token count (length), type-token ratio (lexical
+    * diversity), chars-per-token (word-length proxy) — each ranked
+    * descending PER LANGUAGE (signals are not comparable across
+    * languages, and a per-group window is also what keeps the sort
+    * scale-safe: a global fusion would funnel the corpus through one
+    * partition; at 100 TB the per-language groups shard further by
+    * quantile-bucketing the signal first). Ranks are `row_number` with
+    * the doc_id tie-break, and the fusion is EXACT integer arithmetic:
+    * rrf_e9 = Σ_s 10⁹ div (kRrf + rank_s) — so any engine replays the
+    * fused order bit-for-bit.
+    *
+    * Output: (doc_id, lang, r_len, r_ttr, r_cpt, rrf_e9, fused_rank). */
+  def rrfQuality(docs: DataFrame, kRrf: Int = 60): DataFrame = {
+    val toks = split(col("text"), " ")
+    def rankBy(c: Column): Column =
+      row_number().over(
+        Window.partitionBy("lang").orderBy(c.desc, col("doc_id")))
+        .cast("long")
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique"),
+        col("n_chars"))
+      .withColumn("ttr",
+        col("n_unique").cast("double") / col("n_tokens"))
+      .withColumn("cpt",
+        col("n_chars").cast("double") / col("n_tokens"))
+      .withColumn("r_len", rankBy(col("n_tokens")))
+      .withColumn("r_ttr", rankBy(col("ttr")))
+      .withColumn("r_cpt", rankBy(col("cpt")))
+      .withColumn("rrf_e9",
+        expr(s"1000000000 div (${kRrf}L + r_len)")
+          + expr(s"1000000000 div (${kRrf}L + r_ttr)")
+          + expr(s"1000000000 div (${kRrf}L + r_cpt)"))
+      .withColumn("fused_rank",
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("rrf_e9").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lang", "r_len", "r_ttr", "r_cpt", "rrf_e9",
+        "fused_rank")
+  }
+
   /** Heuristic quality score per document: type-token ratio, stopword
     * ratio, length saturation — weighted into [0, 1]. */
   def qualityScore(docs: DataFrame): DataFrame = {

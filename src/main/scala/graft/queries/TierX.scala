@@ -342,6 +342,11 @@ object TierX {
       TextAnalysis.langId(docs(s, d)).orderBy("doc_id")),
     "x_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(docs(s, d)).orderBy("doc_id")),
+    "x_quality_rrf" -> ((s, d) =>
+      // rank fusion of incommensurable quality signals (RRF): per-lang
+      // row_number ranks of length / lexical diversity / word length,
+      // fused by exact integer Σ 10⁹ div (60 + rank)
+      TextAnalysis.rrfQuality(docs(s, d)).orderBy("doc_id")),
     "x_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(docs(s, d)).orderBy("doc_id")),
     "x_fingerprint" -> ((s, d) =>
@@ -2003,6 +2008,30 @@ object TierX {
         |SELECT doc_id, lang AS actual_lang, p_lang AS pred_lang,
         |       CAST(score AS BIGINT) AS score, p_lang = lang AS match
         |FROM best WHERE r = 1 ORDER BY doc_id""".stripMargin,
+    // the three signals re-derived, per-lang row_number ranks with the
+    // doc_id tie-break, exact integer RRF sum, fused re-rank
+    "x_quality_rrf" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+        |        n_chars
+        |      FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, lang,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS r_len,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY (CAST(n_unique AS DOUBLE) / n_tokens) DESC, doc_id) AS BIGINT) AS r_ttr,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY (CAST(n_chars AS DOUBLE) / n_tokens) DESC, doc_id) AS BIGINT) AS r_cpt
+        |      FROM base),
+        |f AS (SELECT doc_id, lang, r_len, r_ttr, r_cpt,
+        |        (1000000000 // (60 + r_len)) + (1000000000 // (60 + r_ttr))
+        |          + (1000000000 // (60 + r_cpt)) AS rrf_e9
+        |      FROM r)
+        |SELECT doc_id, lang, r_len, r_ttr, r_cpt, CAST(rrf_e9 AS BIGINT) AS rrf_e9,
+        |       CAST(row_number() OVER (PARTITION BY lang
+        |         ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS fused_rank
+        |FROM f ORDER BY doc_id""".stripMargin,
     "x_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |m AS (SELECT doc_id,

@@ -339,7 +339,12 @@ object ScaleRehearsal {
     // allowlist): tokenize's encode stage crosses the 1-row <unk>-id
     // scalar onto the token stream; ivf_pq inherits the nCentroids-row
     // centroid-grid broadcast — both bounded by construction
-    val bnljAllowed = Set("tokenize_pack", "ivf_pq")
+    // the same documented 1-row-scalar / tiny-grid broadcasts
+    // PlanGuardSpec allowlists for the declared queries: tokenize's
+    // <unk>-id scalar, IVF's centroid grid, DSIR's LM-total scalars,
+    // CCNet's inherited LM/tertile scalars
+    val bnljAllowed = Set("tokenize_pack", "ivf_pq", "select_dsir",
+      "pipeline_ccnet")
     val bad = results.filter { case (n, _, _, c, b) =>
       c > 0 || (b > 0 && !bnljAllowed.contains(n)) }
     val qs = results.map { case (n, s, r, c, b) =>

@@ -199,6 +199,27 @@ class TierXSpec extends SparkSpec {
       assert(unpruned((r.getLong(0), r.getLong(1))) == r.getLong(4)))
   }
 
+  test("rrf quality fusion: integer fusion replays from the ranks") {
+    val rows = q("x_quality_rrf").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      // each signal's rank column is a permutation of 1..n in-lang
+      Seq(2, 3, 4).foreach { i =>
+        assert(rs.map(_.getLong(i)).sorted.toSeq == (1L to n).toSeq)
+      }
+      // rrf_e9 is exactly the integer formula over the three ranks
+      rs.foreach { r =>
+        val e = Seq(2, 3, 4).map(i => 1000000000L / (60L + r.getLong(i))).sum
+        assert(r.getLong(5) == e, s"rrf mismatch for doc ${r.getLong(0)}")
+      }
+      // fused_rank orders by (rrf_e9 desc, doc_id)
+      val expectedOrder = rs.sortBy(r => (-r.getLong(5), r.getLong(0)))
+        .map(_.getLong(0)).toSeq
+      assert(rs.sortBy(_.getLong(6)).map(_.getLong(0)).toSeq == expectedOrder)
+    }
+  }
+
   test("mmr rerank: exact match with a driver-side greedy replay") {
     import spark.implicits._
     // deterministic small corpus, dim 4, no zero vectors
