@@ -282,8 +282,14 @@ object TierX {
     "x_quota_cap" -> ((s, d) =>
       Curation.quotaCap(docs(s, d), quota = 50).orderBy("doc_id")),
     "x_dedup_embed" -> ((s, d) =>
+      // persist before the global sort: since the first-band dedup
+      // removed the distinct (the only exchange below the orderBy),
+      // the range-partitioner's sampling pass would re-execute the
+      // whole band-join + verify — the SCALING.md cache-before-sort
+      // rule (x_fingerprint's shape)
       SimilaritySearch
         .cosinePairsLsh(vecs(s, d), threshold = 0.4, nBits = 16, rowsPerBand = 2)
+        .persist()
         .orderBy("v1", "v2")),
     "x_dedup_embed_cluster" -> ((s, d) =>
       // semantic dedup end-to-end: embedding-space near-dup pairs into

@@ -19,6 +19,12 @@ import graft.{SparkEntry, Tables}
 object PlanDump {
 
   private val headliners: Seq[(String, String)] = Seq(
+    "x_mmr_rerank" ->
+      "MMR diversity rerank: broadcast query grid builds the bounded candidate pool once (checkpoint leaf), then k greedy steps of left-anti + equi-joins + windows over nQueries·nCand-row frames — corpus size never re-enters",
+    "x_ann_recall_curve" ->
+      "recall-vs-cost curve: ONE trained IVF+PQ index (cached quantizers), per-probe grading is a broadcast probe equi-join + left join against the exact ground truth + one aggregate",
+    "x_quality_rrf" ->
+      "rank fusion: three per-language row_number windows over one scan, integer RRF sum row-local, fused re-rank window — no global sort, no join",
     "x_graph_triangles" ->
       "degree-oriented triangle census: wedge self-join at the low endpoint, closing equi-join on (x, y) — no neighborhood squaring",
     "x_select_dsir" ->

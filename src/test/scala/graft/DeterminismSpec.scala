@@ -32,7 +32,10 @@ class DeterminismSpec extends SparkSpec {
     "x_zorder_prune",    // layout write + covering-tile pruned read
     "x_bootstrap_ci",    // hash-fated weights, fixed-point weighted means
     "x_inverted_index",  // two-phase posting cap across partitionings
-    "x_negative_sample") // dense-id draws (zipWithIndex offsets)
+    "x_negative_sample", // dense-id draws (zipWithIndex offsets)
+    "x_mmr_rerank",      // greedy integer argmax chain over joins/windows
+    "x_ann_recall_curve", // kmeans + PQ + per-probe grading aggregates
+    "x_quality_rrf")     // per-lang rank windows + integer fusion
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
