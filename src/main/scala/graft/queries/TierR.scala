@@ -882,7 +882,55 @@ object TierR {
       .orderBy("user_id", "event_id")
   }
 
+  /** Time-weighted linear interpolation of missing values — the
+    * numeric gap-fill a sensor/metrics pipeline runs where
+    * [[rWindowFill]] only navigates to the neighbors: null readings
+    * (the 'error' events) are replaced by the line between the nearest
+    * non-null observations, weighted by event-time distance. Boundary
+    * nulls take the single available neighbor; all-null series stay
+    * null; a zero time gap (simultaneous observations) takes the
+    * midpoint instead of dividing by zero. One shuffle on the key,
+    * four IGNORE NULLS window navigations over it — no joins, no
+    * candidate pairs, per-partition state is one carried value per
+    * direction. Interpolated values round at 1e-6 so the double
+    * arithmetic replays across engines; observed values pass through
+    * untouched. */
+  private val rInterpLinear: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables(s, d, "events")
+      .withColumn("t", unix_micros(col("ts")))
+      .withColumn("v",
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+    val m = base.select(
+      col("user_id"), col("event_id"), col("t"), col("v"),
+      lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+      lag(when(col("v").isNotNull, col("t")), 1, null, ignoreNulls = true)
+        .over(w).as("prev_t"),
+      lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_v"),
+      lead(when(col("v").isNotNull, col("t")), 1, null, ignoreNulls = true)
+        .over(w).as("next_t"))
+    m.select(
+      col("user_id"), col("event_id"), col("v"),
+      when(col("v").isNotNull, col("v"))
+        .when(col("prev_v").isNull && col("next_v").isNull, lit(null))
+        .when(col("prev_v").isNull, col("next_v"))
+        .when(col("next_v").isNull, col("prev_v"))
+        .when(col("next_t") === col("prev_t"),
+          round((col("prev_v") + col("next_v")) / 2, 6))
+        .otherwise(round(
+          col("prev_v") + (col("next_v") - col("prev_v"))
+            * (col("t") - col("prev_t")).cast("double")
+            / (col("next_t") - col("prev_t")), 6))
+        .as("v_filled"),
+      (col("v").isNull &&
+        (col("prev_v").isNotNull || col("next_v").isNotNull))
+        .as("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "r_interp_linear" -> rInterpLinear,
     "r_interval_merge" -> rIntervalMerge,
     "r_session_window_fn" -> rSessionWindowFn,
     "r_window_fill" -> rWindowFill,
@@ -1020,6 +1068,39 @@ object TierR {
         |ORDER BY user_id, start_us""".stripMargin,
     // the same SQL:2008 IGNORE NULLS navigation, DuckDB's native form;
     // values pass through untouched so the match is exact
+    // same null rule and window as r_window_fill, then the identical
+    // double expression tree: prev + (next - prev) * dt / span, rounded
+    // 1e-6; boundary nulls take the lone neighbor, zero-gap takes the
+    // midpoint
+    "r_interp_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |         CASE WHEN event_type = 'error' THEN NULL
+        |              ELSE value END AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, t, v,
+        |    lag(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id) AS prev_v,
+        |    lag(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id) AS prev_t,
+        |    lead(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id) AS next_v,
+        |    lead(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, event_id) AS next_t
+        |  FROM ev)
+        |SELECT user_id, event_id, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN prev_v IS NULL AND next_v IS NULL THEN NULL
+        |       WHEN prev_v IS NULL THEN next_v
+        |       WHEN next_v IS NULL THEN prev_v
+        |       WHEN next_t = prev_t THEN round((prev_v + next_v) / 2, 6)
+        |       ELSE round(prev_v + (next_v - prev_v)
+        |              * CAST(t - prev_t AS DOUBLE)
+        |              / (next_t - prev_t), 6) END AS v_filled,
+        |  (v IS NULL AND (prev_v IS NOT NULL OR next_v IS NOT NULL))
+        |    AS filled
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     "r_window_fill" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t,

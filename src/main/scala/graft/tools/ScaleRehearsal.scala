@@ -328,7 +328,16 @@ object ScaleRehearsal {
         graft.operators.Curation.importanceResample(docs)),
       // the composed CCNet pipeline at 10×: exact dedup → LM scoring
       // → tertile split, every stage the already-rehearsed shape
-      "pipeline_ccnet" -> (() => graft.operators.Curation.ccnet(docs)))
+      "pipeline_ccnet" -> (() => graft.operators.Curation.ccnet(docs)),
+      // MMR rerank at 10× corpus: the candidate pool stays nCand per
+      // query by construction, so only the pool-building scan grows —
+      // the greedy steps' frames are constant-sized
+      "mmr_rerank" -> (() =>
+        SimilaritySearch.mmrRerank(vecs, nQueries = 5, nCand = 20, k = 5)),
+      // RRF fusion at 10×: three per-language rank windows over one
+      // scan — no global sort, no join
+      "quality_rrf" -> (() =>
+        graft.operators.TextAnalysis.rrfQuality(docs)))
 
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist() // keep the shared inputs resident
@@ -343,8 +352,11 @@ object ScaleRehearsal {
     // PlanGuardSpec allowlists for the declared queries: tokenize's
     // <unk>-id scalar, IVF's centroid grid, DSIR's LM-total scalars,
     // CCNet's inherited LM/tertile scalars
+    // the same documented 1-row-scalar / tiny-grid broadcasts
+    // PlanGuardSpec allowlists for the declared queries; mmr_rerank
+    // inherits x_sim_topk's broadcast query grid for its candidate pool
     val bnljAllowed = Set("tokenize_pack", "ivf_pq", "select_dsir",
-      "pipeline_ccnet")
+      "pipeline_ccnet", "mmr_rerank")
     val bad = results.filter { case (n, _, _, c, b) =>
       c > 0 || (b > 0 && !bnljAllowed.contains(n)) }
     val qs = results.map { case (n, s, r, c, b) =>

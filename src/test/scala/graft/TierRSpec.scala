@@ -529,6 +529,49 @@ class TierRSpec extends SparkSpec {
       r._3.isEmpty && r._4.nonEmpty && r._5.nonEmpty))
   }
 
+  test("r_interp_linear: interpolation matches a driver-side replay") {
+    val ev = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("t"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.getString(3) == "error") None else Some(r.getDouble(4))))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.map { i =>
+        val (_, eid, t, v) = sorted(i)
+        val prev = sorted.take(i).reverse.collectFirst {
+          case (_, _, pt, Some(pv)) => (pt, pv)
+        }
+        val next = sorted.drop(i + 1).collectFirst {
+          case (_, _, nt, Some(nv)) => (nt, nv)
+        }
+        val filledV = (v, prev, next) match {
+          case (Some(x), _, _)          => Some(x)
+          case (None, None, None)       => None
+          case (None, None, Some((_, nv))) => Some(nv)
+          case (None, Some((_, pv)), None) => Some(pv)
+          case (None, Some((pt, pv)), Some((nt, nv))) =>
+            if (nt == pt) Some(r6((pv + nv) / 2))
+            else Some(r6(pv + (nv - pv) * (t - pt).toDouble / (nt - pt)))
+        }
+        (u, eid, v, filledV, v.isEmpty && (prev.nonEmpty || next.nonEmpty))
+      }
+    }.toSet
+    val got = q("r_interp_linear").collect().map { r =>
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), r.getLong(1), opt(2), opt(3), r.getBoolean(4))
+    }.toSet
+    assert(got == expected)
+    // the injection produced genuine interpolated rows strictly
+    // BETWEEN their neighbors (not just boundary copies)
+    assert(got.exists { case (_, _, v, f, filled) =>
+      filled && v.isEmpty && f.nonEmpty
+    })
+  }
+
   test("scalar suites evaluate inside whole-stage codegen") {
     Seq("r_str_fns", "r_date_fns", "r_math_fns").foreach { n =>
       val df = q(n)
