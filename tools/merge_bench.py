@@ -26,29 +26,35 @@ def main() -> None:
         with open(p) as f:
             runs.append(json.load(f))
     base = runs[0]
-    names = set(base["queries"])
-    for r in runs[1:]:
-        if set(r["queries"]) != names:
-            sys.exit(f"query sets differ: {sorted(names ^ set(r['queries']))}")
+    # a query is merged over the runs that MEASURED it: runs from
+    # before a query was registered simply don't vote for it (the
+    # registry grows mid-round; a union merge applies the same
+    # min-of-N protocol per query with N = runs covering it)
+    names = set().union(*(set(r["queries"]) for r in runs))
+    for q in sorted(names):
+        covering = sum(1 for r in runs if q in r["queries"])
+        if covering < len(runs):
+            print(f"note: {q} measured in {covering}/{len(runs)} runs")
     plans, merged = {}, {}
     for q in names:
-        votes = Counter(json.dumps(r["plans"][q], sort_keys=True) for r in runs)
+        qruns = [r for r in runs if q in r["queries"]]
+        votes = Counter(json.dumps(r["plans"][q], sort_keys=True) for r in qruns)
         top_plan, top_n = votes.most_common(1)[0]
-        if len(votes) > 1 and top_n * 2 <= len(runs):
+        if len(votes) > 1 and top_n * 2 <= len(qruns):
             # no strict majority (e.g. a 1-1 AQE split): there is no
             # basis to prefer either plan's timings — min over ALL runs
             # and record the first run's plan, loudly
             print(f"warning: {q} has NO majority plan "
                   f"({dict(votes.most_common())}); min over all runs, "
                   f"first run's plan recorded")
-            plans[q] = runs[0]["plans"][q]
-            merged[q] = min(r["queries"][q] for r in runs)
+            plans[q] = qruns[0]["plans"][q]
+            merged[q] = min(r["queries"][q] for r in qruns)
             continue
         plans[q] = json.loads(top_plan)
-        keep = [r["queries"][q] for r in runs
+        keep = [r["queries"][q] for r in qruns
                 if json.dumps(r["plans"][q], sort_keys=True) == top_plan]
-        if len(keep) < len(runs):
-            print(f"warning: {q} plan diverged in {len(runs) - len(keep)} "
+        if len(keep) < len(qruns):
+            print(f"warning: {q} plan diverged in {len(qruns) - len(keep)} "
                   f"run(s); min over the {len(keep)} majority-plan run(s)")
         merged[q] = min(keep)
     base["plans"] = plans
