@@ -150,16 +150,27 @@ object Bench {
       case null => None
       case p    => Some(p.resolve("sf0.001"))
     }
-    if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARM")) warmDir match {
-      case Some(wd) if java.nio.file.Files.isDirectory(wd) &&
-          wd.toString != java.nio.file.Paths.get(sfDir)
-            .toAbsolutePath.toString =>
-        selected.foreach { case (_, fn) =>
-          try consume(fn(spark, wd.toString))
-          catch { case _: Throwable => () }
-        }
-        spark.catalog.clearCache()
-      case _ => ()
+    // recorded in the JSON: a cold_total measured after warm-up is a
+    // different protocol than a true-cold one (round-7 334.6 s vs
+    // round-8 210.7 s compared across that change), so the snapshot
+    // must say which it was
+    val warmed = !sys.env.contains("SPARK_GRAFT_BENCH_NOWARM") &&
+      (warmDir match {
+        // path identity, not string equality: a trailing slash or a
+        // symlinked sfDir must not defeat the "warm dir IS the bench
+        // dir" guard
+        case Some(wd) => java.nio.file.Files.isDirectory(wd) &&
+          !java.nio.file.Files.isSameFile(
+            wd, java.nio.file.Paths.get(sfDir).toAbsolutePath)
+        case None => false
+      })
+    if (warmed) {
+      val wd = warmDir.get
+      selected.foreach { case (_, fn) =>
+        try consume(fn(spark, wd.toString))
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     }
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Map[String, Int]) = {
@@ -220,10 +231,10 @@ object Bench {
       .map { case (k, _, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"plans":$planJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"warmed":$warmed,"queries":$qs,"plans":$planJson,"sf":"$sfDir"}"""
     println(line)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"n":${results.size},"failed":$failed,"top5":$top5,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"warmed":$warmed,"n":${results.size},"failed":$failed,"top5":$top5,"sf":"$sfDir"}""")
     // the stdout line alone is fragile (round-2 driver artifact lost it
     // to tail truncation — BENCH_r02.json carried "parsed": null); a
     // file copy survives regardless of how much the harness captures

@@ -407,10 +407,17 @@ object ScaleRehearsal {
     // `triangles` reads the staged parquet.
     val minhashPairs = () => Dedup.nearDupMinHash(docs, k = 3,
       numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")
+    // staging + the skew audit below serve ONLY the ops that read the
+    // staged pair table; a selective run (SPARK_GRAFT_REHEARSAL_ONLY)
+    // that excludes them must not pay the multi-minute staging write
+    val stagedOps = Set("triangles", "cluster_hashmin", "cluster_star")
+    val needStaged = onlyOps.forall(_.exists(stagedOps))
     val pairsDir = java.nio.file.Files
       .createTempDirectory("graft_tri_pairs").toString
-    minhashPairs().write.mode("overwrite").parquet(pairsDir)
-    spark.catalog.clearCache() // drop the staging run's internal persists
+    if (needStaged) {
+      minhashPairs().write.mode("overwrite").parquet(pairsDir)
+      spark.catalog.clearCache() // drop the staging run's internal persists
+    }
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       "embed_pairs" -> (() => embedPairs()),

@@ -31,10 +31,14 @@ def main() -> None:
     # registry grows mid-round; a union merge applies the same
     # min-of-N protocol per query with N = runs covering it)
     names = set().union(*(set(r["queries"]) for r in runs))
+    # recorded in the snapshot (not just printed): a late-registered
+    # query merged from fewer runs is min-of-N with a smaller N, and
+    # the merged JSON must be self-describing about that
+    runs_covering = {q: sum(1 for r in runs if q in r["queries"])
+                     for q in names}
     for q in sorted(names):
-        covering = sum(1 for r in runs if q in r["queries"])
-        if covering < len(runs):
-            print(f"note: {q} measured in {covering}/{len(runs)} runs")
+        if runs_covering[q] < len(runs):
+            print(f"note: {q} measured in {runs_covering[q]}/{len(runs)} runs")
     plans, merged = {}, {}
     for q in names:
         qruns = [r for r in runs if q in r["queries"]]
@@ -65,6 +69,12 @@ def main() -> None:
         "cold_total": base["cold_total"],
         "n": len(merged),
         "runs_merged": len(runs),
+        # only queries present in ALL runs got the full min-of-N;
+        # cold_total comes from runs[0] and covers only its queries
+        "runs_covering": {q: n for q, n in sorted(runs_covering.items())
+                          if n < len(runs)},
+        "cold_covers_n": len(runs[0]["queries"]),
+        "warmed": base.get("warmed"),
         "failed": 0,
         "top5": dict(sorted(merged.items(), key=lambda kv: -kv[1])[:5]),
         "queries": merged,
