@@ -158,10 +158,15 @@ object Bench {
       (warmDir match {
         // path identity, not string equality: a trailing slash or a
         // symlinked sfDir must not defeat the "warm dir IS the bench
-        // dir" guard
-        case Some(wd) => java.nio.file.Files.isDirectory(wd) &&
-          !java.nio.file.Files.isSameFile(
-            wd, java.nio.file.Paths.get(sfDir).toAbsolutePath)
+        // dir" guard. isSameFile requires BOTH paths to exist when
+        // they are unequal — a missing sfDir must surface as per-query
+        // FAILED entries downstream, not as a NoSuchFileException here
+        case Some(wd) =>
+          val sfPath = java.nio.file.Paths.get(sfDir).toAbsolutePath
+          java.nio.file.Files.isDirectory(wd) &&
+            (if (java.nio.file.Files.exists(sfPath))
+              !java.nio.file.Files.isSameFile(wd, sfPath)
+            else wd.normalize() != sfPath.normalize())
         case None => false
       })
     if (warmed) {

@@ -160,9 +160,18 @@ object Dedup {
     // Candidate generation runs entirely in 64-BIT HASH space (the
     // AllPairs/PPJoin theorems only need SOME consistent global total
     // order on elements, and string equality implies hash equality, so
-    // hash-space candidates are a superset of string-space candidates
-    // — a collision can only ADD a candidate, which exact string
-    // verification then kills; it can never hide a qualifying pair).
+    // a pair's shared elements share hashes — a cross-doc collision
+    // can only ADD a candidate, which exact string verification then
+    // kills). One probabilistic caveat: a WITHIN-doc collision (two
+    // distinct shingles of one doc on the same 64-bit hash) makes the
+    // doc's prefix slice spend two slots on one hash value, shortening
+    // its effective distinct-hash prefix by one — a qualifying pair
+    // whose only shared prefix element is displaced by that slot could
+    // be missed. The probability is ≤ |S|²/2⁶⁵ per doc (~10⁻¹⁶ at
+    // |S| ≈ 50); deduping the structs before the slice would close it
+    // at the cost of an extra per-doc array pass, deliberately not
+    // paid for a 2⁻⁶⁵ event that exact recall at τ tolerates in
+    // practice (the oracle-equality gate would surface any hit).
     // Measured at the 100× rehearsal: 8-byte longs through the df
     // aggregate, the prefix selection, and the postings self-join
     // instead of ~25-char shingle strings cut those exchanges' bytes

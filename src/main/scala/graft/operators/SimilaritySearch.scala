@@ -859,7 +859,17 @@ object SimilaritySearch {
     *   - `recall`  — n_hits / (nQueries · k), rounded 4.
     *
     * The per-probe grading is ONE left equi-join + one aggregate (no
-    * 1-row cross-joins beyond those inherited from the index build). */
+    * 1-row cross-joins beyond those inherited from the index build).
+    *
+    * Caching contract (the [[hammingPairs32]] convention): the
+    * assignment, coded-corpus, and exact-ground-truth frames are
+    * persisted because every probe grade reads all three; the persists
+    * live until the caller runs `spark.catalog.clearCache()` (the
+    * Verify/Bench harnesses do) or unpersists them. They cannot be
+    * released inside this method — the returned frame is lazy and
+    * still reads them at execution time. A long-lived library caller
+    * invoking this repeatedly should clear the cache between
+    * invocations. */
   def ivfPqRecallCurve(
       vecs: DataFrame,
       probes: Seq[Int] = Seq(1, 2, 4),

@@ -134,11 +134,22 @@ object ScaleRehearsal {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   private def selectOps(
-      ops: Seq[(String, () => DataFrame)]): Seq[(String, () => DataFrame)] =
+      ops: Seq[(String, () => DataFrame)]): Seq[(String, () => DataFrame)] = {
+    // a typo'd SPARK_GRAFT_REHEARSAL_ONLY name would silently select
+    // zero ops (and in the 100x block could still pay staging) — fail
+    // loudly against THIS block's op list instead
+    onlyOps.foreach { names =>
+      val known = ops.map(_._1).toSet
+      val unknown = names.filterNot(known)
+      require(unknown.isEmpty,
+        s"unknown SPARK_GRAFT_REHEARSAL_ONLY ops for this block: " +
+          s"${unknown.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
+    }
     onlyOps match {
       case Some(names) => ops.filter(o => names(o._1))
       case None        => ops
     }
+  }
 
   /** Time each op, drain every captured plan it fired, count guard
     * violations. `keepResident` re-pins shared inputs after the per-op
@@ -410,14 +421,23 @@ object ScaleRehearsal {
     // staging + the skew audit below serve ONLY the ops that read the
     // staged pair table; a selective run (SPARK_GRAFT_REHEARSAL_ONLY)
     // that excludes them must not pay the multi-minute staging write
+    // (and must not read the then-empty staging dir in the audit)
     val stagedOps = Set("triangles", "cluster_hashmin", "cluster_star")
     val needStaged = onlyOps.forall(_.exists(stagedOps))
     val pairsDir = java.nio.file.Files
-      .createTempDirectory("graft_tri_pairs").toString
+      .createTempDirectory("graft_tri_pairs")
     if (needStaged) {
-      minhashPairs().write.mode("overwrite").parquet(pairsDir)
+      minhashPairs().write.mode("overwrite").parquet(pairsDir.toString)
       spark.catalog.clearCache() // drop the staging run's internal persists
     }
+    def stagedPairs() = spark.read.parquet(pairsDir.toString)
+      .select(col("d1"), col("d2"))
+    // the two CC formulations keep a handle on their constructed frames:
+    // both loops end in a Lineage.truncate fixpoint, so the post-run
+    // equality audit reads the already-materialized labels instead of
+    // re-running the rounds
+    var ccHashMin: DataFrame = null
+    var ccStar: DataFrame = null
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       "embed_pairs" -> (() => embedPairs()),
@@ -431,8 +451,17 @@ object ScaleRehearsal {
       // per-vertex output stays exactly 1 row and the wedge fan-out
       // the orientation bounds is the quantity under test
       "triangles" -> (() => graft.operators.GraphRank.triangleCounts(
-        spark.read.parquet(pairsDir)
-          .select(col("d1"), col("d2")))),
+        stagedPairs())),
+      // the connected-components DECISION row at 100×: Hash-Min
+      // (O(diameter) rounds) vs large-star/small-star (O(log n)) over
+      // the SAME staged pair table — a production dedup pass runs CC
+      // over already-materialized pairs, so the staged read isolates
+      // the formulations from pair generation. SCALING.md records the
+      // winner; the post-run audit asserts identical labels.
+      "cluster_hashmin" -> (() => {
+        ccHashMin = Dedup.clusters(stagedPairs().persist()); ccHashMin }),
+      "cluster_star" -> (() => {
+        ccStar = Dedup.clustersStar(stagedPairs().persist()); ccStar }),
       // incremental crawl dedup at 100×: the digest index absorbs the
       // 10-member verbatim families, so survivors stay ~batch-sized
       "incremental_exact" -> (() => Dedup.incrementalExact(docs)),
@@ -454,26 +483,43 @@ object ScaleRehearsal {
     // site): per-vertex wedge work is C(outdeg, 2) under the (deg, id)
     // orientation, so the MAX orientation out-degree bounds the worst
     // task's fan-out. Reported so a hub regression is visible even
-    // when wall-clock noise hides it.
-    val pairsStaged = spark.read.parquet(pairsDir)
-    val degAudit = pairsStaged
-      .select(explode(array(col("d1"), col("d2"))).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    val oriented = pairsStaged
-      .join(degAudit.select(col("v").as("d1"), col("deg").as("dega")), "d1")
-      .join(degAudit.select(col("v").as("d2"), col("deg").as("degb")), "d2")
-      .select(when(struct(col("dega"), col("d1")) <
-          struct(col("degb"), col("d2")), col("d1"))
-        .otherwise(col("d2")).as("u"))
-      .groupBy("u").agg(count(lit(1)).as("outdeg"))
-    val audit = oriented
-      .agg(max("outdeg").as("mx"),
-        sum(expr("(outdeg * (outdeg - 1)) div 2")).as("wedges"))
-      .head()
-    val (triMaxOutdeg, triWedges) = (audit.getLong(0), audit.getLong(1))
+    // when wall-clock noise hides it. Skipped (fields omitted) when
+    // staging was — reading the never-written dir would throw.
+    val triAudit = if (!needStaged) "" else {
+      val pairsStaged = stagedPairs()
+      val degAudit = pairsStaged
+        .select(explode(array(col("d1"), col("d2"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val oriented = pairsStaged
+        .join(degAudit.select(col("v").as("d1"), col("deg").as("dega")), "d1")
+        .join(degAudit.select(col("v").as("d2"), col("deg").as("degb")), "d2")
+        .select(when(struct(col("dega"), col("d1")) <
+            struct(col("degb"), col("d2")), col("d1"))
+          .otherwise(col("d2")).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("outdeg"))
+      val audit = oriented
+        .agg(max("outdeg").as("mx"),
+          sum(expr("(outdeg * (outdeg - 1)) div 2")).as("wedges"))
+        .head()
+      s""""tri_max_outdeg":${audit.getLong(0)},"tri_wedges":${audit.getLong(1)},"""
+    }
+    // CC equality audit: both fixpoints are already materialized
+    // (Lineage.truncate), so one order-insensitive checksum aggregate
+    // per side compares the full (doc_id, rep_id, cluster_size) label
+    // sets without re-running any rounds
+    val ccAudit = if (ccHashMin == null || ccStar == null) "" else {
+      def fp(df: DataFrame) = df
+        .agg(sum(xxhash64(col("doc_id"), col("rep_id"),
+          col("cluster_size"))).as("s"), count(lit(1)).as("n")).head()
+      val (a, b) = (fp(ccHashMin), fp(ccStar))
+      val equal = a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)
+      require(equal, "cluster_hashmin and cluster_star disagree at 100x")
+      s""""cc_labels_equal":$equal,"""
+    }
     val denom = Map("ppjoin" -> nDocs, "embed_pairs" -> nVecs,
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
       "minhash_pairs" -> nDocs, "triangles" -> nDocs,
+      "cluster_hashmin" -> nDocs, "cluster_star" -> nDocs,
       "incremental_exact" -> nDocs, "phash_pairs" -> nDocs)
     val fanoutCap = 10.0
     val pairOps = Set("ppjoin", "embed_pairs", "ngram_overlap",
@@ -487,9 +533,17 @@ object ScaleRehearsal {
       s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"tri_max_outdeg":$triMaxOutdeg,"tri_wedges":$triWedges,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,$triAudit$ccAudit"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
     if (onlyOps.isEmpty) writeBlock("100x", line)
+    // the staging dir is a per-run scratch area — remove it so repeated
+    // rehearsals don't accumulate multi-GB temp trees
+    locally {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(pairsDir))
+        java.nio.file.Files.walk(pairsDir).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     require(bad.isEmpty,
       s"plan/fan-out guard violated at 100x scale: ${bad.map(_._1).mkString(", ")}")
     spark.stop()

@@ -62,6 +62,14 @@ def main() -> None:
                   f"run(s); min over the {len(keep)} majority-plan run(s)")
         merged[q] = min(keep)
     base["plans"] = plans
+    # warmed is a per-run measurement protocol (per-query sf0.001
+    # warm-up pass vs SPARK_GRAFT_BENCH_NOWARM): merging runs with
+    # different flags silently mixes two protocols in the per-query
+    # mins, so the snapshot records the per-run list and warns
+    warmed_flags = [r.get("warmed") for r in runs]
+    if len(set(map(str, warmed_flags))) > 1:
+        print(f"warning: runs mix measurement protocols "
+              f"(warmed={warmed_flags}); per-query mins span both")
     snap = {
         "metric": "total",
         "value": sum(merged.values()),
@@ -74,7 +82,8 @@ def main() -> None:
         "runs_covering": {q: n for q, n in sorted(runs_covering.items())
                           if n < len(runs)},
         "cold_covers_n": len(runs[0]["queries"]),
-        "warmed": base.get("warmed"),
+        "warmed": (warmed_flags[0] if len(set(map(str, warmed_flags))) == 1
+                   else warmed_flags),
         "failed": 0,
         "top5": dict(sorted(merged.items(), key=lambda kv: -kv[1])[:5]),
         "queries": merged,
