@@ -157,6 +157,23 @@ object Dedup {
     // serialized form trades a decode per scan for an order-of-
     // magnitude fewer live objects.
     val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK_SER)
+    verifyJaccard(jaccardCandidatesFrom(sh, threshold), sh, threshold)
+  }
+
+  /** CANDIDATE-GENERATION sub-phase of [[nearDupJaccard]], exposed so
+    * the scale rehearsal can time prefix-filtered candidate generation
+    * separately from exact verification (the two phases scale on
+    * different axes: candidates with posting-collision count, verify
+    * with output-pair count). Output: (d1, d2) candidate pairs — a
+    * superset of the qualifying pairs, exact-recall at `threshold`. */
+  def jaccardCandidates(
+      docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardCandidatesFrom(
+      shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK_SER),
+      threshold)
+
+  private def jaccardCandidatesFrom(
+      sh: DataFrame, threshold: Double): DataFrame = {
     // Candidate generation runs entirely in 64-BIT HASH space (the
     // AllPairs/PPJoin theorems only need SOME consistent global total
     // order on elements, and string equality implies hash equality, so
@@ -196,29 +213,41 @@ object Dedup {
       .cast("int")
     // Per-doc prefix selection WITHOUT a window: collect the doc's
     // (df, h) pairs, sort row-locally, slice the prefix. Replaces the
-    // partition-wide window sort with ~|S|-element array sorts, ships
-    // a 16-byte struct per occurrence through the doc_id exchange (sz
-    // rides as size(ps), not a per-row column), and emits ONLY prefix
-    // rows. sort_array's (df, h) lexicographic struct order IS the
-    // global rarity order, and duplicate structs (a within-doc 64-bit
-    // collision) sort stably by equality, so ranks match the window
-    // form exactly.
+    // partition-wide window sort with ~|S|-element array sorts and
+    // emits ONLY prefix rows. sort_array's (df, h) lexicographic
+    // struct order IS the global rarity order, and duplicate structs
+    // (a within-doc 64-bit collision) sort stably by equality, so
+    // ranks match the window form exactly.
     //
-    // df >= 2 prune: a prefix entry whose shingle occurs in ONE
-    // document can never produce a pair (its only join partner is
-    // itself, killed by d1 < d2), so dropping it shrinks the self-join
-    // input for free — on a long-tailed corpus the rarest shingles are
-    // precisely the ones the rarity order puts into prefixes.
-    val prefix = ex.join(df, "h")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ps"))
-      .select(col("doc_id"), size(col("ps")).as("sz"), col("ps"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(slice(col("ps"), lit(1), prefixLen)))
+    // df >= 2 prune, applied BEFORE the doc_id exchange: a shingle
+    // occurring in ONE document can never produce a pair (its only
+    // join partner is itself, killed by d1 < d2), so df = 1
+    // occurrences need not ride the per-doc collect at all — on a
+    // long-tailed corpus they are the bulk of the occurrence stream
+    // (90% at the 100× rehearsal: 26M rows down to 2.6M through this
+    // exchange). Their only other role is POSITIONAL: under the
+    // (df, h) order every df = 1 element of a doc ranks BEFORE all its
+    // df >= 2 elements, so each kept element's full-array rank is
+    // recovered exactly as n1 + rank-among-kept = (sz − n2) + pos + 1,
+    // and the prefix condition r <= prefixLen becomes a slice of
+    // length prefixLen − (sz − n2) over the kept-only sorted array —
+    // the emitted (doc_id, h, sz, r) rows are identical to the
+    // unpruned form's.
+    val pruned = ex.join(df.filter(col("df") >= 2), "h")
+    val grouped = pruned.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ps"),
+        count(lit(1)).as("n2"))
+    // sz must count ALL shingles (df = 1 included): it parameterizes
+    // prefixLen and the length/positional filters, so it comes from
+    // the persisted shingle frame, not from the pruned stream
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+    val keepLen = greatest(
+      prefixLen - (col("sz") - col("n2")).cast("int"), lit(0)).cast("int")
+    val prefix = grouped.join(sizes, "doc_id")
+      .select(col("doc_id"), col("sz"), col("n2"),
+        posexplode(slice(col("ps"), lit(1), keepLen)))
       .select(col("doc_id"), col("col.h").as("h"), col("sz"),
-        (col("pos") + 1).as("r"), col("col.df").as("df"))
-      .filter(col("df") >= 2)
-      .select(col("doc_id"), col("h"), col("sz"), col("r"))
+        (col("sz") - col("n2") + col("pos") + 1).as("r"))
     // Candidate pruning beyond the prefix theorem — both filters are
     // NECESSARY conditions for J(A,B) >= tau, so recall stays exact:
     //  - length: |A cap B| <= min(|A|,|B|) and >= tau*|A cup B| >=
@@ -279,7 +308,7 @@ object Dedup {
         >= lit(threshold / (1 + threshold)) *
           (col("sz1") + col("sz2")) - lit(eps))
       .select("d1", "d2")
-    verifyJaccard(cand, sh, threshold)
+    cand
   }
 
   /** Duplicated-span detection: pairs of documents sharing at least
@@ -390,7 +419,20 @@ object Dedup {
     * of 4, P[candidate] = 1-(1-j^4)^4 — ≈0.98 at j=0.8. */
   /** (doc_id, band, key) banded MinHash signature rows for a shingle
     * frame — the LSH index shared by the self-join ([[nearDupMinHash]])
-    * and cross-corpus ([[crossDupMinHash]]) paths. */
+    * and cross-corpus ([[crossDupMinHash]]) paths.
+    *
+    * Shape note (measured, round 10): a row-local alternative — one
+    * aggregate() higher-order fold per doc carrying all numHashes
+    * running minima, no explode, no exchange — was built and measured
+    * at the 100× rehearsal: 227 s vs 65 s for this form at identical
+    * output. Higher-order functions evaluate their lambdas as
+    * INTERPRETED expression trees (CodegenFallback) with a fresh
+    * accumulator array per element, so the fold paid ~26M interpreted
+    * md5+zip_with evaluations; the explode → shuffle-on-doc_id →
+    * numHashes-column min aggregate keeps every per-element operation
+    * inside whole-stage codegen, and the 26M-row exchange it pays is
+    * the cheaper side of that trade by ~3.5×. Kept: codegen beats
+    * shuffle avoidance here. */
   private def bandedMinHash(
       sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
@@ -424,12 +466,28 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    verifyJaccard(minHashCandidatesFrom(sh, numHashes, bands), sh, threshold)
+  }
+
+  /** CANDIDATE-GENERATION sub-phase of [[nearDupMinHash]] (banded-LSH
+    * collision pairs, deduped), exposed for the scale rehearsal's
+    * sub-phase timing — see [[jaccardCandidates]]. */
+  def minHashCandidates(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    minHashCandidatesFrom(
+      shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK),
+      numHashes, bands)
+
+  private def minHashCandidatesFrom(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val banded = bandedMinHash(sh, numHashes, bands)
-    val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(cand, sh, threshold)
   }
 
   /** Exact n-gram decontamination: every (train doc, eval doc) pair

@@ -969,7 +969,7 @@ object SimilaritySearch {
     val queries = withNorm(vecs.filter(col("vec_id") < nQueries), "q_id", "q_vec")
     val wRel = Window.partitionBy("q_id")
       .orderBy(col("cos_raw").desc, col("vec_id"))
-    val cand = Lineage.truncate(corpus.crossJoin(broadcast(queries))
+    val cand = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos_raw",
         Similarity.dot(col("embedding"), col("q_vec"))
@@ -978,7 +978,65 @@ object SimilaritySearch {
       .filter(col("rnk") <= nCand)
       .select(col("q_id"), col("vec_id"),
         round(col("cos_raw") * 1e6).cast("long").as("rel_e6"),
-        col("embedding"), col("vec_id_nrm")))
+        col("embedding"), col("vec_id_nrm"))
+    mmrGreedy(cand, k)
+  }
+
+  /** MMR rerank over a SERVING-shaped candidate pool — the production
+    * composition the [[mmrRerank]] scaladoc promises: candidates come
+    * from the [[ivfPqTopK]] index (coarse IVF probe + compact-code ADC
+    * scoring — never a corpus cross-join), their relevance is then
+    * RE-SCORED with the exact query cosine from the raw vectors (the
+    * standard ANN refine step: the pool is nCand-bounded, so exact
+    * re-scoring costs nQueries × nCand dot products), and the greedy
+    * diversity selection runs over that pool exactly as in
+    * [[mmrRerank]]. Exact re-scoring also puts relevance and the
+    * pairwise penalty on the same cosine-e6 grid — raw ADC inner
+    * products would dwarf the ±1e6 penalty term and neuter λ.
+    *
+    * Everything downstream of the pool is the same exact-integer
+    * greedy chain, so the DuckDB oracle composes the IVF+PQ CTEs with
+    * the k unrolled MMR step CTEs and must agree bit-for-bit.
+    *
+    * Output: (q_id, sel_rank, vec_id, rel_e6, score_e6), sel_rank 1..k
+    * in greedy pick order. */
+  def mmrServing(
+      vecs: DataFrame,
+      nQueries: Int = 5,
+      nCand: Int = 20,
+      k: Int = 5,
+      nCentroids: Int = 8,
+      nProbe: Int = 2,
+      m: Int = 2,
+      codebookSize: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1 && nCand >= k,
+      s"mmrServing: need nCand >= k >= 1, got k=$k nCand=$nCand")
+    val pool = ivfPqTopK(vecs, nQueries, nCand, nCentroids, nProbe,
+      m, codebookSize, iters).select(col("q_id"), col("vec_id"))
+    val corpus = withNorm(vecs, "vec_id", "embedding")
+    val queries = withNorm(vecs.filter(col("vec_id") < nQueries), "q_id", "q_vec")
+    // exact refine: pool ⋈ raw vectors (equi-joins — the pool is
+    // nQueries×nCand rows, the query side a broadcast)
+    val cand = pool
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.dot(col("embedding"), col("q_vec"))
+          / (col("vec_id_nrm") * col("q_id_nrm")) * 1e6)
+          .cast("long").as("rel_e6"),
+        col("embedding"), col("vec_id_nrm"))
+    mmrGreedy(cand, k)
+  }
+
+  /** The shared greedy MMR selection chain over a bounded candidate
+    * pool `cand` (q_id, vec_id, rel_e6, embedding, vec_id_nrm) — see
+    * [[mmrRerank]] for the semantics and exactness argument. The pool
+    * and the derived pairwise-sim table are checkpointed once; each of
+    * the k−1 remaining steps is a left-anti + equi-joins + window over
+    * frames bounded by the pool size. */
+  private def mmrGreedy(candRaw: DataFrame, k: Int): DataFrame = {
+    val cand = Lineage.truncate(candRaw)
     val scalarCand = cand.select("q_id", "vec_id", "rel_e6")
     // pairwise candidate sims, nCand² per query by construction
     val pairSim = Lineage.truncate(

@@ -316,6 +316,15 @@ object TierX {
       SimilaritySearch.mmrRerank(vecs(s, d), nQueries = 5, nCand = 20,
         k = 5)
         .orderBy("q_id", "sel_rank")),
+    "x_mmr_serving" -> ((s, d) =>
+      // the PRODUCTION MMR composition: candidate pool from the IVF+PQ
+      // serving index (coarse probe + ADC over codes — no corpus
+      // cross-join), exact-cosine refine over the bounded pool, then
+      // the same greedy diversity selection as x_mmr_rerank
+      SimilaritySearch.mmrServing(vecs(s, d), nQueries = 5, nCand = 20,
+        k = 5, nCentroids = 8, nProbe = 2, m = 2, codebookSize = 16,
+        iters = 2)
+        .orderBy("q_id", "sel_rank")),
     "x_sim_ann_lsh" -> ((s, d) =>
       SimilaritySearch
         .lshTopK(vecs(s, d), nQueries = 5, k = 5, nProbes = 4, probeHamming = 1)
@@ -889,7 +898,12 @@ object TierX {
     * (q_id, c1, c2, sim_e6). */
   private def mmrStepSql(i: Int): String = {
     val prev = s"sel${i - 1}"
-    s"""pick$i AS (SELECT q_id, CAST($i AS BIGINT) AS sel_rank, vec_id, rel_e6, score_e6
+    // MATERIALIZED is load-bearing, not a hint: sel<i> references
+    // sel<i-1> three times (twice in pick<i>, once in the union), so
+    // DuckDB's default CTE inlining re-evaluates the chain ~3^k times —
+    // with a heavy upstream candidate chain (x_mmr_serving's IVF+PQ
+    // CTEs) that blows a sub-second oracle into minutes
+    s"""pick$i AS MATERIALIZED (SELECT q_id, CAST($i AS BIGINT) AS sel_rank, vec_id, rel_e6, score_e6
       |  FROM (SELECT t.*, row_number() OVER (PARTITION BY t.q_id
       |                ORDER BY t.score_e6 DESC, t.vec_id) AS r
       |        FROM (SELECT c.q_id, c.vec_id, c.rel_e6,
@@ -901,7 +915,7 @@ object TierX {
       |                WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
       |              GROUP BY c.q_id, c.vec_id, c.rel_e6) t)
       |  WHERE r = 1),
-      |sel$i AS (SELECT * FROM $prev UNION ALL
+      |sel$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL
       |          SELECT q_id, sel_rank, vec_id, rel_e6, score_e6 FROM pick$i)""".stripMargin
   }
 
@@ -994,6 +1008,66 @@ object TierX {
       |                sqrt(${dotSql("c.c_vec", "c.c_vec")})) DESC, c.c_id) AS r
       |  FROM $corpus v CROSS JOIN c2_$tag c) WHERE r = 1)""".stripMargin
   }
+
+  /** The IVF+PQ scored-candidate chain (e → trained coarse quantizer →
+    * cells/probes at nProbe = 2 → per-subspace PQ codebooks/codes →
+    * exact-e6 ADC LUTs → `sc` (q_id, vec_id, cell, adc_e6)), shared by
+    * `x_sim_ivf_pq` (final top-5 rank) and `x_mmr_serving` (top-20
+    * pool + greedy MMR steps) — mirrors
+    * [[graft.operators.SimilaritySearch.ivfPqTopK]] bit-for-bit. */
+  private lazy val ivfPqScoredCte: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
+      |                embedding AS c_vec
+      |         FROM (SELECT vec_id, embedding,
+      |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
+      |               FROM embeddings ORDER BY h, vec_id LIMIT 8) t),
+      |${kmeansIterSql("c0", "c1")},
+      |${kmeansIterSql("c1", "c2")},
+      |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
+      |asg AS (SELECT v.vec_id, c.c_id,
+      |          row_number() OVER (PARTITION BY v.vec_id
+      |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
+      |        FROM e v CROSS JOIN cn c),
+      |cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE c_rank = 1),
+      |iprobes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
+      |            WHERE vec_id < 5 AND c_rank <= 2),
+      |s1 AS (SELECT vec_id,
+      |              list_slice(embedding, 1, len(embedding) // 2)
+      |                AS embedding
+      |            FROM embeddings),
+      |s2 AS (SELECT vec_id,
+      |         list_slice(embedding, len(embedding) // 2 + 1,
+      |                    len(embedding)) AS embedding
+      |       FROM embeddings),
+      |${pqSubspaceSql("s1", "q0", 16)},
+      |${pqSubspaceSql("s2", "q1", 16)},
+      |codes AS (SELECT a.vec_id, a.code AS code0, b.code AS code1,
+      |                 cells.cell
+      |          FROM codes_q0 a JOIN codes_q1 b USING (vec_id)
+      |               JOIN cells USING (vec_id)),
+      |q AS (SELECT vec_id AS q_id,
+      |        list_slice(embedding, 1, len(embedding) // 2) AS q0,
+      |        list_slice(embedding, len(embedding) // 2 + 1,
+      |                   len(embedding)) AS q1
+      |      FROM embeddings WHERE vec_id < 5),
+      |lut0 AS (SELECT q.q_id, c.c_id,
+      |           CAST(round(${dotSql("q.q0", "c.c_vec")} * 1000000.0)
+      |                AS BIGINT) AS d
+      |         FROM q CROSS JOIN c2_q0 c),
+      |lut1 AS (SELECT q.q_id, c.c_id,
+      |           CAST(round(${dotSql("q.q1", "c.c_vec")} * 1000000.0)
+      |                AS BIGINT) AS d
+      |         FROM q CROSS JOIN c2_q1 c),
+      |sc AS MATERIALIZED (SELECT p.q_id, codes.vec_id, codes.cell,
+      |              l0.d + l1.d AS adc_e6
+      |       FROM iprobes p
+      |            JOIN codes ON codes.cell = p.cell
+      |            JOIN lut0 l0 ON l0.q_id = p.q_id
+      |                        AND l0.c_id = codes.code0
+      |            JOIN lut1 l1 ON l1.q_id = p.q_id
+      |                        AND l1.c_id = codes.code1
+      |       WHERE codes.vec_id <> p.q_id)""".stripMargin
 
   /** Shared by `x_dedup_simhash64` and `x_dedup_simhash64p`: both
     * blocking schemes have exact recall at Hamming ≤ 6 and verify the
@@ -1766,12 +1840,12 @@ object TierX {
         |mcandE AS (SELECT q_id, vec_id,
         |        CAST(round(cos_raw * 1000000.0) AS BIGINT) AS rel_e6, embedding
         |      FROM mcand1 WHERE rnk <= 20),
-        |mcand AS (SELECT q_id, vec_id, rel_e6 FROM mcandE),
-        |mps AS (SELECT a.q_id, a.vec_id AS c1, b.vec_id AS c2,
+        |mcand AS MATERIALIZED (SELECT q_id, vec_id, rel_e6 FROM mcandE),
+        |mps AS MATERIALIZED (SELECT a.q_id, a.vec_id AS c1, b.vec_id AS c2,
         |        CAST(round((${cosSql("a.embedding", "b.embedding")}) * 1000000.0) AS BIGINT) AS sim_e6
         |      FROM mcandE a JOIN mcandE b
         |        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
-        |sel1 AS (SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_e6,
+        |sel1 AS MATERIALIZED (SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_e6,
         |               rel_e6 AS score_e6
         |      FROM (SELECT c.*, row_number() OVER (PARTITION BY q_id
         |              ORDER BY rel_e6 DESC, vec_id) AS r FROM mcand c)
@@ -1816,63 +1890,42 @@ object TierX {
     // composed with the x_sim_pq_adc fine CTEs (per-subspace codebooks,
     // exact-e6 LUTs); candidates = codes in probed cells only
     "x_sim_ivf_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
-        |                embedding AS c_vec
-        |         FROM (SELECT vec_id, embedding,
-        |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
-        |               FROM embeddings ORDER BY h, vec_id LIMIT 8) t),
-        |${kmeansIterSql("c0", "c1")},
-        |${kmeansIterSql("c1", "c2")},
-        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
-        |asg AS (SELECT v.vec_id, c.c_id,
-        |          row_number() OVER (PARTITION BY v.vec_id
-        |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
-        |        FROM e v CROSS JOIN cn c),
-        |cells AS (SELECT vec_id, c_id AS cell FROM asg WHERE c_rank = 1),
-        |iprobes AS (SELECT vec_id AS q_id, c_id AS cell FROM asg
-        |            WHERE vec_id < 5 AND c_rank <= 2),
-        |s1 AS (SELECT vec_id,
-        |              list_slice(embedding, 1, len(embedding) // 2)
-        |                AS embedding
-        |            FROM embeddings),
-        |s2 AS (SELECT vec_id,
-        |         list_slice(embedding, len(embedding) // 2 + 1,
-        |                    len(embedding)) AS embedding
-        |       FROM embeddings),
-        |${pqSubspaceSql("s1", "q0", 16)},
-        |${pqSubspaceSql("s2", "q1", 16)},
-        |codes AS (SELECT a.vec_id, a.code AS code0, b.code AS code1,
-        |                 cells.cell
-        |          FROM codes_q0 a JOIN codes_q1 b USING (vec_id)
-        |               JOIN cells USING (vec_id)),
-        |q AS (SELECT vec_id AS q_id,
-        |        list_slice(embedding, 1, len(embedding) // 2) AS q0,
-        |        list_slice(embedding, len(embedding) // 2 + 1,
-        |                   len(embedding)) AS q1
-        |      FROM embeddings WHERE vec_id < 5),
-        |lut0 AS (SELECT q.q_id, c.c_id,
-        |           CAST(round(${dotSql("q.q0", "c.c_vec")} * 1000000.0)
-        |                AS BIGINT) AS d
-        |         FROM q CROSS JOIN c2_q0 c),
-        |lut1 AS (SELECT q.q_id, c.c_id,
-        |           CAST(round(${dotSql("q.q1", "c.c_vec")} * 1000000.0)
-        |                AS BIGINT) AS d
-        |         FROM q CROSS JOIN c2_q1 c),
-        |sc AS (SELECT p.q_id, codes.vec_id, codes.cell,
-        |              l0.d + l1.d AS adc_e6
-        |       FROM iprobes p
-        |            JOIN codes ON codes.cell = p.cell
-        |            JOIN lut0 l0 ON l0.q_id = p.q_id
-        |                        AND l0.c_id = codes.code0
-        |            JOIN lut1 l1 ON l1.q_id = p.q_id
-        |                        AND l1.c_id = codes.code1
-        |       WHERE codes.vec_id <> p.q_id),
+      s"""WITH $ivfPqScoredCte,
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY adc_e6 DESC, vec_id) AS srank
         |      FROM sc)
         |SELECT q_id, vec_id, cell, CAST(srank AS BIGINT) AS srank, adc_e6
         |FROM r WHERE srank <= 5 ORDER BY q_id, srank""".stripMargin,
+    // the serving MMR composition: the SAME IVF+PQ scored-candidate
+    // chain, pooled at srank <= 20 per query, exact-cosine refined
+    // against the raw vectors, then the x_mmr_rerank greedy step CTEs
+    "x_mmr_serving" ->
+      s"""WITH $ivfPqScoredCte,
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY adc_e6 DESC, vec_id) AS srank
+        |      FROM sc),
+        |pool AS (SELECT q_id, vec_id FROM r WHERE srank <= 20),
+        |qv AS (SELECT vec_id AS q_id, embedding AS q_vec
+        |       FROM embeddings WHERE vec_id < 5),
+        |mcandE AS (SELECT p.q_id, p.vec_id,
+        |      CAST(round((${cosSql("v.embedding", "qv.q_vec")}) * 1000000.0)
+        |           AS BIGINT) AS rel_e6,
+        |      v.embedding
+        |    FROM pool p JOIN e v ON v.vec_id = p.vec_id
+        |                JOIN qv ON qv.q_id = p.q_id),
+        |mcand AS MATERIALIZED (SELECT q_id, vec_id, rel_e6 FROM mcandE),
+        |mps AS MATERIALIZED (SELECT a.q_id, a.vec_id AS c1, b.vec_id AS c2,
+        |        CAST(round((${cosSql("a.embedding", "b.embedding")}) * 1000000.0) AS BIGINT) AS sim_e6
+        |      FROM mcandE a JOIN mcandE b
+        |        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+        |sel1 AS MATERIALIZED (SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_e6,
+        |               rel_e6 AS score_e6
+        |      FROM (SELECT c.*, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY rel_e6 DESC, vec_id) AS r FROM mcand c)
+        |      WHERE r = 1),
+        |${(2 to 5).map(mmrStepSql).mkString(",\n")}
+        |SELECT q_id, sel_rank, vec_id, rel_e6, score_e6
+        |FROM sel5 ORDER BY q_id, sel_rank""".stripMargin,
     // the IVF+PQ chain above, probed at nProbe ∈ {1, 2, 4}, each grade
     // a left join of the ranked ADC candidates against the exact
     // cosine top-5 ground truth — counts and recall in one row per

@@ -135,6 +135,45 @@ object Probe {
       return
     }
 
+    // density analysis behind the 100× phash_pairs fan-out (6.84
+    // verified pairs/row): is the pair mass blocking noise or inherent
+    // to the 32-bit sketch at this corpus size? Reports the per-hamming
+    // pair histogram and the aHash value concentration (sum of
+    // C(count, 2) over distinct hash values = the irreducible
+    // hamming-0 pair count no blocking scheme can shrink).
+    if (which == "phash100x") {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("*"), explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+          when(col("replica") % 50 < 5, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+              concat(lit("$1u"), col("replica"), lit(" $2"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(400).persist()
+      docs.count()
+      val hashes = graft.operators.Multimodal.imageAHash(spark, docs).toDF()
+        .persist()
+      val nImg = hashes.count()
+      val conc = hashes.groupBy("ahash32").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("distinct_hashes"),
+          sum(expr("n * (n - 1) div 2")).as("h0_pairs"),
+          max("n").as("max_bucket"))
+        .head()
+      println(s"[probe] images=$nImg distinct_ahash=${conc.getLong(0)} " +
+        s"hamming0_pairs=${conc.getLong(1)} max_value_count=${conc.getLong(2)}")
+      val pairs = graft.operators.Dedup.hammingPairs32(
+        hashes, idCol = "doc_id", hashCol = "ahash32", maxHamming = 2)
+      pairs.groupBy("hamming").agg(count(lit(1)).as("pairs"))
+        .orderBy("hamming").collect()
+        .foreach(r => println(s"[probe] hamming=${r.getLong(0)} pairs=${r.getLong(1)}"))
+      spark.stop()
+      return
+    }
+
     val _ = (sfDir, which, time(1) _)
 
     spark.stop()

@@ -217,9 +217,17 @@ object ScaleRehearsal {
     if (mode == "stream10x") { runStream10x(spark, sfDir, parts); return }
     if (mode == "skew10x") { runSkew10x(spark, sfDir, parts); return }
 
+    // the synthesized corpus is repartitioned once at synthesis time: a
+    // real corpus this size arrives as many parquet splits, while the
+    // row-multiplying explode inherits the sf0.1 scan's 1-2 partitions —
+    // without this every op's FIRST map stage (shingling, hashing,
+    // row-local sketches) runs on 1-2 cores, measuring the synthetic
+    // input layout instead of the operator
     val docs = docs10x(spark, graft.Tables(spark, sfDir, "documents"))
+      .repartition(parts.toInt)
       .persist() // shared input of every text op — synthesize once
-    val vecs = vecs10x(spark, graft.Tables(spark, sfDir, "embeddings")).persist()
+    val vecs = vecs10x(spark, graft.Tables(spark, sfDir, "embeddings"))
+      .repartition(parts.toInt).persist()
     val nDocs = docs.count() // materialize before timing the operators
     val nVecs = vecs.count()
     // contamination halves: replica stripes 0-4 vs 5-9 share no doc_id
@@ -391,9 +399,14 @@ object ScaleRehearsal {
     * through it immediately (500k docs all-pairs ≈ 250k pairs/doc). */
   private def run100x(spark: SparkSession, sfDir: String, parts: String): Unit = {
     import graft.operators.{Dedup, SimilaritySearch}
+    // same cluster-like input layout as the 10× block (see main): the
+    // synthetic explode inherits the scan's 1-2 partitions, which would
+    // serialize every op's first map stage
     val docs = docs100x(spark, graft.Tables(spark, sfDir, "documents"))
+      .repartition(parts.toInt)
       .persist()
     val vecs = vecs100x(spark, graft.Tables(spark, sfDir, "embeddings"))
+      .repartition(parts.toInt)
       .persist()
     val nDocs = docs.count()
     val nVecs = vecs.count()
@@ -440,6 +453,15 @@ object ScaleRehearsal {
     var ccStar: DataFrame = null
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
+      // sub-phase rows: candidate generation timed WITHOUT the exact
+      // verify join, so the standing record shows which phase carries
+      // each operator's cost (they scale on different axes — candidates
+      // with posting collisions, verify with output pairs); verify cost
+      // = full row − cand row
+      "ppjoin_cand" -> (() =>
+        Dedup.jaccardCandidates(docs, k = 3, threshold = 0.8)),
+      "minhash_cand" -> (() =>
+        Dedup.minHashCandidates(docs, k = 3, numHashes = 32, bands = 8)),
       "embed_pairs" -> (() => embedPairs()),
       "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())),
       "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
@@ -516,13 +538,15 @@ object ScaleRehearsal {
       require(equal, "cluster_hashmin and cluster_star disagree at 100x")
       s""""cc_labels_equal":$equal,"""
     }
-    val denom = Map("ppjoin" -> nDocs, "embed_pairs" -> nVecs,
+    val denom = Map("ppjoin" -> nDocs, "ppjoin_cand" -> nDocs,
+      "minhash_cand" -> nDocs, "embed_pairs" -> nVecs,
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
       "minhash_pairs" -> nDocs, "triangles" -> nDocs,
       "cluster_hashmin" -> nDocs, "cluster_star" -> nDocs,
       "incremental_exact" -> nDocs, "phash_pairs" -> nDocs)
     val fanoutCap = 10.0
-    val pairOps = Set("ppjoin", "embed_pairs", "ngram_overlap",
+    val pairOps = Set("ppjoin", "ppjoin_cand", "minhash_cand",
+      "embed_pairs", "ngram_overlap",
       "minhash_pairs", "triangles", "phash_pairs")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||

@@ -34,6 +34,7 @@ class DeterminismSpec extends SparkSpec {
     "x_inverted_index",  // two-phase posting cap across partitionings
     "x_negative_sample", // dense-id draws (zipWithIndex offsets)
     "x_mmr_rerank",      // greedy integer argmax chain over joins/windows
+    "x_mmr_serving",     // IVF+PQ pool + exact refine + greedy argmax
     "x_ann_recall_curve", // kmeans + PQ + per-probe grading aggregates
     "x_quality_rrf")     // per-lang rank windows + integer fusion
 

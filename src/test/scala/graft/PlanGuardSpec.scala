@@ -42,6 +42,9 @@ class PlanGuardSpec extends SparkSpec {
     // inherits x_sim_topk's broadcast query grid for its candidate
     // pool; every greedy step is left-anti + equi-joins + a window
     "x_mmr_rerank",
+    // inherits x_sim_ivf_pq's centroid-grid broadcast through its
+    // IVF+PQ candidate pool; refine + greedy steps are equi-joins
+    "x_mmr_serving",
     "x_lang_id", "x_tfidf_topterms", "f_csv_ingest",
     // domainMix/domainUpsample cross the 1-row n_min/n_max scalar onto
     // the |groups|-row rate table

@@ -276,6 +276,35 @@ class TierXSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._3)).distinct.length == out.length)
   }
 
+  test("mmr serving: picks come from the IVF+PQ pool, first pick is pure relevance") {
+    val vecs = Tables(spark, sf, "embeddings")
+    val df = q("x_mmr_serving")
+    assert(df.columns.toSeq ==
+      Seq("q_id", "sel_rank", "vec_id", "rel_e6", "score_e6"))
+    val out = df.collect()
+    assert(out.nonEmpty)
+    // every pick must be a member of the serving index's top-20 pool —
+    // the composition really selects from IVF+PQ candidates, not from
+    // a corpus rescan (bit-exactness vs the unrolled CTE chain is the
+    // oracle's job; this pins the structural contract)
+    val pool = graft.operators.SimilaritySearch
+      .ivfPqTopK(vecs, nQueries = 5, k = 20, nCentroids = 8, nProbe = 2,
+        m = 2, codebookSize = 16, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach(r => assert(pool((r.getLong(0), r.getLong(2))),
+      s"pick ${r.getLong(2)} for query ${r.getLong(0)} not in the pool"))
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L).toSeq,
+        s"query $qid sel_ranks not 1..5")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length,
+        s"query $qid picked a vector twice")
+      // step 1 has an empty selected set: zero penalty, score == rel
+      val first = rs.minBy(_.getLong(1))
+      assert(first.getLong(3) == first.getLong(4),
+        s"query $qid first pick score != rel")
+    }
+  }
+
   test("ann recall curve: cost and recall are monotone in nProbe") {
     val rows = q("x_ann_recall_curve").collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
