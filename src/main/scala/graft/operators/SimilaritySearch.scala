@@ -374,17 +374,43 @@ object SimilaritySearch {
       threshold: Double,
       nBits: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
+    require(nBits >= 1 && nBits <= 64,
+      s"cosinePairsLsh packs sign bits into one long: nBits in [1, 64], got $nBits")
     val bands = nBits / rowsPerBand
-    // bits + norm feed the band explode AND both verify sides
-    val withBits = vecs.select(
-      col("vec_id"), col("embedding"),
-      signBitsExpr(probeVectors(vecs, nBits)).as("bits"),
-      sqrt(Similarity.norm2(col("embedding"))).as("nrm"))
+    // PACKED sign-bit fingerprint: bit p set iff dot(vec, probe_p) >= 0
+    // — one long per vector instead of an nBits-char string. The string
+    // form allocated nBits+1 UTF8Strings PER ROW in the projection and
+    // shipped an nBits-byte key through the band shuffle; at the 100×
+    // rehearsal (64 probes × 200k vectors) that allocation churn
+    // dominated the whole operator. Same sign pattern, same banding,
+    // identical output pairs.
+    // one fused expression, not nBits composed dot columns — see
+    // [[graft.expressions.SignBitsPacked]] for the measured 4-7× gap
+    val packedBits =
+      graft.expressions.SignBitsPacked(col("embedding"),
+        probeVectors(vecs, nBits))
+    // Only the SKINNY (vec_id, bits) fingerprint is persisted — 16
+    // bytes/row. The previous form cached the embedding array alongside
+    // it, and Spark's in-memory columnar store writes complex-typed
+    // columns through a per-element generic codec: materializing that
+    // cache measured ~30-50 s at the 100× rehearsal while the 64-probe
+    // dot compute itself is ~6 s. The verify sides below re-read the
+    // embedding from the SOURCE frame instead (a columnar parquet scan
+    // or the caller's own cache — both cheap), re-computing one norm
+    // per side per row.
+    val withBits = vecs.select(col("vec_id"), packedBits.as("bits"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager: the band self-join launches BOTH map sides as concurrent
+    // AQE stages; un-materialized, each races to compute every cache
+    // partition (cache-write locking serializes the racers, measured
+    // as 2× the probe pass at the 100× rehearsal). One count pins the
+    // fingerprints hot before the join fans out.
+    withBits.count()
+    val keyMask = (1L << rowsPerBand) - 1
+    def bandKey(bits: Column, b: Int): Column =
+      shiftrightunsigned(bits, b * rowsPerBand).bitwiseAND(lit(keyMask))
     val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        substring(col("bits"), b * rowsPerBand + 1, rowsPerBand).as("key"))
+      struct(lit(b).as("band"), bandKey(col("bits"), b).as("key"))
     }
     val banded = withBits
       .select(col("vec_id"), col("bits"),
@@ -394,28 +420,29 @@ object SimilaritySearch {
     // Multi-band dedup WITHOUT the candidate-pair `.distinct()`: a pair
     // colliding in b bands used to emit b rows into a corpus-pair-sized
     // dedup shuffle. Instead each collision row carries both sides'
-    // full bit strings, and a codegen'd when-chain keeps the pair only
+    // full bit words, and a codegen'd when-chain keeps the pair only
     // at its FIRST colliding band (all earlier bands' keys differ) —
     // exactly one surviving row per candidate pair, identical output,
-    // zero extra exchange. The chain is bands×(bands−1)/2 substring
+    // zero extra exchange. The chain is bands×(bands−1)/2 shift-mask
     // compares worst-case, row-local and cheap next to the shuffle it
     // replaces.
     val firstBandOnly = (1 until bands).foldLeft(
         when(col("band") === 0, lit(true))) { (acc, b) =>
       acc.when(col("band") === b,
         (0 until b).map { p =>
-          substring(col("a.bits"), p * rowsPerBand + 1, rowsPerBand) =!=
-            substring(col("b.bits"), p * rowsPerBand + 1, rowsPerBand)
+          bandKey(col("a.bits"), p) =!= bandKey(col("b.bits"), p)
         }.reduce(_ && _))
     }
     val cand = banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .filter(firstBandOnly)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-    val sa = withBits.select(
-      col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
-    val sb = withBits.select(
-      col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    val sa = vecs.select(
+      col("vec_id").as("v1"), col("embedding").as("e1"),
+      sqrt(Similarity.norm2(col("embedding"))).as("n1"))
+    val sb = vecs.select(
+      col("vec_id").as("v2"), col("embedding").as("e2"),
+      sqrt(Similarity.norm2(col("embedding"))).as("n2"))
     cand.join(sa, "v1").join(sb, "v2")
       .withColumn("cos_raw",
         Similarity.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
@@ -720,10 +747,16 @@ object SimilaritySearch {
       .withColumn("c_nrm", sqrt(Similarity.norm2(col("c_vec"))))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("c_sim").desc, col("c_id"))
+    // SKINNY output: every consumer persists this frame and reads only
+    // (vec_id, c_id, c_rank) — carrying the embedding and centroid
+    // arrays through the persist would pay the in-memory columnar
+    // store's per-element complex-type codec for nCentroids copies of
+    // every vector (the cosinePairsLsh finding, ×8 here)
     vecs.crossJoin(broadcast(centroids))
       .withColumn("c_sim",
         Similarity.dot(col("embedding"), col("c_vec")) / col("c_nrm"))
       .withColumn("c_rank", row_number().over(w))
+      .select("vec_id", "c_id", "c_rank")
   }
 
   /** IVF top-k: search only the nProbe cells nearest to each query

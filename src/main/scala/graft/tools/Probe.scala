@@ -174,6 +174,104 @@ object Probe {
       return
     }
 
+    // embed_pairs layout sensitivity: the 100× rehearsal measured the
+    // LSH pairing ~65% slower on a 400-partition input than on the
+    // legacy 1-2-partition layout. Stage the op (bits projection vs
+    // band-join+verify) under both layouts in one session.
+    if (which == "embed100x") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.storage.StorageLevel
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      def vecs100(repart: Boolean) = {
+        val base = graft.Tables(spark, sfDir, "embeddings")
+          .select(col("*"), explode(sequence(lit(0L), lit(99L))).as("replica"))
+          .select(
+            (col("vec_id") + col("replica") * lit(10000000L)).as("vec_id"),
+            when(col("replica") % 50 < 5, col("embedding"))
+              .otherwise(expr(
+                "cast(transform(embedding, (x, i) -> " +
+                  "(pmod(xxhash64(vec_id, replica, i), 2001) - 1000) / 1000.0" +
+                  ") as array<float>)"))
+              .as("embedding"),
+            col("label"))
+        (if (repart) base.repartition(400) else base).persist()
+      }
+      // third mode: synthesized corpus staged as PARQUET (row -1),
+      // modeling the real input — a columnar table on disk
+      def vecsParquet() = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_probe_vecs").toString
+        vecs100(true).write.mode("overwrite").parquet(dir)
+        spark.catalog.clearCache()
+        spark.read.parquet(dir)
+      }
+      (Seq(false, true).map(r => () => (r.toString, vecs100(r))) :+
+        (() => ("parquet", vecsParquet()))).foreach { mk =>
+        val (tag, vecs) = mk()
+        val n = vecs.count()
+        def t[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        // stage the cosinePairsLsh internals by hand
+        val (probes, tProbe) = t {
+          vecs.orderBy("vec_id").limit(64).select("embedding")
+            .collect().map(_.getSeq[Float](0)).toSeq
+        }
+        val (_, tScan) = t {
+          vecs.agg(sum(size(col("embedding")))).head()
+        }
+        def dotsN(k: Int): Double = t {
+          vecs.agg(sum(probes.take(k).map(p =>
+            graft.functions.Similarity.dot(col("embedding"), typedlit(p)))
+            .reduce(_ + _))).head()
+        }._2
+        val (d1, d8, d64) = (dotsN(1), dotsN(8), dotsN(64))
+        // the packed-bits PROJECTION alone: noop-write vs persist+count
+        val packedCol =
+          graft.expressions.SignBitsPacked(col("embedding"), probes)
+        val (_, tProjNoop) = t {
+          vecs.select(col("vec_id"), packedCol.as("bits"))
+            .write.mode("overwrite").format("noop").save()
+        }
+        val projCached = vecs.select(col("vec_id"), packedCol.as("bits"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val (_, tProjPersist) = t { projCached.count() }
+        projCached.unpersist(true)
+        val stages = scala.collection.mutable.Buffer[(Int, Long, Int, String)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = (for {a <- si.completionTime; b <- si.submissionTime}
+              yield a - b).getOrElse(-1L)
+            stages.synchronized {
+              stages += ((si.stageId, ms, si.numTasks,
+                si.name.linesIterator.next().take(60)))
+            }
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val (_, tPairs) = t {
+          graft.operators.SimilaritySearch
+            .cosinePairsLsh(vecs, threshold = 0.4, nBits = 64, rowsPerBand = 16)
+            .write.mode("overwrite").format("noop").save()
+        }
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[probe] layout=$tag n=$n probes=$tProbe%.1f " +
+          f"scan=$tScan%.1f dots1=$d1%.1f dots8=$d8%.1f dots64=$d64%.1f " +
+          f"projNoop=$tProjNoop%.1f projPersist=$tProjPersist%.1f " +
+          f"fullOp=$tPairs%.1f s parts=${vecs.rdd.getNumPartitions}")
+        stages.sortBy(-_._2).take(6).foreach { case (id, ms, nt, nm) =>
+          println(f"[probe]   stage $id%4d ${ms / 1000.0}%7.1f s tasks=$nt%4d $nm")
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     val _ = (sfDir, which, time(1) _)
 
     spark.stop()

@@ -401,12 +401,14 @@ object ScaleRehearsal {
     import graft.operators.{Dedup, SimilaritySearch}
     // same cluster-like input layout as the 10× block (see main): the
     // synthetic explode inherits the scan's 1-2 partitions, which would
-    // serialize every op's first map stage
-    val docs = docs100x(spark, graft.Tables(spark, sfDir, "documents"))
-      .repartition(parts.toInt)
+    // serialize every op's first map stage. NO_REPART keeps the legacy
+    // serial layout for A/B measurement only.
+    val noRepart = sys.env.contains("SPARK_GRAFT_REHEARSAL_NO_REPART")
+    def layout(df: DataFrame): DataFrame =
+      if (noRepart) df else df.repartition(parts.toInt)
+    val docs = layout(docs100x(spark, graft.Tables(spark, sfDir, "documents")))
       .persist()
-    val vecs = vecs100x(spark, graft.Tables(spark, sfDir, "embeddings"))
-      .repartition(parts.toInt)
+    val vecs = layout(vecs100x(spark, graft.Tables(spark, sfDir, "embeddings")))
       .persist()
     val nDocs = docs.count()
     val nVecs = vecs.count()
@@ -530,11 +532,18 @@ object ScaleRehearsal {
     // per side compares the full (doc_id, rep_id, cluster_size) label
     // sets without re-running any rounds
     val ccAudit = if (ccHashMin == null || ccStar == null) "" else {
+      // order-insensitive checksums that cannot overflow under ANSI
+      // arithmetic (a raw sum of full-range xxhash64 longs does): XOR
+      // plus a modular sum of the row hashes, plus the row count —
+      // together multiset equality evidence over distinct label rows
       def fp(df: DataFrame) = df
-        .agg(sum(xxhash64(col("doc_id"), col("rep_id"),
-          col("cluster_size"))).as("s"), count(lit(1)).as("n")).head()
+        .select(xxhash64(col("doc_id"), col("rep_id"),
+          col("cluster_size")).as("h"))
+        .agg(expr("bit_xor(h)").as("x"),
+          sum(pmod(col("h"), lit(1000000007L))).as("s"),
+          count(lit(1)).as("n")).head()
       val (a, b) = (fp(ccHashMin), fp(ccStar))
-      val equal = a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)
+      val equal = (0 to 2).forall(i => a.getLong(i) == b.getLong(i))
       require(equal, "cluster_hashmin and cluster_star disagree at 100x")
       s""""cc_labels_equal":$equal,"""
     }

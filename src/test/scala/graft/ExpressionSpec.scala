@@ -80,6 +80,35 @@ class ExpressionSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("codegenfallback"))
   }
 
+  test("DotProductFloat foldable-side path is bit-identical to the column path") {
+    // the primitive-copy fast path for literal probe vectors must not
+    // change a single result bit vs joining the same vector in as data
+    val probe = vecs.orderBy("vec_id").limit(1)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val df = vecs.limit(200).select(
+      DotProductFloat(col("embedding"), typedlit(probe)).as("lit_side"),
+      Similarity.dotComposable(col("embedding"), typedlit(probe)).as("composed"))
+    assert(df.filter(col("lit_side") =!= col("composed")).count() == 0)
+  }
+
+  test("SignBitsPacked equals the composed per-probe sign bits, in codegen") {
+    val probes = vecs.orderBy("vec_id").limit(64)
+      .select("embedding").collect().map(_.getSeq[Float](0)).toSeq
+    val composed = probes.zipWithIndex.map { case (p, i) =>
+      when(DotProductFloat(col("embedding"), typedlit(p)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val df = vecs.select(
+      graft.expressions.SignBitsPacked(col("embedding"), probes).as("fused"),
+      composed.as("composed"))
+    assert(df.filter(col("fused") =!= col("composed")).count() == 0)
+    val fusedOnly = vecs.select(
+      graft.expressions.SignBitsPacked(col("embedding"), probes).as("b"))
+    fusedOnly.collect()
+    val plan = fusedOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"))
+  }
+
   test("DotProductFloat null semantics: null array -> null result") {
     val df = vecs.select(
       DotProductFloat(lit(null).cast("array<float>"), col("embedding")).as("d"))
