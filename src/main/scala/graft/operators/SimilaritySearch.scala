@@ -1092,14 +1092,21 @@ object SimilaritySearch {
     for (step <- 2 to k) {
       // remaining candidates ⋈ their sims TO THE SELECTED SET (both
       // joins carry q_id — candidate pools of different queries may
-      // share vec_ids), then the max-sim penalty per candidate
+      // share vec_ids), then the max-sim penalty per candidate. The
+      // sel sides are PINNED broadcasts: the selected set is ≤
+      // nQueries·k rows BY CONSTRUCTION (corpus size never enters
+      // after candidate generation), and leaving the choice to AQE
+      // measured a run-to-run broadcast-count flip (12 vs 9 in
+      // otherwise-identical bench runs) — the exact plan
+      // nondeterminism the bench merge protocol excludes.
       val scored = scalarCand
-        .join(sel.select("q_id", "vec_id"), Seq("q_id", "vec_id"),
+        .join(broadcast(sel.select("q_id", "vec_id")), Seq("q_id", "vec_id"),
           "left_anti").as("r")
         .join(pairSim.as("p"),
           col("r.q_id") === col("p.q_id") &&
             col("r.vec_id") === col("p.c1"))
-        .join(sel.select(col("q_id").as("sq"), col("vec_id").as("sv")),
+        .join(broadcast(
+          sel.select(col("q_id").as("sq"), col("vec_id").as("sv"))),
           col("p.q_id") === col("sq") && col("p.c2") === col("sv"))
         .groupBy(col("r.q_id").as("q_id"), col("r.vec_id").as("vec_id"),
           col("r.rel_e6").as("rel_e6"))
