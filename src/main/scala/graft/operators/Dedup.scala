@@ -99,27 +99,43 @@ object Dedup {
 
   /** Exact shingle-set Jaccard for candidate pairs, thresholded.
     *
-    * The shingle sides carry a SHUFFLE_HASH hint: their on-wire size
-    * wildly under-represents their in-heap size (repetitive small-
-    * vocabulary text compresses the array shuffle ~30×), so AQE's
-    * runtime re-plan would happily broadcast a "10 MB" side whose
-    * deserialized hash relation is gigabytes — observed as a
-    * BroadcastExchange OOM at the 100× rehearsal. A shuffled hash join
-    * keeps the array payload partitioned (per-partition build sides
-    * stay corpus/partitions-sized) — the only shape that survives at
-    * 100 TB anyway. */
+    * SKINNY payloads (the round-11 verify-phase cut): each side ships a
+    * sorted distinct array of per-shingle xxhash64 values
+    * ([[graft.expressions.XxHash64SortedSet]] — 8 bytes/shingle instead
+    * of ~25-char strings), and the intersection is one codegen'd merge
+    * pass ([[graft.expressions.SortedLongIntersectCount]]) instead of
+    * `array_intersect`'s per-row hash-set build. Recall/precision stay
+    * exact by the same 64-bit collision argument as candidate
+    * generation: equal shingles hash equal, so a qualifying pair's
+    * intersection is never undercounted; a CROSS-doc collision (two
+    * distinct shingles, one hash — probability ≤ |A|·|B|/2⁶⁴ per pair,
+    * ~10⁻¹⁶ at |S| ≈ 50) could overcount one element, and a WITHIN-doc
+    * collision shrink one set size — both 2⁻⁶⁴-scale events the
+    * oracle-equality gate would surface.
+    *
+    * The hash sides carry a SHUFFLE_HASH hint: their on-wire size
+    * under-represents their in-heap size (the array shuffle compresses
+    * heavily), so AQE's runtime re-plan would happily broadcast a
+    * "10 MB" side whose deserialized hash relation is gigabytes —
+    * observed as a BroadcastExchange OOM at the 100× rehearsal with the
+    * string payloads. A shuffled hash join keeps the array payload
+    * partitioned (per-partition build sides stay corpus/partitions-
+    * sized) — the only shape that survives at 100 TB anyway. */
   private def verifyJaccard(
-      cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sa = sh.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
+      cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      threshold: Double): DataFrame = {
+    def hashed(sh: DataFrame, d: String, hs: String) = sh.select(
+      col("doc_id").as(d),
+      graft.expressions.XxHash64SortedSet.column(col("shingles")).as(hs))
       .hint("shuffle_hash")
-    val sb = sh.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
-      .hint("shuffle_hash")
-    cand.join(sa, "d1").join(sb, "d2")
+    cand.join(hashed(shA, "d1", "hs1"), "d1")
+      .join(hashed(shB, "d2", "hs2"), "d2")
       .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+        graft.expressions.SortedLongIntersectCount
+          .column(col("hs1"), col("hs2")))
       .withColumn("jac",
         col("inter") /
-          (size(col("sh1")) + size(col("sh2")) - col("inter")))
+          (size(col("hs1")) + size(col("hs2")) - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
   }
@@ -157,14 +173,24 @@ object Dedup {
     // serialized form trades a decode per scan for an order-of-
     // magnitude fewer live objects.
     val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    verifyJaccard(jaccardCandidatesFrom(sh, threshold), sh, threshold)
+    verifyJaccard(jaccardCandidatesFrom(sh, threshold), sh, sh, threshold)
   }
 
   /** CANDIDATE-GENERATION sub-phase of [[nearDupJaccard]], exposed so
     * the scale rehearsal can time prefix-filtered candidate generation
     * separately from exact verification (the two phases scale on
     * different axes: candidates with posting-collision count, verify
-    * with output-pair count). Output: (d1, d2) candidate pairs — a
+    * with output-pair count).
+    *
+    * Caching contract (the [[hammingPairs32]] convention): a fresh
+    * shingle frame is persisted per call (it feeds the df-ordering and
+    * prefix-build branches) and is unreachable by the caller; it lives
+    * until `spark.catalog.clearCache()` (the rehearsal harness clears
+    * after every op). A long-lived library caller invoking this
+    * repeatedly should clear the cache between calls — or use
+    * [[nearDupJaccard]], whose persist the same contract covers.
+    *
+    * Output: (d1, d2) candidate pairs — a
     * superset of the qualifying pairs, exact-recall at `threshold`. */
   def jaccardCandidates(
       docs: DataFrame, k: Int = 3, threshold: Double = 0.8): DataFrame =
@@ -466,12 +492,14 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(minHashCandidatesFrom(sh, numHashes, bands), sh, threshold)
+    verifyJaccard(minHashCandidatesFrom(sh, numHashes, bands), sh, sh, threshold)
   }
 
   /** CANDIDATE-GENERATION sub-phase of [[nearDupMinHash]] (banded-LSH
     * collision pairs, deduped), exposed for the scale rehearsal's
-    * sub-phase timing — see [[jaccardCandidates]]. */
+    * sub-phase timing — see [[jaccardCandidates]], whose caching
+    * contract (one per-call persisted shingle frame, released only by
+    * `spark.catalog.clearCache()`) applies here identically. */
   def minHashCandidates(
       docs: DataFrame,
       k: Int = 3,
@@ -606,16 +634,7 @@ object Dedup {
       .join(bandedMinHash(shB, numHashes, bands).as("b"), Seq("band", "key"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sa = shA.select(col("doc_id").as("d1"), col("shingles").as("sh1"))
-    val sb = shB.select(col("doc_id").as("d2"), col("shingles").as("sh2"))
-    cand.join(sa, "d1").join(sb, "d2")
-      .withColumn("inter",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jac",
-        col("inter") /
-          (size(col("sh1")) + size(col("sh2")) - col("inter")))
-      .filter(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+    verifyJaccard(cand, shA, shB, threshold)
   }
 
   /** 32-bit SimHash per document from the token stream (with

@@ -368,6 +368,17 @@ object SimilaritySearch {
     * with true duplicate structure (cos ≥ 0.9, p ≥ 0.86/bit) takes
     * 8-bit bands at >97% recall with ~40× candidate pruning.
     *
+    * Caching contract (the [[ivfPqRecallCurve]] convention): calling
+    * this method is EAGER — the skinny (vec_id, bits) fingerprint frame
+    * is persisted and pinned hot with a count() before the band
+    * self-join is even constructed (rationale inline below), so merely
+    * building the returned DataFrame runs one Spark job and leaves one
+    * cache entry behind. The persist lives until the caller runs
+    * `spark.catalog.clearCache()` (the Verify/Bench harnesses do) or
+    * unpersists; it cannot be released here — the returned frame is
+    * lazy and reads it at execution time. A long-lived library caller
+    * invoking this repeatedly should clear the cache between calls.
+    *
     * Output: (v1, v2, cos) for caught pairs with cosine ≥ threshold. */
   def cosinePairsLsh(
       vecs: DataFrame,

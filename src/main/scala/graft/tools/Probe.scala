@@ -197,13 +197,18 @@ object Probe {
         (if (repart) base.repartition(400) else base).persist()
       }
       // third mode: synthesized corpus staged as PARQUET (row -1),
-      // modeling the real input — a columnar table on disk
+      // modeling the real input — a columnar table on disk. The dir is
+      // per-run scratch, deleted after the layouts loop (same policy as
+      // ScaleRehearsal's staging dir — probe runs must not accumulate
+      // multi-GB temp trees).
+      var parquetScratch: Option[java.nio.file.Path] = None
       def vecsParquet() = {
         val dir = java.nio.file.Files
-          .createTempDirectory("graft_probe_vecs").toString
-        vecs100(true).write.mode("overwrite").parquet(dir)
+          .createTempDirectory("graft_probe_vecs")
+        parquetScratch = Some(dir)
+        vecs100(true).write.mode("overwrite").parquet(dir.toString)
         spark.catalog.clearCache()
-        spark.read.parquet(dir)
+        spark.read.parquet(dir.toString)
       }
       (Seq(false, true).map(r => () => (r.toString, vecs100(r))) :+
         (() => ("parquet", vecsParquet()))).foreach { mk =>
@@ -267,6 +272,12 @@ object Probe {
           println(f"[probe]   stage $id%4d ${ms / 1000.0}%7.1f s tasks=$nt%4d $nm")
         }
         spark.catalog.clearCache()
+      }
+      parquetScratch.foreach { dir =>
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       }
       spark.stop()
       return

@@ -531,22 +531,25 @@ object ScaleRehearsal {
     // (Lineage.truncate), so one order-insensitive checksum aggregate
     // per side compares the full (doc_id, rep_id, cluster_size) label
     // sets without re-running any rounds
-    val ccAudit = if (ccHashMin == null || ccStar == null) "" else {
-      // order-insensitive checksums that cannot overflow under ANSI
-      // arithmetic (a raw sum of full-range xxhash64 longs does): XOR
-      // plus a modular sum of the row hashes, plus the row count —
-      // together multiset equality evidence over distinct label rows
-      def fp(df: DataFrame) = df
-        .select(xxhash64(col("doc_id"), col("rep_id"),
-          col("cluster_size")).as("h"))
-        .agg(expr("bit_xor(h)").as("x"),
-          sum(pmod(col("h"), lit(1000000007L))).as("s"),
-          count(lit(1)).as("n")).head()
-      val (a, b) = (fp(ccHashMin), fp(ccStar))
-      val equal = (0 to 2).forall(i => a.getLong(i) == b.getLong(i))
-      require(equal, "cluster_hashmin and cluster_star disagree at 100x")
-      s""""cc_labels_equal":$equal,"""
-    }
+    // the equality REQUIRE is deferred to after the ops line is
+    // emitted and the staging dir removed: a label mismatch must not
+    // leak the multi-GB pairsDir or discard the run's timing record
+    val ccEqual: Option[Boolean] =
+      if (ccHashMin == null || ccStar == null) None else {
+        // order-insensitive checksums that cannot overflow under ANSI
+        // arithmetic (a raw sum of full-range xxhash64 longs does): XOR
+        // plus a modular sum of the row hashes, plus the row count —
+        // together multiset equality evidence over distinct label rows
+        def fp(df: DataFrame) = df
+          .select(xxhash64(col("doc_id"), col("rep_id"),
+            col("cluster_size")).as("h"))
+          .agg(expr("bit_xor(h)").as("x"),
+            sum(pmod(col("h"), lit(1000000007L))).as("s"),
+            count(lit(1)).as("n")).head()
+        val (a, b) = (fp(ccHashMin), fp(ccStar))
+        Some((0 to 2).forall(i => a.getLong(i) == b.getLong(i)))
+      }
+    val ccAudit = ccEqual.map(e => s""""cc_labels_equal":$e,""").getOrElse("")
     val denom = Map("ppjoin" -> nDocs, "ppjoin_cand" -> nDocs,
       "minhash_cand" -> nDocs, "embed_pairs" -> nVecs,
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
@@ -579,6 +582,8 @@ object ScaleRehearsal {
     }
     require(bad.isEmpty,
       s"plan/fan-out guard violated at 100x scale: ${bad.map(_._1).mkString(", ")}")
+    require(ccEqual.forall(identity),
+      "cluster_hashmin and cluster_star disagree at 100x")
     spark.stop()
   }
 

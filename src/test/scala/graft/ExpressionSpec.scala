@@ -223,6 +223,90 @@ class ExpressionSpec extends SparkSpec {
       "NfcNormalize fell out of whole-stage codegen")
   }
 
+  test("XxHash64SortedSet equals the composed builtin form on the corpus") {
+    import graft.expressions.XxHash64SortedSet
+    val sh = graft.operators.Dedup.shingles(
+      Tables(spark, sf, "documents"), k = 3)
+    // the composed reference: per-element xxhash64 (same seed-42
+    // builtin), distinct, ascending sort
+    val composed = sh.select(col("doc_id"),
+      sort_array(array_distinct(
+        expr("transform(shingles, s -> xxhash64(s))"))).as("hs"))
+    val fused = sh.select(col("doc_id"),
+      XxHash64SortedSet.column(col("shingles")).as("hs"))
+    assert(fused.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(fused).count() == 0)
+  }
+
+  test("XxHash64SortedSet dedups hash collisions; empty array; codegen") {
+    import spark.implicits._
+    import graft.expressions.XxHash64SortedSet
+    // duplicate strings inside one array collapse to one hash
+    val out = Seq((0L, Seq("a", "b", "a", "c", "b")))
+      .toDF("id", "arr")
+      .select(XxHash64SortedSet.column(col("arr")).as("hs"))
+      .head().getSeq[Long](0)
+    assert(out.length == 3 && out == out.sorted)
+    val empty = Seq((0L, Seq.empty[String])).toDF("id", "arr")
+      .select(XxHash64SortedSet.column(col("arr")).as("hs"))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
+    val df = Tables(spark, sf, "documents")
+      .select(XxHash64SortedSet.column(split(col("text"), " ")).as("hs"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      "XxHash64SortedSet fell out of whole-stage codegen")
+  }
+
+  test("SortedLongIntersectCount equals size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    import graft.expressions.{SortedLongIntersectCount, XxHash64SortedSet}
+    val sh = graft.operators.Dedup.shingles(
+      Tables(spark, sf, "documents"), k = 3)
+      .select(col("doc_id"),
+        XxHash64SortedSet.column(col("shingles")).as("hs"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") % 7 === col("b.doc_id") % 7 &&
+          col("a.doc_id") < col("b.doc_id"))
+      .limit(2000)
+      .select(
+        SortedLongIntersectCount.column(col("a.hs"), col("b.hs")).as("m"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).cast("double").as("r"))
+    assert(pairs.filter(col("m") =!= col("r")).count() == 0)
+    // edge shapes: one empty side, disjoint, identical
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L), 0d),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L), 0d),
+      (Seq(-9L, 0L, 4L), Seq(-9L, 0L, 4L), 3d),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue), 2d))
+      .toDF("a", "b", "want")
+      .select(SortedLongIntersectCount.column(col("a"), col("b")).as("got"),
+        col("want"))
+    assert(edges.filter(col("got") =!= col("want")).count() == 0)
+  }
+
+  test("skinny hash verify matches string-array Jaccard end-to-end") {
+    import graft.operators.Dedup
+    val docs = Tables(spark, sf, "documents")
+    val got = Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)
+    // reference: the pre-round-11 string-array verify over the SAME
+    // candidate set (candidate generation is untouched)
+    val cand = Dedup.jaccardCandidates(docs, k = 3, threshold = 0.8)
+    val sh = Dedup.shingles(docs, k = 3)
+    val ref = cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingles").as("sh1")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingles").as("sh2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jac", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+    assert(got.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(got).count() == 0)
+  }
+
   test("interpreted eval path agrees with codegen path") {
     // force interpreted evaluation via an eval on literal rows
     val row = vecs.select("embedding").head()
