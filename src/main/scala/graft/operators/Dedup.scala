@@ -1051,16 +1051,41 @@ object Dedup {
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming must be in [0, 31], got $maxHamming")
+      maxHamming: Int): DataFrame =
+    hammingPairsWidth(hashes, idCol, hashCol, maxHamming, 32)
+
+  /** 64-bit sibling of [[hammingPairs32]] for wide fingerprints (the
+    * [[graft.operators.Multimodal.imageAHash64]] corpus-scale sketch):
+    * identical r+1-block pigeonhole equi-join — at radius 6 the blocks
+    * carry ~9-bit keys (vs ~4.6-bit at width 32), so buckets stay
+    * sparse at 100k+ images. The fingerprint may use the sign bit
+    * (`shiftrightunsigned` keys, so a set bit 63 never smears into the
+    * block keys); Hamming is `bit_count(x ^ y)` over the full two's-
+    * complement words. Same caching contract as [[hammingPairs32]]. */
+  def hammingPairs64(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int): DataFrame =
+    hammingPairsWidth(hashes, idCol, hashCol, maxHamming, 64)
+
+  private def hammingPairsWidth(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      width: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < width,
+      s"maxHamming must be in [0, ${width - 1}], got $maxHamming")
     val hs = hashes
       .select(col(idCol).as("doc_id"), col(hashCol).as("simhash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val blockStructs = simHashBlockSpec(maxHamming).map { case (t, off, mask) =>
-      struct(
-        lit(t).as("blk"),
-        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("key"))
+    val blockStructs = splitBlocks(width, maxHamming + 1).map {
+      case (t, off, mask) =>
+        struct(
+          lit(t).as("blk"),
+          shiftrightunsigned(col("simhash"), off).bitwiseAND(lit(mask))
+            .as("key"))
     }
     blockedHamming(hs, Seq("simhash"), blockStructs,
       expr("bit_count(simhash1 ^ simhash2)"), maxHamming)

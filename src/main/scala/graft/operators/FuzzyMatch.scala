@@ -94,9 +94,19 @@ object FuzzyMatch {
         col("a.gram") === col("b.gram") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("d1"), col(s"b.$id").as("d2"))
       .distinct()
+    // the gram-array verify sides are PINNED shuffled-hash joins, for
+    // both of the verifyJaccard reasons: (a) determinism — leaving the
+    // choice to AQE measured a run-to-run 4-vs-6-exchange flip in
+    // x_entity_resolve (the record frame sits right at the broadcast
+    // threshold), exactly the plan nondeterminism the bench merge
+    // protocol excludes; (b) scale — the record side of an entity-
+    // resolution pass is corpus-sized in production, so a broadcast
+    // plan would be the wrong shape to rehearse anyway.
     cand
-      .join(g.select(col(id).as("d1"), col("_g").as("_ga")), "d1")
-      .join(g.select(col(id).as("d2"), col("_g").as("_gb")), "d2")
+      .join(g.select(col(id).as("d1"), col("_g").as("_ga"))
+        .hint("shuffle_hash"), "d1")
+      .join(g.select(col(id).as("d2"), col("_g").as("_gb"))
+        .hint("shuffle_hash"), "d2")
       .withColumn("inter",
         size(array_intersect(col("_ga"), col("_gb"))).cast("double"))
       .withColumn("jacc", round(

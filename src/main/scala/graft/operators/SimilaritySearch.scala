@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1073,63 +1073,100 @@ object SimilaritySearch {
     mmrGreedy(cand, k)
   }
 
-  /** The shared greedy MMR selection chain over a bounded candidate
-    * pool `cand` (q_id, vec_id, rel_e6, embedding, vec_id_nrm) — see
-    * [[mmrRerank]] for the semantics and exactness argument. The pool
-    * and the derived pairwise-sim table are checkpointed once; each of
-    * the k−1 remaining steps is a left-anti + equi-joins + window over
-    * frames bounded by the pool size. */
+  /** One greedy MMR pick. */
+  private case class MmrPick(
+      sel_rank: Long, vec_id: Long, rel_e6: Long, score_e6: Long)
+
+  /** The shared greedy MMR selection over a bounded candidate pool
+    * `cand` (q_id, vec_id, rel_e6, embedding, vec_id_nrm) — see
+    * [[mmrRerank]] for the semantics and exactness argument.
+    *
+    * Shape (round 11, replacing the k−1 chained step jobs): greedy MMR
+    * is inherently SEQUENTIAL per query but independent ACROSS queries,
+    * so the right distribution axis is q_id, not the step index. The
+    * pairwise sims are still computed as one Spark join (the rounding
+    * to the 1e-6 grid happens in the same Catalyst expressions as
+    * before — bit-identical inputs to the greedy), then each query's
+    * pool collapses to ONE grouped row (≤ nCand rel entries + nCand²
+    * sims — bounded by construction, corpus size never enters) and the
+    * k-step argmax chain runs row-locally in a UDF: one shuffle on
+    * q_id replaces k−1 sequential jobs of left-anti + equi-joins +
+    * window each (measured 4.15 s → sub-second for x_mmr_serving at
+    * sf0.1; every scheduling round-trip was pure overhead). All greedy
+    * arithmetic is exact long math on the already-rounded grid
+    * (score = rel_e6 − max sim_e6, ties by lowest vec_id), so the
+    * DuckDB oracle's unrolled step CTEs still agree bit-for-bit. */
   private def mmrGreedy(candRaw: DataFrame, k: Int): DataFrame = {
+    val spark = candRaw.sparkSession
+    import spark.implicits._
     val cand = Lineage.truncate(candRaw)
-    val scalarCand = cand.select("q_id", "vec_id", "rel_e6")
-    // pairwise candidate sims, nCand² per query by construction
-    val pairSim = Lineage.truncate(
-      cand.as("a").join(cand.as("b"), Seq("q_id"))
-        .filter(col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("q_id"),
-          col("a.vec_id").as("c1"), col("b.vec_id").as("c2"),
-          round(Similarity.dot(col("a.embedding"), col("b.embedding"))
-            / (col("a.vec_id_nrm") * col("b.vec_id_nrm")) * 1e6)
-            .cast("long").as("sim_e6")))
-    val wPick = Window.partitionBy("q_id")
-      .orderBy(col("score_e6").desc, col("vec_id"))
-    // step 1: pure relevance (empty selected set ⇒ zero penalty)
-    var sel = scalarCand
-      .withColumn("score_e6", col("rel_e6"))
-      .withColumn("r", row_number().over(wPick))
-      .filter(col("r") === 1)
-      .select(col("q_id"), lit(1L).as("sel_rank"), col("vec_id"),
-        col("rel_e6"), col("score_e6"))
-    for (step <- 2 to k) {
-      // remaining candidates ⋈ their sims TO THE SELECTED SET (both
-      // joins carry q_id — candidate pools of different queries may
-      // share vec_ids), then the max-sim penalty per candidate. The
-      // sel sides are PINNED broadcasts: the selected set is ≤
-      // nQueries·k rows BY CONSTRUCTION (corpus size never enters
-      // after candidate generation), and leaving the choice to AQE
-      // measured a run-to-run broadcast-count flip (12 vs 9 in
-      // otherwise-identical bench runs) — the exact plan
-      // nondeterminism the bench merge protocol excludes.
-      val scored = scalarCand
-        .join(broadcast(sel.select("q_id", "vec_id")), Seq("q_id", "vec_id"),
-          "left_anti").as("r")
-        .join(pairSim.as("p"),
-          col("r.q_id") === col("p.q_id") &&
-            col("r.vec_id") === col("p.c1"))
-        .join(broadcast(
-          sel.select(col("q_id").as("sq"), col("vec_id").as("sv"))),
-          col("p.q_id") === col("sq") && col("p.c2") === col("sv"))
-        .groupBy(col("r.q_id").as("q_id"), col("r.vec_id").as("vec_id"),
-          col("r.rel_e6").as("rel_e6"))
-        .agg(max("sim_e6").as("pen_e6"))
-        .withColumn("score_e6", col("rel_e6") - col("pen_e6"))
-      sel = sel.unionByName(scored
-        .withColumn("r", row_number().over(wPick))
-        .filter(col("r") === 1)
-        .select(col("q_id"), lit(step.toLong).as("sel_rank"),
-          col("vec_id"), col("rel_e6"), col("score_e6")))
-    }
-    sel
+    // pairwise candidate sims, nCand² per query by construction — the
+    // SAME expressions as the pre-round-11 form (exactness anchor)
+    val pairSim = cand.as("a").join(cand.as("b"), Seq("q_id"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("q_id"),
+        col("a.vec_id").as("c1"), col("b.vec_id").as("c2"),
+        round(Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.vec_id_nrm") * col("b.vec_id_nrm")) * 1e6)
+          .cast("long").as("sim_e6"))
+    val cands = cand.select("q_id", "vec_id", "rel_e6")
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("vec_id"), col("rel_e6"))).as("cands"))
+    val sims = pairSim.groupBy("q_id")
+      .agg(collect_list(struct(col("c1"), col("c2"), col("sim_e6")))
+        .as("sims"))
+    val pick = udf((cs: Seq[Row], ss: Seq[Row]) => {
+      val ids = cs.map(_.getLong(0)).toArray
+      val rels = cs.map(_.getLong(1)).toArray
+      val n = ids.length
+      val idx = ids.zipWithIndex.toMap
+      // sim matrix over pool indices; Long.MinValue = "no sim row"
+      // (unreachable for distinct pool members — all pairs exist)
+      val sim = Array.fill(n * n)(Long.MinValue)
+      Option(ss).getOrElse(Seq.empty).foreach { r =>
+        (idx.get(r.getLong(0)), idx.get(r.getLong(1))) match {
+          case (Some(i), Some(j)) => sim(i * n + j) = r.getLong(2)
+          case _ => ()
+        }
+      }
+      val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+      val out = new scala.collection.mutable.ArrayBuffer[MmrPick](k)
+      var step = 1
+      while (step <= k && selected.length < n) {
+        var best = -1
+        var bestScore = 0L
+        var i = 0
+        while (i < n) {
+          if (!selected.contains(i)) {
+            // step 1: pure relevance; later: rel − max sim to selected
+            var score = rels(i)
+            if (selected.nonEmpty) {
+              var pen = Long.MinValue
+              selected.foreach { s =>
+                val v = sim(i * n + s)
+                if (v > pen) pen = v
+              }
+              score = rels(i) - pen
+            }
+            if (best < 0 || score > bestScore ||
+                (score == bestScore && ids(i) < ids(best))) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        selected += best
+        out += MmrPick(step.toLong, ids(best), rels(best), bestScore)
+        step += 1
+      }
+      out.toSeq
+    })
+    cands.join(sims, Seq("q_id"), "left")
+      .select(col("q_id"),
+        explode(pick(col("cands"), col("sims"))).as("p"))
+      .select(col("q_id"), col("p.sel_rank").as("sel_rank"),
+        col("p.vec_id").as("vec_id"), col("p.rel_e6").as("rel_e6"),
+        col("p.score_e6").as("score_e6"))
   }
 
   /** LSH-bucketed top-k: like [[bruteTopK]] but candidates come from

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, length, lit, lpad, max, min, round, slice, split, substring, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, length, lit, lpad, max, min, round, slice, split, substring, sum, upper, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -169,6 +169,33 @@ object TierX {
         Multimodal.imageAHash(s, docs(s, d)).toDF(),
         idCol = "doc_id", hashCol = "ahash32", maxHamming = 6)
         .persist().orderBy("d1", "d2")),
+    "x_phash_pairs64" -> ((s, d) => {
+      // the corpus-scale image sketch: 64-bit aHash (the documented
+      // remedy for the 32-bit sketch's identical-hash collapse at
+      // 100k+ images — see Multimodal.imageAHash64) paired by the same
+      // pigeonhole machinery; ~9-bit block keys at radius 6 keep the
+      // buckets sparse where the 32-bit query's ~4.6-bit keys saturate.
+      // The corpus has no natural near-dup images (min pairwise 64-bit
+      // Hamming is 10 at sf0.01), so the query injects deterministic
+      // variants — the x_url_canon convention: every image doc gets a
+      // replica at +3000000 (offset ≡ 0 mod 5 keeps it an image) with
+      // its first ⌈n/8⌉ chars uppercased, a "small edit" whose aHash
+      // lands within Hamming ~4-28 of the original — and the radius-6
+      // pairing must recover exactly the close ones
+      val dd = docs(s, d)
+      val cut = expr("cast(ceil(n_chars / 8.0) as int)")
+      val injected = dd.unionByName(
+        dd.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(upper(substring(col("text"), lit(1), cut)),
+              substring(col("text"), cut + 1, col("n_chars").cast("int")))
+              .as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      Dedup.hammingPairs64(
+        Multimodal.imageAHash64(s, injected).toDF(),
+        idCol = "doc_id", hashCol = "ahash64", maxHamming = 6)
+        .persist().orderBy("d1", "d2")
+    }),
     "x_pipeline_ccnet" -> ((s, d) => {
       // the CCNet composition; verbatim replicas of every 5th doc are
       // injected so the dedup stage removes real mass (the corpus has
@@ -846,6 +873,33 @@ object TierX {
       |                 THEN CAST(1 AS BIGINT) << blk ELSE 0 END)
       |             AS BIGINT) AS ahash32
       |       FROM bl JOIN g USING (doc_id) GROUP BY 1)""".stripMargin
+  /** 64-block variant of [[phashCte]] over source relation `src` —
+    * same chain with 64 pixel blocks; the bit sum runs in HUGEINT
+    * (DuckDB's BIGINT `<< 63` overflow-checks) and folds back to the
+    * two's-complement BIGINT the Spark side emits (bit 63 = the long's
+    * sign bit). Ends with `hx(doc_id, ahash64)`. */
+  private def phashCte64From(src: String) =
+    s"""bmp AS (SELECT doc_id, text, n_chars,
+      |        CAST((n_chars % 640) + 1 AS BIGINT) AS width,
+      |        CAST((doc_id % 480) + 1 AS BIGINT) AS height
+      |      FROM $src WHERE doc_id % 5 = 0),
+      |ch AS (SELECT doc_id, i - 1 AS j,
+      |        ascii(substr(text, CAST(i AS INT), 1)) AS v,
+      |        n_chars AS l
+      |       FROM bmp, unnest(range(1, CAST(n_chars AS INT) + 1)) t(i)),
+      |bl AS (SELECT doc_id, (j * 64) // l AS blk,
+      |        sum(v) AS s, count(1) AS c
+      |       FROM ch GROUP BY 1, 2),
+      |g AS (SELECT doc_id, sum(v) // max(l) AS gmean FROM ch GROUP BY 1),
+      |hu AS (SELECT bl.doc_id,
+      |        sum(CASE WHEN s // c > g.gmean
+      |            THEN CAST(1 AS HUGEINT) << blk ELSE 0 END) AS v
+      |       FROM bl JOIN g USING (doc_id) GROUP BY 1),
+      |hx AS (SELECT doc_id,
+      |        CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+      |             THEN v - 18446744073709551616::HUGEINT ELSE v END
+      |             AS BIGINT) AS ahash64
+      |       FROM hu)""".stripMargin
   private def shinglesCteFrom(src: String) =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
       |sh AS (SELECT doc_id,
@@ -1341,6 +1395,28 @@ object TierX {
         |         AS hamming
         |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.ahash32, b.ahash32)) <= 6
+        |ORDER BY d1, d2""".stripMargin,
+    // the injected-variant base (uppercased first eighth — the Spark
+    // query's transform verbatim), the 64-block aHash chain, then the
+    // same exhaustive all-pairs Hamming ground truth (bit_count over
+    // two's-complement BIGINTs counts all 64 bits, sign included —
+    // verified: bit_count(-1) = 64)
+    "x_phash_pairs64" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         upper(substr(text, 1, CAST(ceil(n_chars / 8.0) AS INT)))
+        |           || substr(text, CAST(ceil(n_chars / 8.0) AS INT) + 1),
+        |         n_chars
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |${phashCte64From("base")}
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |       CAST(bit_count(xor(a.ahash64, b.ahash64)) AS BIGINT)
+        |         AS hamming
+        |FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash64, b.ahash64)) <= 6
         |ORDER BY d1, d2""".stripMargin,
     // the full CCNet chain re-derived: injected-replica base, digest
     // dedup keep-min, the x_lang_id profile chain and the x_ngram_lm

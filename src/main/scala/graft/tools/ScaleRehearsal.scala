@@ -498,7 +498,17 @@ object ScaleRehearsal {
       // size uses the 64-bit sketch family)
       "phash_pairs" -> (() => Dedup.hammingPairs32(
         graft.operators.Multimodal.imageAHash(spark, docs).toDF(),
-        idCol = "doc_id", hashCol = "ahash32", maxHamming = 2)))
+        idCol = "doc_id", hashCol = "ahash32", maxHamming = 2)),
+      // the 64-bit sketch at the SAME corpus, at the declared query's
+      // radius 6 (~9-bit block keys): where the 32-bit sketch collapses
+      // 100k images to ~6k distinct hashes (2.08M forced identical-hash
+      // pairs even at radius 2 — round-10 density analysis), the 64-bit
+      // output should be ≈ the true duplicate mass (45 pairs per
+      // 10-member verbatim family ⇒ ~0.9 pairs/doc) — the documented
+      // corpus-scale remedy, now measured rather than asserted
+      "phash_pairs64" -> (() => Dedup.hammingPairs64(
+        graft.operators.Multimodal.imageAHash64(spark, docs).toDF(),
+        idCol = "doc_id", hashCol = "ahash64", maxHamming = 6)))
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
@@ -555,11 +565,12 @@ object ScaleRehearsal {
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
       "minhash_pairs" -> nDocs, "triangles" -> nDocs,
       "cluster_hashmin" -> nDocs, "cluster_star" -> nDocs,
-      "incremental_exact" -> nDocs, "phash_pairs" -> nDocs)
+      "incremental_exact" -> nDocs, "phash_pairs" -> nDocs,
+      "phash_pairs64" -> nDocs)
     val fanoutCap = 10.0
     val pairOps = Set("ppjoin", "ppjoin_cand", "minhash_cand",
       "embed_pairs", "ngram_overlap",
-      "minhash_pairs", "triangles", "phash_pairs")
+      "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||
         (pairOps(n) && r.toDouble / denom(n) > fanoutCap)
