@@ -167,9 +167,57 @@ object Probe {
         s"hamming0_pairs=${conc.getLong(1)} max_value_count=${conc.getLong(2)}")
       val pairs = graft.operators.Dedup.hammingPairs32(
         hashes, idCol = "doc_id", hashCol = "ahash32", maxHamming = 2)
-      pairs.groupBy("hamming").agg(count(lit(1)).as("pairs"))
-        .orderBy("hamming").collect()
-        .foreach(r => println(s"[probe] hamming=${r.getLong(0)} pairs=${r.getLong(1)}"))
+        .withColumn("same_family",
+          col("d1") % 10000000L === col("d2") % 10000000L)
+      pairs.groupBy("hamming", "same_family")
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("hamming", "same_family").collect()
+        .foreach(r => println(s"[probe] hamming=${r.getLong(0)} " +
+          s"same_family=${r.getBoolean(1)} pairs=${r.getLong(2)}"))
+      spark.stop()
+      return
+    }
+
+    // 64-bit sketch density at 100×: is the radius-6 pair output true
+    // duplicate mass (pairs within one source-doc replica family —
+    // the 100× perturbation only suffixes odd words, so every replica
+    // of one source doc stays pixel-statistics-near-identical) or
+    // cross-family collision noise (the 32-bit sketch's failure mode:
+    // unrelated images colliding on a low-entropy hash)? The family
+    // split is d % 10000000 (the replica stripe offset).
+    if (which == "phash64x100") {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("*"), explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+          when(col("replica") % 50 < 5, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+              concat(lit("$1u"), col("replica"), lit(" $2"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(400).persist()
+      docs.count()
+      val hashes = graft.operators.Multimodal.imageAHash64(spark, docs)
+        .toDF().persist()
+      val nImg = hashes.count()
+      val conc = hashes.groupBy("ahash64").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("distinct_hashes"),
+          sum(expr("n * (n - 1) div 2")).as("h0_pairs"),
+          max("n").as("max_bucket"))
+        .head()
+      println(s"[probe] images=$nImg distinct_ahash64=${conc.getLong(0)} " +
+        s"hamming0_pairs=${conc.getLong(1)} max_value_count=${conc.getLong(2)}")
+      val pairs = graft.operators.Dedup.hammingPairs64(
+        hashes, idCol = "doc_id", hashCol = "ahash64", maxHamming = 6)
+        .withColumn("same_family",
+          col("d1") % 10000000L === col("d2") % 10000000L)
+      pairs.groupBy("hamming", "same_family")
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy("hamming", "same_family").collect()
+        .foreach(r => println(s"[probe] hamming=${r.getLong(0)} " +
+          s"same_family=${r.getBoolean(1)} pairs=${r.getLong(2)}"))
       spark.stop()
       return
     }

@@ -153,27 +153,45 @@ object ScaleRehearsal {
 
   /** Time each op, drain every captured plan it fired, count guard
     * violations. `keepResident` re-pins shared inputs after the per-op
-    * cache clear. */
+    * cache clear.
+    *
+    * `reps` > 1 runs an op back-to-back that many times inside the one
+    * (warmed) JVM — each rep re-constructs the DataFrame and clears
+    * the cache, so per-rep cost includes construction jobs, exactly
+    * like a fresh run — and reports the MIN with every rep recorded
+    * (`secRuns`). Rationale (round-11, the ppjoin_cand spread fix):
+    * across five separate full runs the cand sub-phase spread
+    * [25.2, 69.4] s — between-JVM noise (JIT, GC heap layout,
+    * co-tenant stalls) landing unevenly, not plan cost; back-to-back
+    * in-JVM reps isolate the op and the recorded spread bounds the
+    * residual noise. Guard counts accumulate over ALL reps. */
   private def runOps(
       spark: SparkSession,
       ops: Seq[(String, () => DataFrame)],
-      keepResident: () => Unit): Seq[(String, Double, Long, Int, Int)] = {
+      keepResident: () => Unit,
+      reps: Int = 1): Seq[(String, Seq[Double], Long, Int, Int)] = {
     Captured.drain()
     ops.map { case (name, f) =>
-      val t0 = System.nanoTime()
-      val df = f()
-      df.write.mode("overwrite").format("noop").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val all = Captured.drain()
-      val cartesian = all.count(_.contains("CartesianProduct"))
-      val bnlj = all.count(_.contains("BroadcastNestedLoopJoin"))
-      val rows = df.count()
+      var rows = 0L
+      var cartesian = 0
+      var bnlj = 0
+      val secRuns = (1 to math.max(1, reps)).map { _ =>
+        val t0 = System.nanoTime()
+        val df = f()
+        df.write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val all = Captured.drain()
+        cartesian += all.count(_.contains("CartesianProduct"))
+        bnlj += all.count(_.contains("BroadcastNestedLoopJoin"))
+        rows = df.count()
+        spark.catalog.clearCache()
+        keepResident()
+        Captured.drain()
+        secs
+      }
       System.err.println(
-        f"[rehearsal] $name: ${secs}%.1f s, $rows rows") // progress marker
-      spark.catalog.clearCache()
-      keepResident()
-      Captured.drain()
-      (name, secs, rows, cartesian, bnlj)
+        f"[rehearsal] $name: ${secRuns.min}%.1f s (runs ${secRuns.map(s => f"$s%.1f").mkString("/")}), $rows rows")
+      (name, secRuns, rows, cartesian, bnlj)
     }
   }
 
@@ -205,7 +223,11 @@ object ScaleRehearsal {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mode = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_MODE", "10x")
     val parts = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_PARTS",
-      if (mode == "100x") "400" else "200")
+      mode match {
+        case "1000x" => "1200"
+        case "100x"  => "400"
+        case _       => "200"
+      })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Sessions.localBuilder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -214,6 +236,7 @@ object ScaleRehearsal {
     spark.conf.set("spark.sql.shuffle.partitions", parts)
     spark.listenerManager.register(Captured)
     if (mode == "100x") { run100x(spark, sfDir, parts); return }
+    if (mode == "1000x") { run1000x(spark, sfDir, parts); return }
     if (mode == "stream10x") { runStream10x(spark, sfDir, parts); return }
     if (mode == "skew10x") { runSkew10x(spark, sfDir, parts); return }
 
@@ -379,7 +402,7 @@ object ScaleRehearsal {
     val bad = results.filter { case (n, _, _, c, b) =>
       c > 0 || (b > 0 && !bnljAllowed.contains(n)) }
     val qs = results.map { case (n, s, r, c, b) =>
-      s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"cartesian":$c,"bnlj":$b}"""
+      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"rows":$r,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"rehearsal":"10x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
@@ -509,10 +532,14 @@ object ScaleRehearsal {
       "phash_pairs64" -> (() => Dedup.hammingPairs64(
         graft.operators.Multimodal.imageAHash64(spark, docs).toDF(),
         idCol = "doc_id", hashCol = "ahash64", maxHamming = 6)))
+    // min-of-N within the one warmed JVM (see runOps scaladoc): the
+    // committed 100x protocol is reps=3 — SPARK_GRAFT_REHEARSAL_REPS
+    // overrides for quick iteration
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_REPS", "3").toInt
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
-    })
+    }, reps = reps)
     // Skew audit for the wedge join (the census' only quadratic-risk
     // site): per-vertex wedge work is C(outdeg, 2) under the (deg, id)
     // orientation, so the MAX orientation out-degree bounds the worst
@@ -577,10 +604,11 @@ object ScaleRehearsal {
     }
     val qs = results.map { case (n, s, r, c, b) =>
       val fo = math.round(r.toDouble / denom(n) * 1000) / 1000.0
-      s"""\"$n\":{"sec":${math.round(s * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
+      val runsJson = s.map(v => math.round(v * 100) / 100.0).mkString("[", ",", "]")
+      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"sec_runs":$runsJson,"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,$triAudit$ccAudit"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+      s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"reps":$reps,"fanout_cap":$fanoutCap,$triAudit$ccAudit"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
     if (onlyOps.isEmpty) writeBlock("100x", line)
     // the staging dir is a per-run scratch area — remove it so repeated
@@ -595,6 +623,59 @@ object ScaleRehearsal {
       s"plan/fan-out guard violated at 100x scale: ${bad.map(_._1).mkString(", ")}")
     require(ccEqual.forall(identity),
       "cluster_hashmin and cluster_star disagree at 100x")
+    spark.stop()
+  }
+
+  /** The 1000× spot-check: 5M synthetic docs, ONE run of the two
+    * heaviest pairing shapes (PPJoin full chain, MinHash-LSH pair
+    * generation), shape-only gates — confirms the fan-out caps and
+    * partition scaling hold one more decade out before anyone trusts
+    * the 100 TB story. Same bounded-cluster synthesis principle as
+    * [[docs100x]] (replica stripe residue < 5 in each 500-half stays
+    * verbatim → 10-member families, constant C(10,2) pair mass per
+    * source doc; the other 990 replicas get every odd word tagged,
+    * breaking every 3-shingle), so qualifying pairs per input row must
+    * FALL another 10× relative to the 100× block. Timings are recorded
+    * but are NOT the contract (one run, spill-heavy at this volume —
+    * the corpus persists MEMORY_AND_DISK_SER and shuffles spill);
+    * gates are 0 cartesian / 0 BNLJ / fan-out cap / completion without
+    * OOM. Run with SPARK_DRIVER_MEM=48g. */
+  private def run1000x(spark: SparkSession, sfDir: String, parts: String): Unit = {
+    import graft.operators.Dedup
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .select(col("*"), explode(sequence(lit(0L), lit(999L))).as("replica"))
+      .select(
+        (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+        when(col("replica") % 500 < 5, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+            concat(lit("$1u"), col("replica"), lit(" $2"))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(parts.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nDocs = docs.count()
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
+      "minhash_pairs" -> (() => Dedup.nearDupMinHash(docs, k = 3,
+        numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")))
+    val results = runOps(spark, selectOps(ops), () => {
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      docs.count()
+    })
+    val fanoutCap = 10.0
+    val bad = results.filter { case (_, _, r, c, b) =>
+      c > 0 || b > 0 || r.toDouble / nDocs > fanoutCap
+    }
+    val qs = results.map { case (n, s, r, c, b) =>
+      val fo = math.round(r.toDouble / nDocs * 1000) / 1000.0
+      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"rehearsal":"1000x","sf":"$sfDir","n_docs":$nDocs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+    println(line)
+    if (onlyOps.isEmpty) writeBlock("1000x", line)
+    require(bad.isEmpty,
+      s"plan/fan-out guard violated at 1000x scale: ${bad.map(_._1).mkString(", ")}")
     spark.stop()
   }
 
