@@ -145,11 +145,17 @@ object Bench {
     // data, so the first timed execution no longer pays them. Skipped
     // when the smoke dir is absent (or when it IS the bench dir).
     // Disable with SPARK_GRAFT_BENCH_NOWARM=1 to measure true cold.
-    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
-      .getParent match {
-      case null => None
-      case p    => Some(p.resolve("sf0.001"))
-    }
+    // SPARK_GRAFT_BENCH_WARMDIR picks the warm-up scale: sf0.001
+    // default (negligible data, compiles most generated classes); a
+    // larger warm dir (sf0.01) additionally exercises the AQE runtime
+    // re-plans closer to the bench scale's — the round-11 cold_total
+    // experiment's knob.
+    val warmDir = sys.env.get("SPARK_GRAFT_BENCH_WARMDIR")
+      .map(java.nio.file.Paths.get(_).toAbsolutePath) orElse
+      (java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent match {
+        case null => None
+        case p    => Some(p.resolve("sf0.001"))
+      })
     // recorded in the JSON: a cold_total measured after warm-up is a
     // different protocol than a true-cold one (round-7 334.6 s vs
     // round-8 210.7 s compared across that change), so the snapshot
@@ -219,6 +225,11 @@ object Bench {
 
     val qs = results.map { case (k, _, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query FIRST-execution times: cold_total's composition, so a
+    // cold regression is attributable to queries instead of one opaque
+    // aggregate (the round-11 cold profiling need)
+    val coldQs = results.map { case (k, c, _, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
     val planJson = results.map { case (k, _, _, m) =>
       val inner = m.toSeq.sortBy(_._1)
         .map { case (n, c) => s"\"" + n + "\":" + c }.mkString("{", ",", "}")
@@ -236,7 +247,7 @@ object Bench {
       .map { case (k, _, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"warmed":$warmed,"queries":$qs,"plans":$planJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"warmed":$warmed,"queries":$qs,"cold_queries":$coldQs,"plans":$planJson,"sf":"$sfDir"}"""
     println(line)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"warmed":$warmed,"n":${results.size},"failed":$failed,"top5":$top5,"sf":"$sfDir"}""")

@@ -822,10 +822,24 @@ object Dedup {
       iter += 1
     }
     require(converged, s"clusters: no fixpoint after $maxIter rounds")
+    sizeJoin(labels)
+  }
+
+  /** The (doc_id, rep_id, cluster_size) projection shared by both CC
+    * formulations: labels ⋈ per-rep sizes. The size side is a PINNED
+    * shuffled-hash join — it is one row per CLUSTER (corpus-sized for
+    * a dedup pass, so a broadcast is the wrong shape at 100 TB), and
+    * leaving the choice to AQE measured a load-dependent exchange-count
+    * flip (x_entity_resolve 4 vs 6 across bench runs: when the
+    * broadcast conversion lands before the labels-side shuffle stage
+    * materializes, AQE elides that exchange — timing, not plan cost).
+    * Hinted joins are exempt from AQE strategy conversion, so the
+    * plan count is run-invariant. */
+  private def sizeJoin(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label").as("rep_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("id").as("doc_id"), col("label").as("rep_id"))
-      .join(sizes, "rep_id")
+      .join(sizes.hint("shuffle_hash"), "rep_id")
       .select("doc_id", "rep_id", "cluster_size")
   }
 
@@ -915,8 +929,11 @@ object Dedup {
       .join(starLabels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("rep_id"))
     val labels = starLabels.union(selfOnly)
+    // same pinned size join as [[clusters]] (see [[sizeJoin]]) — the
+    // column shapes differ (doc_id/rep_id vs id/label), so inline
     val sizes = labels.groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")
+    labels.join(sizes.hint("shuffle_hash"), "rep_id")
+      .select("doc_id", "rep_id", "cluster_size")
   }
 
   /** 64-bit SimHash per document, represented as TWO 32-bit words

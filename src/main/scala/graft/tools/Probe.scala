@@ -178,6 +178,36 @@ object Probe {
       return
     }
 
+    // x_entity_resolve plan stability: execute the query end-to-end
+    // and print the FINAL (AQE) plan's exchange/reuse lines — run this
+    // in several fresh JVMs to see which exchanges flip to
+    // ReusedExchange between runs (the bench merge's 4-vs-6 drift).
+    if (which == "entityplan") {
+      val qe = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.execution.QueryExecution]()
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(f: String,
+              q: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = qe.set(q)
+          override def onFailure(f: String,
+              q: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+      val df = graft.SparkEntry.queries("x_entity_resolve")(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      Thread.sleep(800)
+      val plan = qe.get().explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println("[probe] metrics=" + graft.Bench.planMetrics(plan))
+      plan.linesIterator
+        .filter(l => l.contains("Exchange") || l.contains("Join") ||
+          l.contains("InMemory"))
+        .foreach(l => println("[probe] " + l.trim.take(110)))
+      spark.stop()
+      return
+    }
+
     // 64-bit sketch density at 100×: is the radius-6 pair output true
     // duplicate mass (pairs within one source-doc replica family —
     // the 100× perturbation only suffixes odd words, so every replica
