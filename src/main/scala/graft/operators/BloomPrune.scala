@@ -40,14 +40,32 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomPrune {
 
   /** `large` reduced to rows whose long-typed `key` might be in
-    * `small`'s key set (no false negatives — safe to join afterwards). */
+    * `small`'s key set (no false negatives — safe to join afterwards).
+    *
+    * `buildParallelism` bounds the PARTIAL-sketch count of the build
+    * aggregate: its final merge is ONE task ORing
+    * partials × numBits/8 bytes, which silently serializes when the
+    * build side arrives in many partitions with a wide sketch (the
+    * 100× decontamination probe measured a 15.2 s single-task stage —
+    * 400 partials × 20 MB = 8 GB through one reducer). The default
+    * caps the merge input at ~512 MB via a SHUFFLE-FREE coalesce of
+    * the build side (partials still scan every row, just in fewer,
+    * larger tasks); pass an explicit value to override — on a large
+    * cluster more partials buy build parallelism at merge cost, and
+    * the right balance is sketch-size-dependent, so the knob is
+    * exposed rather than guessed. Results are row-identical either
+    * way (the sketch is a commutative OR). */
   def pruneLarge(
       large: DataFrame,
       small: DataFrame,
       key: String,
       expectedItems: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      buildParallelism: Int = 0): DataFrame = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val parts =
+      if (buildParallelism > 0) buildParallelism
+      else math.max(8L, (512L << 20) / math.max(1L, numBits / 8)).toInt
     val sketchCol = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(col(key).cast("long")),
@@ -56,7 +74,8 @@ object BloomPrune {
     // distributed aggregate, executed once at runtime, result injected
     // into the predicate — plan size independent of numBits, no eager
     // driver round-trip at construction time
-    val aggPlan = small.agg(sketchCol.as("bf")).queryExecution.analyzed
+    val aggPlan = small.coalesce(parts).agg(sketchCol.as("bf"))
+      .queryExecution.analyzed
     val mightContain = ColumnBridge.column(
       new BloomFilterMightContain(
         ScalarSubquery(aggPlan),

@@ -178,6 +178,56 @@ object Probe {
       return
     }
 
+    // ngram_overlap stage anatomy at 100×: which stage carries the
+    // ~33 s — the Bloom build over the eval gram stream, the df
+    // aggregate, or the pairing join + per-pair count?
+    if (which == "ngramstages") {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("*"), explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+          when(col("replica") % 50 < 5, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+              concat(lit("$1u"), col("replica"), lit(" $2"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(400).persist()
+      docs.count()
+      val corpusA = docs.filter(col("doc_id") < 500000000L)
+      val corpusB = docs.filter(col("doc_id") >= 500000000L)
+        .select((col("doc_id") - 500000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      val stages = scala.collection.mutable.Buffer[(Int, Long, Int, String)]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          stages.synchronized {
+            stages += ((si.stageId, ms, si.numTasks,
+              si.name.linesIterator.next().take(70)))
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.ngramOverlap(corpusA, corpusB,
+        n = 5, minShared = 3, maxDf = 20, bloomExpectedItems = 1L << 24)
+        .write.mode("overwrite").format("noop").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[probe] ngram_overlap total=$secs%.1f s")
+      stages.sortBy(-_._2).take(12).foreach { case (id, ms, nt, nm) =>
+        println(f"[probe]   stage $id%4d ${ms / 1000.0}%7.1f s tasks=$nt%4d $nm")
+      }
+      spark.stop()
+      return
+    }
+
     // x_entity_resolve plan stability: execute the query end-to-end
     // and print the FINAL (AQE) plan's exchange/reuse lines — run this
     // in several fresh JVMs to see which exchanges flip to
