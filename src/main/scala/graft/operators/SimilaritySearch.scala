@@ -461,6 +461,91 @@ object SimilaritySearch {
       .select(col("v1"), col("v2"), round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** CROSS-CORPUS cosine near-dup — semantic decontamination: every
+    * (train vector, eval vector) pair with cosine ≥ threshold, the
+    * embedding-space complement of [[graft.operators.Dedup.ngramOverlap]]
+    * (exact n-gram collisions) and [[graft.operators.Dedup.crossDupMinHash]]
+    * (text-sketch Jaccard): a paraphrased or lightly-reworded benchmark
+    * document shares no n-grams and little shingle mass with its
+    * training-set twin, but their embeddings stay near-parallel — the
+    * SemDeDup-style contamination test.
+    *
+    * Same banded sign-LSH index as [[cosinePairsLsh]] — packed
+    * fingerprints ([[graft.expressions.SignBitsPacked]]), first-band
+    * dedup, exact-cosine verification from the source frames — but the
+    * band join runs BETWEEN the two fingerprint frames: cost is
+    * O(|A| + |B|) fingerprint rows plus band-bucket collisions, never
+    * |A| × |B|. The PROBE hyperplanes come from corpus A's first
+    * `nBits` vectors (one bounded driver collect — the
+    * [[cosinePairsLsh]] convention; both sides must hash against the
+    * SAME probes or band keys are incomparable).
+    *
+    * Id contract: `vec_id` must be unique across BOTH corpora (the
+    * [[graft.operators.Dedup.crossDupMinHash]] rule) — no d1 < d2
+    * dedup applies, every surviving (A, B) pair is distinct by id
+    * disjointness.
+    *
+    * Caching contract: EAGER like [[cosinePairsLsh]] — both skinny
+    * fingerprint frames persist and pin hot before the cross join
+    * (same AQE stage-race rationale); released by
+    * `spark.catalog.clearCache()`.
+    *
+    * Output: (train_id, eval_id, cos) for cross pairs ≥ threshold. */
+  def crossCosineLsh(
+      vecsA: DataFrame,
+      vecsB: DataFrame,
+      threshold: Double,
+      nBits: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
+    require(nBits >= 1 && nBits <= 64,
+      s"crossCosineLsh packs sign bits into one long: nBits in [1, 64], got $nBits")
+    val bands = nBits / rowsPerBand
+    val probes = probeVectors(vecsA, nBits)
+    def withBits(v: DataFrame) = {
+      val f = v.select(col("vec_id"),
+        graft.expressions.SignBitsPacked(col("embedding"), probes).as("bits"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    val keyMask = (1L << rowsPerBand) - 1
+    def bandKey(bits: Column, b: Int): Column =
+      shiftrightunsigned(bits, b * rowsPerBand).bitwiseAND(lit(keyMask))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), bandKey(col("bits"), b).as("key"))
+    }
+    def banded(v: DataFrame) = withBits(v)
+      .select(col("vec_id"), col("bits"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bits"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // first-colliding-band dedup, the [[cosinePairsLsh]] trick: one
+    // surviving row per cross pair with zero extra exchange
+    val firstBandOnly = (1 until bands).foldLeft(
+        when(col("band") === 0, lit(true))) { (acc, b) =>
+      acc.when(col("band") === b,
+        (0 until b).map { p =>
+          bandKey(col("a.bits"), p) =!= bandKey(col("b.bits"), p)
+        }.reduce(_ && _))
+    }
+    val cand = banded(vecsA).as("a").join(banded(vecsB).as("b"),
+        Seq("band", "key"))
+      .filter(firstBandOnly)
+      .select(col("a.vec_id").as("train_id"), col("b.vec_id").as("eval_id"))
+    val sa = vecsA.select(
+      col("vec_id").as("train_id"), col("embedding").as("e1"),
+      sqrt(Similarity.norm2(col("embedding"))).as("n1"))
+    val sb = vecsB.select(
+      col("vec_id").as("eval_id"), col("embedding").as("e2"),
+      sqrt(Similarity.norm2(col("embedding"))).as("n2"))
+    cand.join(sa, "train_id").join(sb, "eval_id")
+      .withColumn("cos_raw",
+        Similarity.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("train_id"), col("eval_id"),
+        round(col("cos_raw"), 4).as("cos"))
+  }
+
   /** Nearest-centroid cell id against literal centroids: argmax of
     * dot(vec, c)/||c|| (ties → lowest c_id, via the (sim, −c_id) struct
     * max). Pure projection — no join, no shuffle. `vecCol` defaults to

@@ -247,6 +247,23 @@ object TierX {
     "x_dedup_cluster_star" -> ((s, d) =>
       Dedup.clustersStar(Dedup.nearDupMinHash(docs(s, d), k = 3, threshold = 0.8))
         .orderBy("doc_id")),
+    "x_contamination_embed" -> ((s, d) => {
+      // SEMANTIC decontamination — the embedding-space member of the
+      // contamination family (x_contamination = text-sketch Jaccard,
+      // x_contamination_ngram = exact n-gram collisions): a
+      // paraphrased benchmark doc shares no n-grams with its training
+      // twin but its embedding stays near-parallel. Cross-corpus
+      // sign-LSH: candidates join BETWEEN the banded fingerprint
+      // frames, never |train| × |eval|; probes come from the train
+      // side's first 16 vectors (both sides must hash identically)
+      val v = vecs(s, d)
+      SimilaritySearch.crossCosineLsh(
+        v.filter(col("vec_id") % 10 =!= 0),
+        v.filter(col("vec_id") % 10 === 0),
+        threshold = 0.4, nBits = 16, rowsPerBand = 2)
+        .persist()
+        .orderBy("train_id", "eval_id")
+    }),
     "x_contamination" -> ((s, d) => {
       // decontamination: which held-out docs are near-duplicated inside
       // the train split? Cross-corpus MinHash-LSH — candidates join
@@ -1876,6 +1893,45 @@ object TierX {
       s"""WITH $embedPairsCte
         |SELECT v1, v2, round(cos_raw, 4) AS cos
         |FROM p WHERE cos_raw >= 0.4 ORDER BY v1, v2""".stripMargin,
+    // cross-corpus sign-LSH re-derived: both sides hash against the
+    // TRAIN side's first-16 probe vectors, band keys join across, cos
+    // verifies exactly — the embedPairsCte chain split in two
+    "x_contamination_embed" ->
+      s"""WITH tr AS (SELECT vec_id, embedding FROM embeddings
+        |            WHERE vec_id % 10 <> 0),
+        |ev AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE vec_id % 10 = 0),
+        |probes AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS p_id,
+        |                  embedding AS p_vec
+        |           FROM (SELECT vec_id, embedding FROM tr
+        |                 ORDER BY vec_id LIMIT 16) t),
+        |dt AS (SELECT v.vec_id, p.p_id, ${dotSql("v.embedding", "p.p_vec")} AS d
+        |       FROM tr v CROSS JOIN probes p),
+        |bt AS (SELECT vec_id,
+        |         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+        |                    ORDER BY p_id) AS bits
+        |       FROM dt GROUP BY vec_id),
+        |bandedT AS (SELECT vec_id, b AS band,
+        |              substr(bits, CAST(b AS INT) * 2 + 1, 2) AS key
+        |            FROM bt, range(8) r(b)),
+        |de AS (SELECT v.vec_id, p.p_id, ${dotSql("v.embedding", "p.p_vec")} AS d
+        |       FROM ev v CROSS JOIN probes p),
+        |be AS (SELECT vec_id,
+        |         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+        |                    ORDER BY p_id) AS bits
+        |       FROM de GROUP BY vec_id),
+        |bandedE AS (SELECT vec_id, b AS band,
+        |              substr(bits, CAST(b AS INT) * 2 + 1, 2) AS key
+        |            FROM be, range(8) r(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS train_id, b.vec_id AS eval_id
+        |         FROM bandedT a JOIN bandedE b
+        |         ON a.band = b.band AND a.key = b.key),
+        |p AS (SELECT train_id, eval_id,
+        |        ${cosSql("ea.embedding", "eb.embedding")} AS cos_raw
+        |      FROM cand JOIN tr ea ON cand.train_id = ea.vec_id
+        |                JOIN ev eb ON cand.eval_id = eb.vec_id)
+        |SELECT train_id, eval_id, round(cos_raw, 4) AS cos
+        |FROM p WHERE cos_raw >= 0.4 ORDER BY train_id, eval_id""".stripMargin,
     "x_dedup_embed_cluster" ->
       s"""WITH RECURSIVE $embedPairsCte,
         |mp AS (SELECT v1, v2 FROM p WHERE cos_raw >= 0.4),
