@@ -20,7 +20,11 @@ object PlanDump {
 
   private val headliners: Seq[(String, String)] = Seq(
     "x_mmr_rerank" ->
-      "MMR diversity rerank: broadcast query grid builds the bounded candidate pool once (checkpoint leaf), then k greedy steps of left-anti + equi-joins + windows over nQueries·nCand-row frames — corpus size never re-enters",
+      "MMR diversity rerank: broadcast query grid builds the bounded candidate pool once (checkpoint leaf), pairwise sims are one q_id equi-join, then the whole k-step greedy runs ROW-LOCALLY per query over one grouped row (pool is nCand-bounded by construction) — one shuffle on q_id instead of k chained step jobs",
+    "x_contamination_embed" ->
+      "cross-corpus semantic decontamination: packed sign-bit fingerprints per side (train-side probes), band keys join BETWEEN the frames, exact cosine verifies — never |train| × |eval|",
+    "x_phash_pairs64" ->
+      "64-bit image sketch pairing: BMP parse + 64-block aHash row-local, radius-6 pigeonhole blocks (~9-bit keys) equi-join, bit_count verify — never all-pairs",
     "x_ann_recall_curve" ->
       "recall-vs-cost curve: ONE trained IVF+PQ index (cached quantizers), per-probe grading is a broadcast probe equi-join + left join against the exact ground truth + one aggregate",
     "x_quality_rrf" ->
