@@ -276,6 +276,35 @@ class TierXSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._3)).distinct.length == out.length)
   }
 
+  test("mmr greedy: pool smaller than k stops cleanly, exhausting the pool") {
+    // 3 corpus vectors beyond the 1 query => pool of 3 < k = 5: the
+    // row-local greedy must emit exactly the pool (ranks 1..3), not
+    // loop or duplicate — the old step-chain's empty-step semantics
+    val tiny = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = SimilaritySearch
+      .mmrRerank(tiny, nQueries = 1, nCand = 5, k = 5).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(2)).distinct.length == 3)
+  }
+
+  test("crossCosineLsh: empty eval side yields empty output; disjoint-id contract") {
+    val vecs = Tables(spark, sf, "embeddings")
+    val empty = vecs.filter(col("vec_id") < 0)
+    assert(SimilaritySearch
+      .crossCosineLsh(vecs, empty, threshold = 0.4).count() == 0)
+    // cross pairs: train ids never appear as eval ids and vice versa
+    val cross = q("x_contamination_embed")
+    assert(cross.filter(col("train_id") % 10 === 0).count() == 0)
+    assert(cross.filter(col("eval_id") % 10 =!= 0).count() == 0)
+    // self-pairs are impossible by id disjointness
+    assert(cross.filter(col("train_id") === col("eval_id")).count() == 0)
+  }
+
   test("mmr serving: picks come from the IVF+PQ pool, first pick is pure relevance") {
     val vecs = Tables(spark, sf, "embeddings")
     val df = q("x_mmr_serving")
