@@ -48,11 +48,15 @@ object BloomPrune {
     * build side arrives in many partitions with a wide sketch (the
     * 100× decontamination probe measured a 15.2 s single-task stage —
     * 400 partials × 20 MB = 8 GB through one reducer). The default
-    * caps the merge input at ~512 MB via a SHUFFLE-FREE coalesce of
-    * the build side (partials still scan every row, just in fewer,
-    * larger tasks); pass an explicit value to override — on a large
-    * cluster more partials buy build parallelism at merge cost, and
-    * the right balance is sketch-size-dependent, so the knob is
+    * caps the merge input at ~512 MB by projecting the build side to
+    * the key column and repartitioning it to `parts` before the
+    * aggregate: the repartition is a real exchange, but it carries ONLY
+    * the (long-castable) key column, and — unlike a coalesce, which
+    * inserts no stage boundary — it leaves the parallelism of the
+    * build side's own derivation (scans, filters, joins upstream of
+    * `small`) untouched. Pass an explicit value to override — on a
+    * large cluster more partials buy build parallelism at merge cost,
+    * and the right balance is sketch-size-dependent, so the knob is
     * exposed rather than guessed. Results are row-identical either
     * way (the sketch is a commutative OR). */
   def pruneLarge(
@@ -63,9 +67,17 @@ object BloomPrune {
       fpp: Double = 0.01,
       buildParallelism: Int = 0): DataFrame = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // default target: enough partials to keep the merge input under
+    // ~512 MB, but never MORE partitions than the session's shuffle
+    // width — with a narrow sketch the memory bound alone would compute
+    // millions of useless partitions (the repartition would spawn that
+    // many empty tasks; the 512 MB bound is an upper cap on partials,
+    // not a parallelism request)
     val parts =
       if (buildParallelism > 0) buildParallelism
-      else math.max(8L, (512L << 20) / math.max(1L, numBits / 8)).toInt
+      else math.min(
+        small.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+        math.max(8L, (512L << 20) / math.max(1L, numBits / 8))).toInt
     val sketchCol = ColumnBridge.column(
       new BloomFilterAggregate(
         ColumnBridge.expression(col(key).cast("long")),
@@ -74,7 +86,8 @@ object BloomPrune {
     // distributed aggregate, executed once at runtime, result injected
     // into the predicate — plan size independent of numBits, no eager
     // driver round-trip at construction time
-    val aggPlan = small.coalesce(parts).agg(sketchCol.as("bf"))
+    val aggPlan = small.select(col(key)).repartition(parts)
+      .agg(sketchCol.as("bf"))
       .queryExecution.analyzed
     val mightContain = ColumnBridge.column(
       new BloomFilterMightContain(

@@ -377,6 +377,14 @@ object TierX {
       SimilaritySearch
         .ivfTopK(vecs(s, d), nQueries = 5, k = 5, nCentroids = 8, nProbe = 2)
         .orderBy("q_id", "rank")),
+    "x_sim_ivf_refresh" -> ((s, d) =>
+      // checkpointed incremental index refresh: quantizer trained on
+      // the base split and FROZEN, the delta split streamed in two
+      // checkpointed micro-batches, each appended as an assignment
+      // segment; the union must equal a full re-assign against the
+      // same frozen centroids (the oracle) — per-batch work is a
+      // zero-shuffle literal-centroid projection, O(|batch|)
+      SimilaritySearch.ivfRefreshRun(s, d).orderBy("vec_id")),
     "x_sim_ivf_pq" -> ((s, d) =>
       // the composed serving index: IVF coarse-prune (8 cells, probe 2)
       // then PQ ADC scoring (2 subspaces × 16 codewords) over ONLY the
@@ -1985,6 +1993,29 @@ object TierX {
         |${(2 to 5).map(mmrStepSql).mkString(",\n")}
         |SELECT q_id, sel_rank, vec_id, rel_e6, score_e6
         |FROM sel5 ORDER BY q_id, sel_rank""".stripMargin,
+    // incremental refresh re-derived as a FULL re-assign against the
+    // base-trained (frozen) quantizer: seed + 2 Lloyd rounds over the
+    // base split only, then every vector (base ∪ delta) assigned to
+    // the resulting centroids — equality proves the segment-append
+    // path lost nothing and disturbed no base assignment
+    "x_sim_ivf_refresh" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |base AS (SELECT vec_id, embedding FROM e WHERE vec_id % 5 <> 4),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,
+        |                embedding AS c_vec
+        |         FROM (SELECT vec_id, embedding,
+        |                      ${hash32("CAST(vec_id AS VARCHAR)")} AS h
+        |               FROM base ORDER BY h, vec_id LIMIT 8) t),
+        |${kmeansIterSqlOn("base")("c0", "c1")},
+        |${kmeansIterSqlOn("base")("c1", "c2")},
+        |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM c2),
+        |asg AS (SELECT v.vec_id, c.c_id,
+        |          row_number() OVER (PARTITION BY v.vec_id
+        |            ORDER BY (${dotSql("v.embedding", "c.c_vec")} / c.c_nrm) DESC, c.c_id) AS c_rank
+        |        FROM e v CROSS JOIN cn c)
+        |SELECT vec_id, c_id AS cell,
+        |       CASE WHEN vec_id % 5 = 4 THEN 'delta' ELSE 'base' END AS src
+        |FROM asg WHERE c_rank = 1 ORDER BY vec_id""".stripMargin,
     "x_sim_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS c_id,

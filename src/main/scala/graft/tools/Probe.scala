@@ -45,6 +45,49 @@ object Probe {
       return
     }
 
+    // rep-1 warm-up attribution (round-12): the committed 100× ppjoin
+    // rep spread is [42.9, 28.0, 27.6] while ppjoin_cand's is
+    // [24.3, 23.0, 23.0] — the harness clears and repopulates the
+    // shingle cache EVERY rep, so cache population cannot explain a
+    // rep-1-only premium; the suspect is first-execution codegen/JIT
+    // of the verify-phase expressions (XxHash64SortedSet,
+    // SortedLongIntersectCount) and their join stages. Test: fire the
+    // FULL operator once on a ~1k-doc slice (compiles the same
+    // generated classes at trivial data cost), then time 3 reps of
+    // the full 100× op. Warmed rep 1 ≈ steady ⇒ codegen/JIT; warmed
+    // rep 1 still ~43 s ⇒ something data-sized (cache, shuffle files).
+    if (which == "ppjoinwarm") {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      val docs = graft.Tables(spark, sfDir, "documents")
+        .select(col("*"), explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
+          when(col("replica") % 50 < 5, col("text"))
+            .otherwise(regexp_replace(col("text"), lit("(\\S+) (\\S+)"),
+              concat(lit("$1u"), col("replica"), lit(" $2"))))
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(400)
+        .persist()
+      println(s"[probe] docs: ${docs.count()}")
+      val tiny = docs.filter(col("doc_id") % 1000000L < 2000L)
+      val tw0 = System.nanoTime()
+      graft.operators.Dedup.nearDupJaccard(tiny, 3, 0.8)
+        .write.mode("overwrite").format("noop").save()
+      spark.catalog.clearCache(); docs.persist(); docs.count()
+      println(f"[probe] tiny warm pass: ${(System.nanoTime() - tw0) / 1e9}%.1f s")
+      (1 to 3).foreach { rep =>
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.nearDupJaccard(docs, 3, 0.8)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] warmed full rep $rep: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        spark.catalog.clearCache(); docs.persist(); docs.count()
+      }
+      spark.stop()
+      return
+    }
+
     // current open experiment: PPJoin stage profile at the 100x
     // rehearsal volume (500k docs, 400 partitions) — where do the
     // 116 s go?
@@ -246,7 +289,17 @@ object Probe {
         })
       val df = graft.SparkEntry.queries("x_entity_resolve")(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
-      Thread.sleep(800)
+      // the listener bus is async — poll instead of a fixed sleep so a
+      // late-firing listener yields a clear message, not an NPE
+      val deadline = System.nanoTime() + 10000000000L
+      while (qe.get() == null && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      if (qe.get() == null) {
+        println("[probe] QueryExecutionListener did not fire within 10 s" +
+          " — no plan captured")
+        spark.stop()
+        return
+      }
       val plan = qe.get().explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println("[probe] metrics=" + graft.Bench.planMetrics(plan))

@@ -172,10 +172,10 @@ object ScaleRehearsal {
       reps: Int = 1): Seq[(String, Seq[Double], Long, Int, Int)] = {
     Captured.drain()
     ops.map { case (name, f) =>
-      var rows = 0L
+      var rows = -1L
       var cartesian = 0
       var bnlj = 0
-      val secRuns = (1 to math.max(1, reps)).map { _ =>
+      val secRuns = (1 to math.max(1, reps)).map { rep =>
         val t0 = System.nanoTime()
         val df = f()
         df.write.mode("overwrite").format("noop").save()
@@ -183,7 +183,14 @@ object ScaleRehearsal {
         val all = Captured.drain()
         cartesian += all.count(_.contains("CartesianProduct"))
         bnlj += all.count(_.contains("BroadcastNestedLoopJoin"))
-        rows = df.count()
+        // every rep's row count goes through the fan-out gate: a
+        // rep-to-rep divergence is exactly the nondeterminism this
+        // harness exists to catch, so it must fail, not be masked by
+        // last-rep-wins
+        val repRows = df.count()
+        require(rows < 0 || repRows == rows,
+          s"$name: rep $rep produced $repRows rows, earlier rep(s) $rows")
+        rows = repRows
         spark.catalog.clearCache()
         keepResident()
         Captured.drain()
@@ -442,6 +449,13 @@ object ScaleRehearsal {
     val corpusB = docs.filter(col("doc_id") >= 500000000L)
       .select((col("doc_id") - 500000000L).as("doc_id"),
         col("text"), col("lang"), col("source"), col("n_chars"))
+    // vector halves on the same stripe split: residues 0-4 land in A
+    // and 50-54 in B verbatim, so 5×5 true cross-corpus near-pairs
+    // exist per source vector while each half stays linear in size
+    val vecsA = vecs.filter(col("vec_id") < 500000000L)
+    val vecsB = vecs.filter(col("vec_id") >= 500000000L)
+      .select((col("vec_id") - 500000000L).as("vec_id"),
+        col("embedding"), col("label"))
     // LSH knob at 200k vectors: 16-bit band keys (~ log2(corpus)), the
     // operator's documented bucket-occupancy rule — shape unchanged
     val embedPairs = () => SimilaritySearch.cosinePairsLsh(
@@ -492,6 +506,24 @@ object ScaleRehearsal {
       "ngram_overlap" -> (() => Dedup.ngramOverlap(corpusA, corpusB,
         n = 5, minShared = 3, maxDf = 20,
         bloomExpectedItems = 1L << 24)),
+      // cross-corpus decontamination at 100× (the round-11 additions'
+      // scale rows): candidates join BETWEEN the two banded indexes,
+      // so cost is O(|A|+|B|) signatures + true-duplicate verify mass
+      // (5×5 verbatim cross pairs per source doc/vec by construction)
+      "contamination_minhash" -> (() => Dedup.crossDupMinHash(
+        corpusA, corpusB, k = 3, threshold = 0.8,
+        numHashes = 32, bands = 8)),
+      // sign-LSH knobs follow the documented bucket-occupancy rule at
+      // 100k vectors per side: 16-bit band keys, as embed_pairs
+      "contamination_embed" -> (() => SimilaritySearch.crossCosineLsh(
+        vecsA, vecsB, threshold = 0.4, nBits = 64, rowsPerBand = 16)),
+      // incremental index refresh at 100×: training = bounded-driver
+      // Lloyd aggregates over the base split, delta assign = one
+      // zero-shuffle literal-centroid projection; output rows must be
+      // EXACTLY nVecs (fan-out 1.0 — any duplication is a bug)
+      "ivf_refresh" -> (() => SimilaritySearch.ivfRefreshAssign(
+        vecs.filter(col("vec_id") % 5 =!= 4),
+        Seq(vecs.filter(col("vec_id") % 5 === 4)), nCentroids = 8)),
       "minhash_pairs" -> (() => minhashPairs()),
       // triangle census over the bounded-cluster similarity graph:
       // each source doc's K10 yields a CONSTANT 120 triangles, so the
@@ -590,6 +622,8 @@ object ScaleRehearsal {
     val denom = Map("ppjoin" -> nDocs, "ppjoin_cand" -> nDocs,
       "minhash_cand" -> nDocs, "embed_pairs" -> nVecs,
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
+      "contamination_minhash" -> nDocs, "contamination_embed" -> nVecs,
+      "ivf_refresh" -> nVecs,
       "minhash_pairs" -> nDocs, "triangles" -> nDocs,
       "cluster_hashmin" -> nDocs, "cluster_star" -> nDocs,
       "incremental_exact" -> nDocs, "phash_pairs" -> nDocs,
@@ -597,6 +631,7 @@ object ScaleRehearsal {
     val fanoutCap = 10.0
     val pairOps = Set("ppjoin", "ppjoin_cand", "minhash_cand",
       "embed_pairs", "ngram_overlap",
+      "contamination_minhash", "contamination_embed", "ivf_refresh",
       "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||
@@ -641,7 +676,7 @@ object ScaleRehearsal {
     * gates are 0 cartesian / 0 BNLJ / fan-out cap / completion without
     * OOM. Run with SPARK_DRIVER_MEM=48g. */
   private def run1000x(spark: SparkSession, sfDir: String, parts: String): Unit = {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, SimilaritySearch}
     val docs = graft.Tables(spark, sfDir, "documents")
       .select(col("*"), explode(sequence(lit(0L), lit(999L))).as("replica"))
       .select(
@@ -654,24 +689,57 @@ object ScaleRehearsal {
       .repartition(parts.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nDocs = docs.count()
+    // 1000× embeddings (2M × 64-dim): same bounded-cluster synthesis as
+    // vecs100x one decade further — residue < 5 per 500-stripe keeps
+    // the vector verbatim (10-member cosine-1 families, constant
+    // C(10,2)=45 true pairs per source vec), every other replica is
+    // re-randomized per component, so qualifying pairs per input row
+    // must FALL 10× vs the 100× block (0.27 → ~0.045/row)
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("*"), explode(sequence(lit(0L), lit(999L))).as("replica"))
+      .select(
+        (col("vec_id") + col("replica") * lit(10000000L)).as("vec_id"),
+        when(col("replica") % 500 < 5, col("embedding"))
+          .otherwise(expr(
+            "cast(transform(embedding, (x, i) -> " +
+              "(pmod(xxhash64(vec_id, replica, i), 2001) - 1000) / 1000.0" +
+              ") as array<float>)"))
+          .as("embedding"),
+        col("label"))
+      .repartition(parts.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nVecs = vecs.count()
+    // sign-LSH band keys follow the documented bucket-occupancy rule
+    // (~log2(corpus) bits): 2M vectors → 20-bit keys, 3 bands — the
+    // knob the operator's scaladoc prescribes, NOT a new shape; mean
+    // bucket depth stays ~2 so candidate mass stays linear
+    val embedPairs = () => SimilaritySearch.cosinePairsLsh(
+      vecs, threshold = 0.4, nBits = 60, rowsPerBand = 20)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       "minhash_pairs" -> (() => Dedup.nearDupMinHash(docs, k = 3,
-        numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")))
+        numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")),
+      "embed_pairs" -> (() => embedPairs()),
+      "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())))
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       docs.count()
+      vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      vecs.count()
     })
+    val denom = Map("ppjoin" -> nDocs, "minhash_pairs" -> nDocs,
+      "embed_pairs" -> nVecs, "embed_cluster" -> nVecs)
     val fanoutCap = 10.0
-    val bad = results.filter { case (_, _, r, c, b) =>
-      c > 0 || b > 0 || r.toDouble / nDocs > fanoutCap
+    val bad = results.filter { case (n, _, r, c, b) =>
+      c > 0 || b > 0 || r.toDouble / denom(n) > fanoutCap
     }
     val qs = results.map { case (n, s, r, c, b) =>
-      val fo = math.round(r.toDouble / nDocs * 1000) / 1000.0
+      val fo = math.round(r.toDouble / denom(n) * 1000) / 1000.0
       s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"rehearsal":"1000x","sf":"$sfDir","n_docs":$nDocs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+      s"""{"rehearsal":"1000x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
     if (onlyOps.isEmpty) writeBlock("1000x", line)
     require(bad.isEmpty,

@@ -139,6 +139,30 @@ class TierXSpec extends SparkSpec {
     assert(ivf.select("q_id", "vec_id", "cos").except(brute).count() == 0)
   }
 
+  test("ivf refresh: segment union equals a full re-assign on frozen centroids") {
+    val vecs = Tables(spark, sf, "embeddings")
+    val refreshed = q("x_sim_ivf_refresh").persist()
+    // complete and disjoint: every vector exactly once
+    assert(refreshed.count() == vecs.count())
+    assert(refreshed.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // src labels follow the declared split
+    assert(refreshed.filter(col("src") === "delta")
+      .filter(col("vec_id") % 5 =!= 4).count() == 0)
+    assert(refreshed.filter(col("src") === "base")
+      .filter(col("vec_id") % 5 === 4).count() == 0)
+    // the streamed path is row-identical to the batch core on the same
+    // frozen quantizer (base-trained): nothing lost, nothing disturbed
+    val base = vecs.filter(col("vec_id") % 5 =!= 4)
+    val delta = vecs.filter(col("vec_id") % 5 === 4)
+    val batch = SimilaritySearch.ivfRefreshAssign(base, Seq(delta))
+    assert(refreshed.select("vec_id", "cell", "src")
+      .exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(refreshed.select("vec_id", "cell", "src"))
+      .count() == 0)
+    refreshed.unpersist()
+  }
+
   test("trained-IVF: exhaustive probing is exact; recall grows with probes") {
     import graft.operators.SimilaritySearch
     val vecs = Tables(spark, sf, "embeddings")

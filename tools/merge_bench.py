@@ -12,7 +12,14 @@ re-plans at runtime, so a borderline broadcast/coalesce can shift a
 query's final plan in one run — such a run's timing for THAT query is
 excluded from the min (with a warning), because it timed a different
 plan. The recorded plan is the across-runs majority plan. cold_total
-is taken from the first run (cold JVM semantics exist only once).
+is taken from the first run (the headline cold number keeps one run's
+real end-to-end composition). cold_queries — each run's per-query
+FIRST-execution time, a legitimate cold sample per fresh JVM — are
+merged per-query as min across the runs that recorded them (same
+min-of-N rationale as steady: between-JVM noise lands on different
+queries per run), so cold regressions stay attributable per query;
+their sum is recorded as cold_total_minmerged next to the
+single-run cold_total.
 """
 import json
 import sys
@@ -70,11 +77,23 @@ def main() -> None:
     if len(set(map(str, warmed_flags))) > 1:
         print(f"warning: runs mix measurement protocols "
               f"(warmed={warmed_flags}); per-query mins span both")
+    # per-query cold (first-execution) min across the runs recording it
+    # — older run files may predate cold_queries, so they just don't
+    # vote; a query cold in zero runs is omitted
+    cold_q = {}
+    for q in names:
+        samples = [r["cold_queries"][q] for r in runs
+                   if q in r.get("cold_queries", {})
+                   and r["cold_queries"][q] >= 0]
+        if samples:
+            cold_q[q] = min(samples)
     snap = {
         "metric": "total",
         "value": sum(merged.values()),
         "unit": "sec",
         "cold_total": base["cold_total"],
+        "cold_total_minmerged": sum(cold_q.values()),
+        "cold_queries": cold_q,
         "n": len(merged),
         "runs_merged": len(runs),
         # only queries present in ALL runs got the full min-of-N;
