@@ -71,7 +71,10 @@ object Probe {
         .repartition(400)
         .persist()
       println(s"[probe] docs: ${docs.count()}")
-      val tiny = docs.filter(col("doc_id") % 1000000L < 2000L)
+      // replica stride is 10M, so doc_id % 10M recovers the ORIGINAL
+      // id; < 20 keeps 20 source docs x 100 replicas = 2k rows (a
+      // % 1M < 2000 form kept 40% of the corpus — not a warm pass)
+      val tiny = docs.filter(col("doc_id") % 10000000L < 20L)
       val tw0 = System.nanoTime()
       graft.operators.Dedup.nearDupJaccard(tiny, 3, 0.8)
         .write.mode("overwrite").format("noop").save()
