@@ -19,6 +19,8 @@ import graft.{SparkEntry, Tables}
 object PlanDump {
 
   private val headliners: Seq[(String, String)] = Seq(
+    "x_sim_ivf_refresh" ->
+      "incremental ANN index refresh: base-trained centroids frozen as plan literals, each delta micro-batch assigned by a zero-shuffle row-local argmax projection and appended as an idempotent batchId segment — O(batch) per refresh, the base index never rewrites",
     "x_mmr_rerank" ->
       "MMR diversity rerank: broadcast query grid builds the bounded candidate pool once (checkpoint leaf), pairwise sims are one q_id equi-join, then the whole k-step greedy runs ROW-LOCALLY per query over one grouped row (pool is nCand-bounded by construction) — one shuffle on q_id instead of k chained step jobs",
     "x_contamination_embed" ->
