@@ -546,6 +546,107 @@ object SimilaritySearch {
         round(col("cos_raw"), 4).as("cos"))
   }
 
+  /** Band-sizing plan for [[cosinePairsLsh]] / [[crossCosineLsh]]:
+    * the chosen band width, the derived band/bit counts, and the
+    * model's predictions so the caller can see WHY the width was
+    * picked (and reject the plan if `meetsTarget` is false). */
+  final case class LshPlan(
+      rowsPerBand: Int,
+      bands: Int,
+      nBits: Int,
+      expectedBucketDepth: Double,
+      predictedRandomSurvivorsPerRow: Double,
+      meetsTarget: Boolean)
+
+  /** Predicted RANDOM-survivor pair count for banded sign-LSH over a
+    * corpus of `n` structureless vectors: pairs with no semantic
+    * relation that nevertheless clear the exact-cosine verify after
+    * colliding in a band. This is the n²-shaped mass the 1000×
+    * rehearsal measured (SCALING.md round-12 fan-out decomposition):
+    * true near-dup pairs scale linearly with the corpus, but random
+    * pairs number C(n,2), and the sliver of them that survives both
+    * gates grows quadratically unless band width rises with the
+    * corpus.
+    *
+    * Model (iid mean-zero vectors — the hash-uniform synthesis, and a
+    * conservative stand-in for whitened real embeddings): pairwise
+    * cosine is asymptotically N(0, 1/√dim), a band of r sign bits
+    * collides with probability (1 − θ/π)^r at angle θ = arccos(c),
+    * and a pair survives if its cosine clears `threshold` AND any of
+    * the `bands` bands collide (union-bounded). Numerically
+    * integrated by trapezoid over c ∈ [threshold, 1]:
+    *
+    *   E ≈ C(n,2) · ∫ φ(c; 0, 1/√dim) · min(1, B·(1−θ(c)/π)^r) dc
+    *
+    * Validated against both committed rehearsal points (same
+    * parameters, measured minus the constructed true-pair mass):
+    * 100× (n=200k, r=16): predicted 36.7k vs 35,176 measured (1.04×);
+    * 1000× (n=2M, r=20): predicted 646k vs 447,614 (1.44×,
+    * conservative — the union bound and the just-over-threshold tail
+    * both round up).
+    * NOT modeled: the true-pair mass (that is the operator's signal,
+    * not its overhead) and anisotropy of real embedding spaces (which
+    * concentrates cosine ABOVE the iid prediction — treat the
+    * estimate as a floor and re-measure when plans are near target). */
+  def lshRandomSurvivors(
+      n: Long, dim: Int, threshold: Double,
+      rowsPerBand: Int, bands: Int): Double = {
+    require(n >= 2 && dim >= 1 && bands >= 1 && rowsPerBand >= 1)
+    require(threshold > 0 && threshold < 1,
+      s"threshold in (0, 1), got $threshold")
+    val sigma = 1.0 / math.sqrt(dim.toDouble)
+    def integrand(c: Double): Double = {
+      val phi = math.exp(-c * c / (2 * sigma * sigma)) /
+        (sigma * math.sqrt(2 * math.Pi))
+      val pBand = math.pow(1.0 - math.acos(c) / math.Pi, rowsPerBand)
+      phi * math.min(1.0, bands * pBand)
+    }
+    val steps = 2000
+    val h = (1.0 - threshold) / steps
+    val integral = (0 to steps).map { i =>
+      val w = if (i == 0 || i == steps) 0.5 else 1.0
+      w * integrand(threshold + i * h)
+    }.sum * h
+    0.5 * n.toDouble * (n - 1).toDouble * integral
+  }
+
+  /** Pick the band width (bits per band) for a corpus: the smallest
+    * `rowsPerBand` that holds BOTH the bucket-occupancy rule (mean
+    * band-bucket depth n/2^r ≤ `maxBucketDepth` — keeps candidate
+    * mass Σ|bucket|² linear; the "~log₂(corpus) bits" scaladoc rule,
+    * made executable) and the random-survivor budget
+    * ([[lshRandomSurvivors]] ≤ `targetFanoutPerRow` · n). The second
+    * gate is what the occupancy rule alone misses at low thresholds
+    * (the round-12 1000× finding): depth can be O(1) while verified
+    * random pairs still grow ~n²·p_collide. Width is capped at
+    * 64/bands (the packed-long fingerprint); if no width inside the
+    * cap meets the budget the plan is returned with
+    * `meetsTarget = false` and its predictions filled in — the caller
+    * decides (raise the threshold, add bands, or accept the fan-out).
+    *
+    * Reproduces both committed rehearsal configurations from their
+    * parameters alone at the defaults: (200k, 64-dim, 0.4, 3 bands) →
+    * 16-bit bands (occupancy-bound); (2M, …) → 20-bit bands — where
+    * occupancy alone would have stopped at 19 (depth 3.8) and the
+    * survivor budget (predicted 0.50/row at 19 vs 0.32 at 20) is
+    * what pushes the width up. That second push is exactly what the
+    * "~log₂(corpus) bits" rule misses, which is the point. */
+  def lshBandPlan(
+      n: Long, dim: Int, threshold: Double,
+      bands: Int = 3,
+      targetFanoutPerRow: Double = 0.4,
+      maxBucketDepth: Double = 4.0): LshPlan = {
+    require(bands >= 1 && bands <= 64, s"bands in [1, 64], got $bands")
+    val maxR = 64 / bands
+    def planAt(r: Int): LshPlan = {
+      val depth = n.toDouble / math.pow(2.0, r)
+      val perRow = lshRandomSurvivors(n, dim, threshold, r, bands) / n
+      LshPlan(r, bands, r * bands, depth, perRow,
+        depth <= maxBucketDepth && perRow <= targetFanoutPerRow)
+    }
+    (1 to maxR).map(planAt).find(_.meetsTarget).getOrElse(planAt(maxR))
+  }
+
   /** Nearest-centroid cell id against literal centroids: argmax of
     * dot(vec, c)/||c|| (ties → lowest c_id, via the (sim, −c_id) struct
     * max). Pure projection — no join, no shuffle. `vecCol` defaults to

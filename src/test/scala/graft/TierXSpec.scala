@@ -2101,6 +2101,48 @@ class TierXSpec extends SparkSpec {
       s"selected mean weight $selMean not above corpus $corpusMean")
   }
 
+  test("lshBandPlan: survivor model matches both committed rehearsal points; budget binds where occupancy can't") {
+    import graft.operators.SimilaritySearch
+    // estimator vs the committed SCALE_REHEARSAL.json measurements,
+    // minus the constructed true-pair mass (2,000 source vecs ×
+    // C(10,2) = 90,000 verbatim-family pairs at both scales):
+    // 100×: 125,176 − 90,000 = 35,176; 1000×: 537,614 − 90,000 = 447,614
+    val p100 = SimilaritySearch.lshRandomSurvivors(200000L, 64, 0.4, 16, 3)
+    assert(p100 > 35176 / 2.0 && p100 < 35176 * 2.0, s"100x prediction $p100")
+    val p1000 = SimilaritySearch.lshRandomSurvivors(2000000L, 64, 0.4, 20, 3)
+    assert(p1000 > 447614 / 2.0 && p1000 < 447614 * 2.0,
+      s"1000x prediction $p1000")
+    // monotone the right way: wider bands shrink survivors, corpus
+    // growth at fixed width grows them super-linearly
+    assert(SimilaritySearch.lshRandomSurvivors(200000L, 64, 0.4, 20, 3) < p100)
+    assert(p1000 / 2000000 > p100 / 200000 * 0.9 || p1000 > p100)
+    // planner reproduces both committed configurations from
+    // parameters alone, at its defaults
+    val plan100 = SimilaritySearch.lshBandPlan(200000L, 64, 0.4)
+    assert(plan100.rowsPerBand == 16 && plan100.meetsTarget, plan100.toString)
+    val plan1000 = SimilaritySearch.lshBandPlan(2000000L, 64, 0.4)
+    assert(plan1000.rowsPerBand == 20 && plan1000.meetsTarget,
+      plan1000.toString)
+    // the survivor budget binds where occupancy alone would stop
+    // short: 19-bit bands already satisfy occupancy at 2M (depth 3.8)
+    // but predict ~0.50 random survivors/row — the budget is what
+    // pushes the plan to 20; tightening it to 0.3 pushes on to 21
+    val tight = SimilaritySearch.lshBandPlan(
+      2000000L, 64, 0.4, bands = 3, targetFanoutPerRow = 0.3)
+    assert(tight.rowsPerBand == 21 && tight.meetsTarget, tight.toString)
+    // and loosening past 19's prediction stops at 19
+    val loose = SimilaritySearch.lshBandPlan(
+      2000000L, 64, 0.4, bands = 3, targetFanoutPerRow = 0.6)
+    assert(loose.rowsPerBand == 19 && loose.meetsTarget, loose.toString)
+    // infeasible budget: capped at 64/bands, meetsTarget = false,
+    // predictions filled in so the caller can decide
+    val infeasible = SimilaritySearch.lshBandPlan(
+      2000000L, 64, 0.05, bands = 3, targetFanoutPerRow = 1e-9)
+    assert(!infeasible.meetsTarget && infeasible.rowsPerBand == 21,
+      infeasible.toString)
+    assert(infeasible.predictedRandomSurvivorsPerRow > 1e-9)
+  }
+
   test("x_text_nfc: injected decomposed runs compose, rest untouched") {
     val out = q("x_text_nfc").collect()
     assert(out.nonEmpty)
