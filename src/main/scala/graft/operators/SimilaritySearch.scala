@@ -578,12 +578,13 @@ object SimilaritySearch {
     *
     *   E ≈ C(n,2) · ∫ φ(c; 0, 1/√dim) · min(1, B·(1−θ(c)/π)^r) dc
     *
-    * Validated against both committed rehearsal points (same
-    * parameters, measured minus the constructed true-pair mass):
-    * 100× (n=200k, r=16): predicted 36.7k vs 35,176 measured (1.04×);
-    * 1000× (n=2M, r=20): predicted 646k vs 447,614 (1.44×,
-    * conservative — the union bound and the just-over-threshold tail
-    * both round up).
+    * Validated against both committed rehearsal points (each at ITS
+    * OWN committed band config, measured minus the constructed
+    * true-pair mass): 100× (n=200k, 4 bands of 16): predicted 48.9k
+    * vs 35,176 measured (1.39×); 1000× (n=2M, 3 bands of 20):
+    * predicted 646k vs 447,614 (1.44×) — both conservative, as a
+    * planner input should be (the union bound and the
+    * just-over-threshold tail both round up).
     * NOT modeled: the true-pair mass (that is the operator's signal,
     * not its overhead) and anisotropy of real embedding spaces (which
     * concentrates cosine ABOVE the iid prediction — treat the
@@ -624,13 +625,15 @@ object SimilaritySearch {
     * `meetsTarget = false` and its predictions filled in — the caller
     * decides (raise the threshold, add bands, or accept the fan-out).
     *
-    * Reproduces both committed rehearsal configurations from their
-    * parameters alone at the defaults: (200k, 64-dim, 0.4, 3 bands) →
-    * 16-bit bands (occupancy-bound); (2M, …) → 20-bit bands — where
-    * occupancy alone would have stopped at 19 (depth 3.8) and the
-    * survivor budget (predicted 0.50/row at 19 vs 0.32 at 20) is
-    * what pushes the width up. That second push is exactly what the
-    * "~log₂(corpus) bits" rule misses, which is the point. */
+    * Reproduces both committed rehearsal band widths from their
+    * parameters alone at the default budget (band COUNT stays the
+    * caller's recall knob): (200k, 64-dim, 0.4, the committed 4
+    * bands) → 16-bit bands (occupancy-bound); (2M, …, 3 bands) →
+    * 20-bit bands — where occupancy alone would have stopped at 19
+    * (depth 3.8) and the survivor budget (predicted 0.50/row at 19
+    * vs 0.32 at 20) is what pushes the width up. That second push is
+    * exactly what the "~log₂(corpus) bits" rule misses, which is the
+    * point. */
   def lshBandPlan(
       n: Long, dim: Int, threshold: Double,
       bands: Int = 3,

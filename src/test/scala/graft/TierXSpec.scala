@@ -2104,21 +2104,24 @@ class TierXSpec extends SparkSpec {
   test("lshBandPlan: survivor model matches both committed rehearsal points; budget binds where occupancy can't") {
     import graft.operators.SimilaritySearch
     // estimator vs the committed SCALE_REHEARSAL.json measurements,
-    // minus the constructed true-pair mass (2,000 source vecs ×
-    // C(10,2) = 90,000 verbatim-family pairs at both scales):
-    // 100×: 125,176 − 90,000 = 35,176; 1000×: 537,614 − 90,000 = 447,614
-    val p100 = SimilaritySearch.lshRandomSurvivors(200000L, 64, 0.4, 16, 3)
+    // each at ITS OWN committed band config, minus the constructed
+    // true-pair mass (2,000 source vecs × C(10,2) = 90,000
+    // verbatim-family pairs at both scales):
+    // 100× (4 bands of 16): 125,176 − 90,000 = 35,176;
+    // 1000× (3 bands of 20): 537,614 − 90,000 = 447,614
+    val p100 = SimilaritySearch.lshRandomSurvivors(200000L, 64, 0.4, 16, 4)
     assert(p100 > 35176 / 2.0 && p100 < 35176 * 2.0, s"100x prediction $p100")
     val p1000 = SimilaritySearch.lshRandomSurvivors(2000000L, 64, 0.4, 20, 3)
     assert(p1000 > 447614 / 2.0 && p1000 < 447614 * 2.0,
       s"1000x prediction $p1000")
     // monotone the right way: wider bands shrink survivors, corpus
     // growth at fixed width grows them super-linearly
-    assert(SimilaritySearch.lshRandomSurvivors(200000L, 64, 0.4, 20, 3) < p100)
-    assert(p1000 / 2000000 > p100 / 200000 * 0.9 || p1000 > p100)
-    // planner reproduces both committed configurations from
-    // parameters alone, at its defaults
-    val plan100 = SimilaritySearch.lshBandPlan(200000L, 64, 0.4)
+    assert(SimilaritySearch.lshRandomSurvivors(200000L, 64, 0.4, 20, 4) < p100)
+    assert(p1000 > p100)
+    // planner re-derives both committed band WIDTHS from parameters
+    // alone at the default budget (band count = the recall knob stays
+    // the caller's)
+    val plan100 = SimilaritySearch.lshBandPlan(200000L, 64, 0.4, bands = 4)
     assert(plan100.rowsPerBand == 16 && plan100.meetsTarget, plan100.toString)
     val plan1000 = SimilaritySearch.lshBandPlan(2000000L, 64, 0.4)
     assert(plan1000.rowsPerBand == 20 && plan1000.meetsTarget,
