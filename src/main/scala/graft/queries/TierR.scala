@@ -314,6 +314,29 @@ object TierR {
       .orderBy("user_id", "id1", "id2")
   }
 
+  /** Overlap join WITHOUT the equi anchor [[rJoinRange]] relies on
+    * (see [[graft.operators.IntervalJoin]]): purchase "attention
+    * windows" `[ts, ts+120s)` that overlap across the WHOLE corpus —
+    * there is no user anchor, so the naive predicate-only form plans
+    * as a nested-loop/cartesian. The operator manufactures the equi
+    * key by binning (W = 120 s = the interval length, so fan-out ≤ 2
+    * bins/row) and the plan is a plain hash equi-join on the bin with
+    * the true overlap as a residual filter; each pair is claimed
+    * exactly once at the bin holding `max(s1, s2)`, so no dedup
+    * shuffle. The oracle IS the naive predicate join (DuckDB's IEJoin
+    * handles it at sf0.01). */
+  private val rJoinInterval: Q = (s, d) => {
+    val p = Tables(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("ts").cast("long").as("s0"),
+        (col("ts").cast("long") + 120L).as("e0"))
+    graft.operators.IntervalJoin
+      .overlapPairs(p, "event_id", "s0", "e0", binWidth = 120L)
+      .orderBy("id1", "id2")
+  }
+
   /** As-of join (composed, see [[graft.operators.AsOfJoin]]): attribute
     * each purchase to the user's most recent preceding-or-simultaneous
     * click. */
@@ -996,6 +1019,7 @@ object TierR {
     "r_join_anti" -> rJoinAnti,
     "r_join_full" -> rJoinFull,
     "r_join_range" -> rJoinRange,
+    "r_join_interval" -> rJoinInterval,
     "r_join_asof" -> rJoinAsof,
     "r_join_asof_near" -> rJoinAsofNear,
     "r_histogram" -> rHistogram,
@@ -1391,6 +1415,19 @@ object TierR {
         |AND CAST(e2.ts AS TIMESTAMP) > CAST(e1.ts AS TIMESTAMP)
         |AND CAST(e2.ts AS TIMESTAMP) <= CAST(e1.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY e1.user_id, id1, id2""".stripMargin,
+    // the naive inequality join — correct by definition, cartesian at
+    // scale; the engine's binned form must match it row-for-row
+    "r_join_interval" ->
+      """WITH p AS (SELECT event_id,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |                  CAST(floor(epoch(ts)) AS BIGINT) + 120 AS e
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT a.event_id AS id1, b.event_id AS id2,
+        |       greatest(a.s, b.s) AS overlap_start,
+        |       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_len
+        |FROM p a JOIN p b
+        |ON a.s < b.e AND b.s < a.e AND a.event_id < b.event_id
+        |ORDER BY id1, id2""".stripMargin,
     "r_join_asof" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id,
         |                  CAST(ts AS TIMESTAMP) AS ts

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, length, lit, lpad, max, min, round, slice, split, substring, sum, upper, when}
+import org.apache.spark.sql.functions.{abs, coalesce, col, concat, concat_ws, count, countDistinct, expr, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -746,6 +746,39 @@ object TierX {
     "x_heavy_cms" -> ((s, d) =>
       TextAnalysis.heavyHittersCms(docs(s, d), depth = 4, width = 64,
         topK = 10).orderBy("tok")),
+    "x_sketch_rollup" -> ((s, d) => {
+      // mergeable-sketch store (see graft.operators.SketchStore): HLL
+      // sketches built once per (day, type) and PERSISTED; both the
+      // per-type and grand-total distinct-user rollups are then
+      // answered from the sketch table alone — the base events scan
+      // below exists only to feed the bounded oracle's exact columns
+      import graft.operators.SketchStore
+      val ev = Tables(s, d, "events").select(
+        to_date(col("ts")).as("event_date"),
+        col("event_type"), col("user_id"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
+        s"store_${java.lang.Integer.toHexString(d.hashCode)}"
+      SketchStore.writeStore(
+        SketchStore.buildSketches(
+          ev, Seq("event_date", "event_type"), "user_id"), path)
+      val store = SketchStore.readStore(s, path)
+      val approx = SketchStore.rollup(store, Seq("event_type"))
+        .unionByName(
+          SketchStore.rollup(store, Nil)
+            .withColumn("event_type", lit("__all__")))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"))
+        .unionByName(
+          ev.agg(countDistinct("user_id").as("n_users"))
+            .withColumn("event_type", lit("__all__")))
+      approx.join(exact, "event_type")
+        .select(
+          col("event_type"), col("n_sketches"),
+          col(SketchStore.RowCountCol).as("n_events"), col("n_users"),
+          (abs(col("approx_distinct") - col("n_users")).cast("double")
+            / col("n_users") <= 0.05).as("approx_ok"))
+        .orderBy("event_type")
+    }),
     "x_pipeline_prepare" -> ((s, d) =>
       // the quality-side composition: perplexity filter → boilerplate
       // strip (df over the filtered corpus) → chunk, one lineage
@@ -2968,6 +3001,27 @@ object TierX {
         |        GROUP BY tok)
         |SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overcount
         |FROM est ORDER BY tok""".stripMargin,
+    // bounded oracle (the r_agg_approx_distinct pattern): exact distinct
+    // counts + TRUE for the engine-side tolerance verdict; n_sketches =
+    // stored (day[, type]) groups each rollup row merged
+    "x_sketch_rollup" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, event_type, user_id
+        |           FROM events)
+        |SELECT event_type,
+        |       count(DISTINCT dt) AS n_sketches,
+        |       count(1) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS approx_ok
+        |FROM e GROUP BY event_type
+        |UNION ALL
+        |SELECT '__all__' AS event_type,
+        |       count(DISTINCT concat(CAST(dt AS VARCHAR), '|', event_type))
+        |         AS n_sketches,
+        |       count(1) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS approx_ok
+        |FROM e
+        |ORDER BY event_type""".stripMargin,
     // vocab ids re-derived, then per-doc exact integer checksums of the
     // encoded id sequence (sum + position-weighted sum)
     "x_encode_ids" ->

@@ -470,6 +470,24 @@ object ScaleRehearsal {
     // `triangles` reads the staged parquet.
     val minhashPairs = () => Dedup.nearDupMinHash(docs, k = 3,
       numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")
+    // 100× intervals for the anchor-free overlap join: purchase windows
+    // [ts, ts+120s), each replica shifted by the full 31-day corpus
+    // span — replicas tile TIME, so interval density per unit time (and
+    // with it per-row fan-out) is CONSTANT in corpus scale; the binned
+    // join's output must grow linearly, an all-pairs plan quadratically
+    val intervals = layout(
+      graft.Tables(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts").cast("long").as("s0"))
+        .select(col("*"),
+          explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("event_id") + col("replica") * lit(1000000000L))
+            .as("event_id"),
+          (col("s0") + col("replica") * lit(31L * 24 * 3600)).as("s")))
+      .withColumn("e", col("s") + lit(120L))
+      .persist()
+    val nIv = intervals.count()
     // staging + the skew audit below serve ONLY the ops that read the
     // staged pair table; a selective run (SPARK_GRAFT_REHEARSAL_ONLY)
     // that excludes them must not pay the multi-minute staging write
@@ -524,6 +542,11 @@ object ScaleRehearsal {
       "ivf_refresh" -> (() => SimilaritySearch.ivfRefreshAssign(
         vecs.filter(col("vec_id") % 5 =!= 4),
         Seq(vecs.filter(col("vec_id") % 5 === 4)), nCentroids = 8)),
+      // anchor-free overlap join at 100× (2M time-tiled intervals):
+      // W = the interval length, fan-out ≤ 2 bins/row; constant
+      // density ⇒ per-row pair fan-out must match sf0.1's (~0.93)
+      "interval_join" -> (() => graft.operators.IntervalJoin
+        .overlapPairs(intervals, "event_id", "s", "e", binWidth = 120L)),
       "minhash_pairs" -> (() => minhashPairs()),
       // triangle census over the bounded-cluster similarity graph:
       // each source doc's K10 yields a CONSTANT 120 triangles, so the
@@ -623,7 +646,7 @@ object ScaleRehearsal {
       "minhash_cand" -> nDocs, "embed_pairs" -> nVecs,
       "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
       "contamination_minhash" -> nDocs, "contamination_embed" -> nVecs,
-      "ivf_refresh" -> nVecs,
+      "ivf_refresh" -> nVecs, "interval_join" -> nIv,
       "minhash_pairs" -> nDocs, "triangles" -> nDocs,
       "cluster_hashmin" -> nDocs, "cluster_star" -> nDocs,
       "incremental_exact" -> nDocs, "phash_pairs" -> nDocs,
@@ -632,6 +655,7 @@ object ScaleRehearsal {
     val pairOps = Set("ppjoin", "ppjoin_cand", "minhash_cand",
       "embed_pairs", "ngram_overlap",
       "contamination_minhash", "contamination_embed", "ivf_refresh",
+      "interval_join",
       "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||
