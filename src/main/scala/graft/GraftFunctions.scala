@@ -59,6 +59,32 @@ object GraftFunctions {
             s"gram_fingerprint k must be an integer literal, got $other")
         }
         graft.expressions.GramFingerprint(exprs.head, k)
+      }),
+    // KLL quantile-sketch lifecycle (expressions/KllSketch.scala):
+    // build / merge-stored / extract — the SQL surface of the
+    // quantile half of the mergeable-sketch store
+    GraftFn("kll_sketch_agg",
+      classOf[graft.expressions.KllSketchAgg].getName, exprs => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"kll_sketch_agg requires (value[, k]) arguments, got ${exprs.length}")
+        val k = if (exprs.length < 2) 200 else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kll_sketch_agg k must be an integer literal, got $other")
+        }
+        graft.expressions.KllSketchAgg(exprs.head, k)
+      }),
+    GraftFn("kll_union_agg",
+      classOf[graft.expressions.KllUnionAgg].getName, exprs => {
+        require(exprs.length == 1,
+          s"kll_union_agg requires exactly 1 binary argument, got ${exprs.length}")
+        graft.expressions.KllUnionAgg(exprs.head)
+      }),
+    GraftFn("kll_quantile",
+      classOf[graft.expressions.KllQuantile].getName, exprs => {
+        require(exprs.length == 2,
+          s"kll_quantile requires (sketch, rank) arguments, got ${exprs.length}")
+        graft.expressions.KllQuantile(exprs(0), exprs(1))
       }))
 
   /** Register all graft SQL functions as session temp functions. */

@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.expressions.{KllQuantile, KllSketchAgg, KllUnionAgg}
 
 /** Mergeable-sketch store: persist per-partition HLL sketches at
   * ingest time, answer distinct-count rollups later by merging the
@@ -47,6 +51,7 @@ import org.apache.spark.sql.functions._
 object SketchStore {
 
   val SketchCol = "sketch"
+  val QSketchCol = "qsketch"
   val RowCountCol = "n_rows"
 
   /** One HLL sketch of `valueCol`'s distinct values per `keyCols`
@@ -101,5 +106,64 @@ object SketchStore {
       sum(col(RowCountCol)).as(RowCountCol))
     if (groupCols.isEmpty) store.agg(aggs.head, aggs.tail: _*)
     else store.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---- quantile half (KLL; see expressions/KllSketch.scala) ----------
+
+  /** `kll_sketch_agg(value, k)` as a Column (native
+    * TypedImperativeAggregate — partial/final, sketch bytes on the
+    * exchange). */
+  def kllSketchAgg(value: Column, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** `kll_union_agg(sketch)` as a Column — merge stored sketches. */
+  def kllUnionAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      KllUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** `kll_quantile(sketch, rank)` as a Column. */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    ColumnBridge.column(
+      KllQuantile(ColumnBridge.expression(sketch), Literal(rank)))
+
+  /** One KLL quantile sketch of `valueCol` per `keyCols` group, plus
+    * the exact row count — the quantile analog of [[buildSketches]];
+    * same store layout contract, `qsketch` binary column. */
+  def buildQuantileSketches(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      k: Int = 200): DataFrame = {
+    require(keyCols.nonEmpty,
+      "buildQuantileSketches needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        kllSketchAgg(col(valueCol).cast("double"), k).as(QSketchCol),
+        count(lit(1)).as(RowCountCol))
+  }
+
+  /** Quantile rollup over the quantile STORE alone: merge the stored
+    * sketches per `groupCols` (empty = grand total) and extract one
+    * `q_<pct>` column per requested rank — e.g. ranks 0.5/0.95 →
+    * `q_50`, `q_95`. Base table never touched, same as [[rollup]]. */
+  def quantileRollup(
+      store: DataFrame,
+      groupCols: Seq[String],
+      ranks: Seq[Double]): DataFrame = {
+    require(ranks.nonEmpty, "quantileRollup needs at least one rank")
+    val aggs = Seq(
+      kllUnionAgg(col(QSketchCol)).as(QSketchCol),
+      count(lit(1)).as("n_sketches"),
+      sum(col(RowCountCol)).as(RowCountCol))
+    val merged =
+      if (groupCols.isEmpty) store.agg(aggs.head, aggs.tail: _*)
+      else store.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val qCols = ranks.map(r =>
+      kllQuantile(col(QSketchCol), r)
+        .as(s"q_${math.round(r * 100)}"))
+    merged.select(
+      groupCols.map(col) ++
+        Seq(col("n_sketches"), col(RowCountCol)) ++ qCols: _*)
   }
 }

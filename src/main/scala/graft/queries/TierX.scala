@@ -779,6 +779,44 @@ object TierX {
             / col("n_users") <= 0.05).as("approx_ok"))
         .orderBy("event_type")
     }),
+    "x_quantile_rollup" -> ((s, d) => {
+      // the QUANTILE half of the sketch store (custom KLL
+      // TypedImperativeAggregates — expressions/KllSketch.scala): per
+      // (day, type) sketches persisted, p50/p95 rollups answered by
+      // kll_union_agg over the store; verdict = the merged-sketch
+      // estimate lands between the exact quantiles at rank ± 5%
+      // (3× the k=200 error bound), exact percentiles hash-matched
+      import graft.operators.SketchStore
+      val ev = Tables(s, d, "events").select(
+        to_date(col("ts")).as("event_date"),
+        col("event_type"), col("value"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
+        s"qstore_${java.lang.Integer.toHexString(d.hashCode)}"
+      SketchStore.writeStore(
+        SketchStore.buildQuantileSketches(
+          ev, Seq("event_date", "event_type"), "value"), path)
+      val store = SketchStore.readStore(s, path)
+      val approx = SketchStore
+        .quantileRollup(store, Seq("event_type"), Seq(0.5, 0.95))
+        .unionByName(SketchStore
+          .quantileRollup(store, Nil, Seq(0.5, 0.95))
+          .withColumn("event_type", lit("__all__")))
+      val qarr = "percentile(value, array(0.45, 0.5, 0.55, 0.90, 0.95, 1.0))"
+      val exact = ev.groupBy("event_type").agg(expr(qarr).as("q"))
+        .unionByName(
+          ev.agg(expr(qarr).as("q"))
+            .withColumn("event_type", lit("__all__")))
+      approx.join(exact, "event_type")
+        .select(
+          col("event_type"), col("n_sketches"),
+          col(SketchStore.RowCountCol).as("n_events"),
+          round(col("q")(1), 4).as("p50"),
+          round(col("q")(4), 4).as("p95"),
+          (col("q_50").between(col("q")(0), col("q")(2)) &&
+            col("q_95").between(col("q")(3), col("q")(5)))
+            .as("approx_ok"))
+        .orderBy("event_type")
+    }),
     "x_pipeline_prepare" -> ((s, d) =>
       // the quality-side composition: perplexity filter → boilerplate
       // strip (df over the filtered corpus) → chunk, one lineage
@@ -3019,6 +3057,29 @@ object TierX {
         |         AS n_sketches,
         |       count(1) AS n_events,
         |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS approx_ok
+        |FROM e
+        |ORDER BY event_type""".stripMargin,
+    // bounded oracle, quantile flavor: exact interpolated percentiles
+    // (Spark percentile == DuckDB quantile_cont, the pinned
+    // r_agg_percentile contract) + TRUE for the tolerance verdict
+    "x_quantile_rollup" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, event_type, value
+        |           FROM events)
+        |SELECT event_type,
+        |       count(DISTINCT dt) AS n_sketches,
+        |       count(1) AS n_events,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       TRUE AS approx_ok
+        |FROM e GROUP BY event_type
+        |UNION ALL
+        |SELECT '__all__' AS event_type,
+        |       count(DISTINCT concat(CAST(dt AS VARCHAR), '|', event_type))
+        |         AS n_sketches,
+        |       count(1) AS n_events,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
         |       TRUE AS approx_ok
         |FROM e
         |ORDER BY event_type""".stripMargin,
