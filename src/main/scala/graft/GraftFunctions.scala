@@ -85,6 +85,43 @@ object GraftFunctions {
         require(exprs.length == 2,
           s"kll_quantile requires (sketch, rank) arguments, got ${exprs.length}")
         graft.expressions.KllQuantile(exprs(0), exprs(1))
+      }),
+    // Theta sketch set algebra (expressions/ThetaSketch.scala):
+    // distinct counts that intersect/subtract, not just union
+    GraftFn("theta_sketch_agg",
+      classOf[graft.expressions.ThetaSketchAgg].getName, exprs => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"theta_sketch_agg requires (value[, lgK]) arguments, got ${exprs.length}")
+        val lgK = if (exprs.length < 2) 12 else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"theta_sketch_agg lgK must be an integer literal, got $other")
+        }
+        graft.expressions.ThetaSketchAgg(exprs.head, lgK)
+      }),
+    GraftFn("theta_union_agg",
+      classOf[graft.expressions.ThetaUnionAgg].getName, exprs => {
+        require(exprs.length == 1,
+          s"theta_union_agg requires exactly 1 binary argument, got ${exprs.length}")
+        graft.expressions.ThetaUnionAgg(exprs.head)
+      }),
+    GraftFn("theta_intersect",
+      classOf[graft.expressions.ThetaSetOp].getName, exprs => {
+        require(exprs.length == 2,
+          s"theta_intersect requires (a, b) arguments, got ${exprs.length}")
+        graft.expressions.ThetaSetOp(exprs(0), exprs(1), intersect = true)
+      }),
+    GraftFn("theta_a_not_b",
+      classOf[graft.expressions.ThetaSetOp].getName, exprs => {
+        require(exprs.length == 2,
+          s"theta_a_not_b requires (a, b) arguments, got ${exprs.length}")
+        graft.expressions.ThetaSetOp(exprs(0), exprs(1), intersect = false)
+      }),
+    GraftFn("theta_estimate",
+      classOf[graft.expressions.ThetaEstimate].getName, exprs => {
+        require(exprs.length == 1,
+          s"theta_estimate requires exactly 1 binary argument, got ${exprs.length}")
+        graft.expressions.ThetaEstimate(exprs.head)
       }))
 
   /** Register all graft SQL functions as session temp functions. */

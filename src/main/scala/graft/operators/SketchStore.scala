@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.{KllQuantile, KllSketchAgg, KllUnionAgg}
+import graft.expressions.{KllQuantile, KllSketchAgg, KllUnionAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaUnionAgg}
 
 /** Mergeable-sketch store: persist per-partition HLL sketches at
   * ingest time, answer distinct-count rollups later by merging the
@@ -52,6 +52,7 @@ object SketchStore {
 
   val SketchCol = "sketch"
   val QSketchCol = "qsketch"
+  val TSketchCol = "tsketch"
   val RowCountCol = "n_rows"
 
   /** One HLL sketch of `valueCol`'s distinct values per `keyCols`
@@ -165,5 +166,51 @@ object SketchStore {
     merged.select(
       groupCols.map(col) ++
         Seq(col("n_sketches"), col(RowCountCol)) ++ qCols: _*)
+  }
+
+  // ---- set-algebra half (Theta; see expressions/ThetaSketch.scala) ---
+
+  /** `theta_sketch_agg(value, lgK)` as a Column. */
+  def thetaSketchAgg(value: Column, lgK: Int = 12): Column =
+    ColumnBridge.column(
+      ThetaSketchAgg(ColumnBridge.expression(value), lgK)
+        .toAggregateExpression())
+
+  /** `theta_union_agg(sketch)` as a Column — merge stored sketches. */
+  def thetaUnionAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      ThetaUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** `theta_intersect(a, b)` — sketch of A ∩ B (composable bytes). */
+  def thetaIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      intersect = true))
+
+  /** `theta_a_not_b(a, b)` — sketch of A ∖ B (composable bytes). */
+  def thetaANotB(a: Column, b: Column): Column =
+    ColumnBridge.column(ThetaSetOp(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      intersect = false))
+
+  /** `theta_estimate(sketch)` — estimated distinct count (exact while
+    * the sketch is in exact mode). */
+  def thetaEstimate(sketch: Column): Column =
+    ColumnBridge.column(ThetaEstimate(ColumnBridge.expression(sketch)))
+
+  /** One theta sketch of `valueCol`'s distinct values per `keyCols`
+    * group — the set-algebra analog of [[buildSketches]]; same store
+    * layout contract, `tsketch` binary column. */
+  def buildThetaSketches(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty,
+      "buildThetaSketches needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        thetaSketchAgg(col(valueCol), lgK).as(TSketchCol),
+        count(lit(1)).as(RowCountCol))
   }
 }

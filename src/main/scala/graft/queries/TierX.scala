@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, coalesce, col, concat, concat_ws, count, countDistinct, expr, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
+import org.apache.spark.sql.functions.{abs, coalesce, col, concat, concat_ws, count, countDistinct, expr, greatest, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -778,6 +778,67 @@ object TierX {
           (abs(col("approx_distinct") - col("n_users")).cast("double")
             / col("n_users") <= 0.05).as("approx_ok"))
         .orderBy("event_type")
+    }),
+    "x_sketch_setops" -> ((s, d) => {
+      // the SET-ALGEBRA half of the sketch store (custom Theta
+      // TypedImperativeAggregates — expressions/ThetaSketch.scala):
+      // per-(day, type) theta sketches persisted; retention overlap
+      // (purchasers active in BOTH month halves), churn (first half
+      // only) and total reach are answered from the store by sketch
+      // union + intersect + a-not-b — HLL can union but never
+      // intersect, which is exactly why warehouses keep theta columns.
+      // The base scan below feeds only the bounded oracle's exact side.
+      import graft.operators.SketchStore
+      val ev = Tables(s, d, "events").select(
+        to_date(col("ts")).as("event_date"),
+        col("event_type"), col("user_id"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
+        s"tstore_${java.lang.Integer.toHexString(d.hashCode)}"
+      SketchStore.writeStore(
+        SketchStore.buildThetaSketches(
+          ev, Seq("event_date", "event_type"), "user_id"), path)
+      val store = SketchStore.readStore(s, path)
+        .filter(col("event_type") === "purchase")
+      // half-split cutoff: a 1-row driver scalar (the x_cdc_upsert
+      // maxTs pattern) — the store's day grain makes it a partition
+      // predicate on the sketch table, never a base rescan
+      val minDate = store.agg(min(col("event_date"))).head().getDate(0)
+      val cut = java.sql.Date.valueOf(minDate.toLocalDate.plusDays(15))
+      val est = store
+        .agg(
+          SketchStore.thetaUnionAgg(
+            when(col("event_date") < lit(cut), col(SketchStore.TSketchCol)))
+            .as("ska"),
+          SketchStore.thetaUnionAgg(
+            when(col("event_date") >= lit(cut), col(SketchStore.TSketchCol)))
+            .as("skb"),
+          SketchStore.thetaUnionAgg(col(SketchStore.TSketchCol)).as("skall"))
+        .select(
+          SketchStore.thetaEstimate(
+            SketchStore.thetaIntersect(col("ska"), col("skb")))
+            .as("retained"),
+          SketchStore.thetaEstimate(
+            SketchStore.thetaANotB(col("ska"), col("skb"))).as("churned"),
+          SketchStore.thetaEstimate(col("skall")).as("reach"))
+        .select(expr(
+          "stack(3, 'churned', churned, 'reach', reach, " +
+            "'retained', retained) AS (op, est)"))
+      val p = ev.filter(col("event_type") === "purchase")
+      val ua = p.filter(col("event_date") < lit(cut))
+        .select("user_id").distinct()
+      val ub = p.filter(col("event_date") >= lit(cut))
+        .select("user_id").distinct()
+      val exact = ua.except(ub).agg(count(lit(1)).as("n_users"))
+        .withColumn("op", lit("churned"))
+        .unionByName(ua.union(ub).distinct()
+          .agg(count(lit(1)).as("n_users")).withColumn("op", lit("reach")))
+        .unionByName(ua.intersect(ub)
+          .agg(count(lit(1)).as("n_users")).withColumn("op", lit("retained")))
+      est.join(exact, "op")
+        .select(col("op"), col("n_users"),
+          (abs(col("est") - col("n_users"))
+            / greatest(col("n_users"), lit(1L)) <= 0.05).as("approx_ok"))
+        .orderBy("op")
     }),
     "x_quantile_rollup" -> ((s, d) => {
       // the QUANTILE half of the sketch store (custom KLL
@@ -3060,6 +3121,31 @@ object TierX {
         |       TRUE AS approx_ok
         |FROM e
         |ORDER BY event_type""".stripMargin,
+    // bounded oracle, set-algebra flavor: exact INTERSECT/EXCEPT/UNION
+    // distinct counts + TRUE for the tolerance verdict (test-scale
+    // sketches are in exact mode, so the verdict is deterministic)
+    "x_sketch_setops" ->
+      """WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS dt, user_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |cut AS (SELECT min(dt) + 15 AS c FROM p),
+        |a AS (SELECT DISTINCT user_id FROM p, cut WHERE dt < c),
+        |b AS (SELECT DISTINCT user_id FROM p, cut WHERE dt >= c)
+        |SELECT 'churned' AS op,
+        |       (SELECT count(1) FROM
+        |         (SELECT user_id FROM a EXCEPT SELECT user_id FROM b))
+        |         AS n_users,
+        |       TRUE AS approx_ok
+        |UNION ALL
+        |SELECT 'reach',
+        |       (SELECT count(1) FROM
+        |         (SELECT user_id FROM a UNION SELECT user_id FROM b)),
+        |       TRUE
+        |UNION ALL
+        |SELECT 'retained',
+        |       (SELECT count(1) FROM
+        |         (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)),
+        |       TRUE
+        |ORDER BY op""".stripMargin,
     // bounded oracle, quantile flavor: exact interpolated percentiles
     // (Spark percentile == DuckDB quantile_cont, the pinned
     // r_agg_percentile contract) + TRUE for the tolerance verdict
