@@ -65,6 +65,12 @@ object TierS {
       // micro-batch partials; scaled-integer accumulation makes the
       // merged state equal the one-shot batch aggregate exactly
       StreamOps.incrementalAggRun(s, d).orderBy("event_type")),
+    "x_stream_sketch" -> ((s, d) =>
+      // the sketch store maintained BY STREAMING: per-batch HLL
+      // partials union-merged into the persisted (day, type) store
+      // (generation swap); rollup from the maintained store must equal
+      // the one-shot batch rollup — shares x_sketch_rollup's oracle
+      StreamOps.sketchStoreMaintainRun(s, d).orderBy("event_type")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -106,6 +112,27 @@ object TierS {
     "x_incr_agg" ->
       s"""SELECT event_type, count(1) AS n, ${moneySumSql("value")} AS total
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // shared with x_sketch_rollup BY DESIGN: the streamed sketch-store
+    // maintenance must answer rollups exactly like the one-shot batch
+    // store build — exactly-once ingest + the HLL union monoid
+    "x_stream_sketch" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dt, event_type, user_id
+        |           FROM events)
+        |SELECT event_type,
+        |       count(DISTINCT dt) AS n_sketches,
+        |       count(1) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS approx_ok
+        |FROM e GROUP BY event_type
+        |UNION ALL
+        |SELECT '__all__' AS event_type,
+        |       count(DISTINCT concat(CAST(dt AS VARCHAR), '|', event_type))
+        |         AS n_sketches,
+        |       count(1) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       TRUE AS approx_ok
+        |FROM e
+        |ORDER BY event_type""".stripMargin,
     "x_stream_tumbling" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS w_start,
         |       event_type, count(1) AS n, ${moneySumSql("value")} AS total

@@ -468,6 +468,79 @@ object StreamOps {
         (col("total_e6").cast("double") / lit(1000000d)).as("total"))
   }
 
+  /** Streaming maintenance of the HLL sketch STORE
+    * ([[graft.operators.SketchStore]]): each micro-batch's
+    * per-(day, type) sketch partials are union-merged into the
+    * persisted store by the same write-new-generation-then-swap
+    * pattern as [[incrementalAggRun]] — the store's selling point made
+    * operational: distinct-count state stays KBs per group and updates
+    * per batch WITHOUT rescanning history, because HLL union is the
+    * merge. Returns the [[graft.queries.TierX]] `x_sketch_rollup`
+    * output shape computed FROM THE MAINTAINED STORE, so the two
+    * queries share one oracle by design: maintained-store rollup ≡
+    * one-shot batch rollup is exactly the exactly-once + monoid-merge
+    * contract. */
+  def sketchStoreMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SketchStore
+    val ev = graft.Tables(spark, sfDir, "events").select(
+      to_date(col("ts")).as("event_date"),
+      col("event_type"), col("user_id"))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_sketch_stream").toString
+    val (src, ckpt) = (s"$work/src", s"$work/ckpt")
+    ev.filter(col("user_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    ev.filter(col("user_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    val stateDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+    var gen = 0
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val partial = SketchStore.buildSketches(
+          batch, Seq("event_date", "event_type"), "user_id")
+        val merged = Option(stateDir.get()) match {
+          case None => partial
+          case Some(prev) =>
+            s.read.parquet(prev).unionByName(partial)
+              .groupBy("event_date", "event_type")
+              .agg(
+                hll_union_agg(col(SketchStore.SketchCol))
+                  .as(SketchStore.SketchCol),
+                sum(SketchStore.RowCountCol).as(SketchStore.RowCountCol))
+        }
+        gen += 1
+        val next = s"$work/state_$gen"
+        merged.write.mode("overwrite").parquet(next) // new generation…
+        stateDir.set(next) // …then the pointer flips
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val store = spark.read.parquet(stateDir.get())
+    val approx = SketchStore.rollup(store, Seq("event_type"))
+      .unionByName(
+        SketchStore.rollup(store, Nil)
+          .withColumn("event_type", lit("__all__")))
+    // exact side of the shared bounded oracle (see x_sketch_rollup)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"))
+      .unionByName(
+        ev.agg(countDistinct("user_id").as("n_users"))
+          .withColumn("event_type", lit("__all__")))
+    approx.join(exact, "event_type")
+      .select(
+        col("event_type"), col("n_sketches"),
+        col(SketchStore.RowCountCol).as("n_events"), col("n_users"),
+        (abs(col("approx_distinct") - col("n_users")).cast("double")
+          / col("n_users") <= 0.05).as("approx_ok"))
+  }
+
   /** Two-pass checkpointed ingest of the events table into a fresh
     * bronze dir: batch 0 (even event_ids) lands and drains via
     * AvailableNow; batch 1 (odd) lands; a RESTARTED pass with the same

@@ -68,4 +68,31 @@ class SketchStoreSpec extends SparkSpec {
     val tot = SketchStore.rollup(back, Nil).head()
     assert(tot.getAs[Long](SketchStore.RowCountCol) == events.count())
   }
+
+  test("streaming-maintained store == one-shot batch store") {
+    // the x_stream_sketch contract: per-batch HLL partials union-merged
+    // across micro-batches give the SAME register state as one pass, so
+    // the maintained store's rollup rows (estimates included) are
+    // identical to the batch store's — not merely within tolerance
+    val maintained = graft.streaming.StreamOps
+      .sketchStoreMaintainRun(spark, sf)
+      .collect().toSet
+    val batchStore = SketchStore.buildSketches(
+      events, Seq("event_date", "event_type"), "user_id")
+    val approx = SketchStore.rollup(batchStore, Seq("event_type"))
+      .unionByName(SketchStore.rollup(batchStore, Nil)
+        .withColumn("event_type", lit("__all__")))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"))
+      .unionByName(events.agg(countDistinct("user_id").as("n_users"))
+        .withColumn("event_type", lit("__all__")))
+    val batch = approx.join(exact, "event_type")
+      .select(
+        col("event_type"), col("n_sketches"),
+        col(SketchStore.RowCountCol).as("n_events"), col("n_users"),
+        (abs(col("approx_distinct") - col("n_users")).cast("double")
+          / col("n_users") <= 0.05).as("approx_ok"))
+      .collect().toSet
+    assert(maintained == batch)
+  }
 }
