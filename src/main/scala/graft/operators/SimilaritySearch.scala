@@ -1354,8 +1354,14 @@ object SimilaritySearch {
     mmrGreedy(cand, k)
   }
 
-  /** One greedy MMR pick. */
-  private case class MmrPick(
+  /** One greedy MMR pick. PUBLIC (not `private`) deliberately: Spark
+    * serializes the UDF's Seq[MmrPick] result through a codegen'd
+    * Invoke on each accessor, and scalac emits a `private` nested case
+    * class as JVM package-private — Janino's generated class (no
+    * package, separate loader) then fails resolution ("no applicable
+    * method ... rel_e6()") and every execution silently pays the
+    * interpreted-serializer fallback. */
+  case class MmrPick(
       sel_rank: Long, vec_id: Long, rel_e6: Long, score_e6: Long)
 
   /** The shared greedy MMR selection over a bounded candidate pool

@@ -132,7 +132,15 @@ object PlanDump {
     "x_sim_pq_adc" ->
       "ADC search: literal-LUT score projection over the persisted coded corpus, per-query window rank (bruteTopK's documented test-scale shape)",
     "x_cdc_upsert" ->
-      "MERGE round trip: hash-partitioned state table, newest-slice merge reads ONLY touched partitions (PartitionFilters) and rewrites them in place (SinkSpec pins untouched partitions file-identical); final read is the compacted current state")
+      "MERGE round trip: hash-partitioned state table, newest-slice merge reads ONLY touched partitions (PartitionFilters) and rewrites them in place (SinkSpec pins untouched partitions file-identical); final read is the compacted current state",
+    "r_join_interval" ->
+      "anchor-free overlap join: manufactured bin key (sequence explode inside the scan's codegen stage), shuffled equi-join on the bin with the true overlap + max-start-bin claim as residual — the naive form is a cartesian; this is a plain hash join",
+    "x_sketch_rollup" ->
+      "mergeable-sketch store: the rollup side aggregates the persisted KB-scale sketch table (hll_union_agg partial/final) — the base-events scan in this plan exists only to feed the bounded oracle's exact columns",
+    "x_quantile_rollup" ->
+      "quantile-sketch store: custom KLL TypedImperativeAggregates run partial/final over the persisted store; kll_quantile extraction is per rollup-output row — the exchange carries sketch bytes, never values",
+    "x_sketch_setops" ->
+      "theta set algebra: three union aggregates over the persisted day-grain sketch table in ONE pass (conditional halves + total), intersect/a-not-b/estimate as row-local scalar ops on the 1-row result")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
