@@ -475,7 +475,9 @@ object ScaleRehearsal {
     // span — replicas tile TIME, so interval density per unit time (and
     // with it per-row fan-out) is CONSTANT in corpus scale; the binned
     // join's output must grow linearly, an all-pairs plan quadratically
-    val intervals = layout(
+    // lazy: selective runs (SPARK_GRAFT_REHEARSAL_ONLY) that exclude
+    // these ops must not pay their synthesis/materialization
+    lazy val intervals = layout(
       graft.Tables(spark, sfDir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("ts").cast("long").as("s0"))
@@ -487,7 +489,24 @@ object ScaleRehearsal {
           (col("s0") + col("replica") * lit(31L * 24 * 3600)).as("s")))
       .withColumn("e", col("s") + lit(120L))
       .persist()
-    val nIv = intervals.count()
+    lazy val nIv = intervals.count()
+    // 100× events for the sketch-store build: same time tiling (users
+    // SHARED across replicas — the realistic "same audience, more
+    // days" shape), so the store grows to ~100× the day-grain groups
+    // while per-group distinct cardinality is constant
+    lazy val sketchEvents = layout(
+      graft.Tables(spark, sfDir, "events")
+        .select(col("ts").cast("long").as("s0"),
+          col("event_type"), col("user_id"))
+        .select(col("*"),
+          explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          to_date(from_unixtime(
+            col("s0") + col("replica") * lit(31L * 24 * 3600)))
+            .as("event_date"),
+          col("event_type"), col("user_id")))
+      .persist()
+    lazy val nSketchRows = sketchEvents.count()
     // staging + the skew audit below serve ONLY the ops that read the
     // staged pair table; a selective run (SPARK_GRAFT_REHEARSAL_ONLY)
     // that excludes them must not pay the multi-minute staging write
@@ -547,6 +566,12 @@ object ScaleRehearsal {
       // density ⇒ per-row pair fan-out must match sf0.1's (~0.93)
       "interval_join" -> (() => graft.operators.IntervalJoin
         .overlapPairs(intervals, "event_id", "s", "e", binWidth = 120L)),
+      // mergeable-sketch store build at 100× (10M events → ~15k
+      // day-grain sketches): ONE partial/final ObjectHashAggregate,
+      // exchange carries sketch bytes — linear by measurement; output
+      // rows = store groups, ~0.15% of input
+      "sketch_build" -> (() => graft.operators.SketchStore.buildSketches(
+        sketchEvents, Seq("event_date", "event_type"), "user_id")),
       "minhash_pairs" -> (() => minhashPairs()),
       // triangle census over the bounded-cluster similarity graph:
       // each source doc's K10 yields a CONSTANT 120 triangles, so the
@@ -642,15 +667,15 @@ object ScaleRehearsal {
         Some((0 to 2).forall(i => a.getLong(i) == b.getLong(i)))
       }
     val ccAudit = ccEqual.map(e => s""""cc_labels_equal":$e,""").getOrElse("")
-    val denom = Map("ppjoin" -> nDocs, "ppjoin_cand" -> nDocs,
-      "minhash_cand" -> nDocs, "embed_pairs" -> nVecs,
-      "embed_cluster" -> nVecs, "ngram_overlap" -> nDocs,
-      "contamination_minhash" -> nDocs, "contamination_embed" -> nVecs,
-      "ivf_refresh" -> nVecs, "interval_join" -> nIv,
-      "minhash_pairs" -> nDocs, "triangles" -> nDocs,
-      "cluster_hashmin" -> nDocs, "cluster_star" -> nDocs,
-      "incremental_exact" -> nDocs, "phash_pairs" -> nDocs,
-      "phash_pairs64" -> nDocs)
+    // a function, not a Map: the lazy denominators (nIv, nSketchRows)
+    // must only materialize for ops that actually ran
+    def denom(n: String): Long = n match {
+      case "embed_pairs" | "embed_cluster" | "contamination_embed"
+           | "ivf_refresh" => nVecs
+      case "interval_join" => nIv
+      case "sketch_build" => nSketchRows
+      case _ => nDocs
+    }
     val fanoutCap = 10.0
     val pairOps = Set("ppjoin", "ppjoin_cand", "minhash_cand",
       "embed_pairs", "ngram_overlap",
