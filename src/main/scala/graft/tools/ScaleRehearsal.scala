@@ -726,7 +726,13 @@ object ScaleRehearsal {
     * OOM. Run with SPARK_DRIVER_MEM=48g. */
   private def run1000x(spark: SparkSession, sfDir: String, parts: String): Unit = {
     import graft.operators.{Dedup, SimilaritySearch}
-    val docs = graft.Tables(spark, sfDir, "documents")
+    // lazy inputs + need-gated setup: a selective run must not pay the
+    // multi-minute synthesis of corpora its ops never read
+    def needs(names: Set[String]): Boolean =
+      onlyOps.forall(_.exists(names))
+    val docOps = Set("ppjoin", "minhash_pairs")
+    val vecOps = Set("embed_pairs", "embed_cluster")
+    lazy val docs = graft.Tables(spark, sfDir, "documents")
       .select(col("*"), explode(sequence(lit(0L), lit(999L))).as("replica"))
       .select(
         (col("doc_id") + col("replica") * lit(10000000L)).as("doc_id"),
@@ -737,14 +743,14 @@ object ScaleRehearsal {
         col("lang"), col("source"), col("n_chars"))
       .repartition(parts.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nDocs = docs.count()
+    lazy val nDocs = docs.count()
     // 1000× embeddings (2M × 64-dim): same bounded-cluster synthesis as
     // vecs100x one decade further — residue < 5 per 500-stripe keeps
     // the vector verbatim (10-member cosine-1 families, constant
     // C(10,2)=45 true pairs per source vec), every other replica is
     // re-randomized per component, so qualifying pairs per input row
     // must FALL 10× vs the 100× block (0.27 → ~0.045/row)
-    val vecs = graft.Tables(spark, sfDir, "embeddings")
+    lazy val vecs = graft.Tables(spark, sfDir, "embeddings")
       .select(col("*"), explode(sequence(lit(0L), lit(999L))).as("replica"))
       .select(
         (col("vec_id") + col("replica") * lit(10000000L)).as("vec_id"),
@@ -757,7 +763,22 @@ object ScaleRehearsal {
         col("label"))
       .repartition(parts.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nVecs = vecs.count()
+    lazy val nVecs = vecs.count()
+    // 1000× intervals (20M): the same time tiling as the 100× row one
+    // decade further — density per unit time constant, so per-row
+    // fan-out must stay at the sf0.1 value (~0.93) while output grows
+    // exactly linearly
+    lazy val intervals = graft.Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").cast("long").as("s0"))
+      .select(col("*"), explode(sequence(lit(0L), lit(999L))).as("replica"))
+      .select(
+        (col("event_id") + col("replica") * lit(1000000000L)).as("event_id"),
+        (col("s0") + col("replica") * lit(31L * 24 * 3600)).as("s"))
+      .withColumn("e", col("s") + lit(120L))
+      .repartition(parts.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    lazy val nIv = intervals.count()
     // sign-LSH band keys follow the documented bucket-occupancy rule
     // (~log2(corpus) bits): 2M vectors → 20-bit keys, 3 bands — the
     // knob the operator's scaladoc prescribes, NOT a new shape; mean
@@ -770,15 +791,19 @@ object ScaleRehearsal {
       "minhash_pairs" -> (() => Dedup.nearDupMinHash(docs, k = 3,
         numHashes = 32, bands = 8, threshold = 0.8).select("d1", "d2")),
       "embed_pairs" -> (() => embedPairs()),
-      "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())))
+      "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())),
+      "interval_join" -> (() => graft.operators.IntervalJoin
+        .overlapPairs(intervals, "event_id", "s", "e", binWidth = 120L)))
     val results = runOps(spark, selectOps(ops), () => {
-      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      docs.count()
-      vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-      vecs.count()
+      if (needs(docOps)) { docs.count(); () }
+      if (needs(vecOps)) { vecs.count(); () }
+      if (needs(Set("interval_join"))) { intervals.count(); () }
     })
-    val denom = Map("ppjoin" -> nDocs, "minhash_pairs" -> nDocs,
-      "embed_pairs" -> nVecs, "embed_cluster" -> nVecs)
+    def denom(n: String): Long = n match {
+      case "ppjoin" | "minhash_pairs" => nDocs
+      case "interval_join" => nIv
+      case _ => nVecs
+    }
     val fanoutCap = 10.0
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 || r.toDouble / denom(n) > fanoutCap
@@ -787,8 +812,10 @@ object ScaleRehearsal {
       val fo = math.round(r.toDouble / denom(n) * 1000) / 1000.0
       s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
+    val nDocsJson = if (needs(docOps)) nDocs.toString else "null"
+    val nVecsJson = if (needs(vecOps)) nVecs.toString else "null"
     val line =
-      s"""{"rehearsal":"1000x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
+      s"""{"rehearsal":"1000x","sf":"$sfDir","n_docs":$nDocsJson,"n_vecs":$nVecsJson,"partitions":$parts,"fanout_cap":$fanoutCap,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
     println(line)
     if (onlyOps.isEmpty) writeBlock("1000x", line)
     require(bad.isEmpty,
