@@ -36,7 +36,12 @@ class DeterminismSpec extends SparkSpec {
     "x_mmr_rerank",      // greedy integer argmax chain over joins/windows
     "x_mmr_serving",     // IVF+PQ pool + exact refine + greedy argmax
     "x_ann_recall_curve", // kmeans + PQ + per-probe grading aggregates
-    "x_quality_rrf")     // per-lang rank windows + integer fusion
+    "x_quality_rrf",     // per-lang rank windows + integer fusion
+    "r_join_interval",   // bin explode + equi-join + exactly-once claim
+    "x_sketch_rollup",   // HLL register merge across partition orders
+    "x_quantile_rollup", // KLL compaction across merge orders (verdict cols)
+    "x_sketch_setops",   // theta union/intersect across merge orders
+    "x_stream_sketch")   // streamed store maintenance vs shuffle conf
 
   sample.foreach { name =>
     test(s"$name is invariant to shuffle partitioning (2 vs 16)") {
