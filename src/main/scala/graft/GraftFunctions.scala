@@ -76,9 +76,16 @@ object GraftFunctions {
       }),
     GraftFn("kll_union_agg",
       classOf[graft.expressions.KllUnionAgg].getName, exprs => {
-        require(exprs.length == 1,
-          s"kll_union_agg requires exactly 1 binary argument, got ${exprs.length}")
-        graft.expressions.KllUnionAgg(exprs.head)
+        require(exprs.length == 1 || exprs.length == 2,
+          s"kll_union_agg requires (sketch[, k]) arguments, got ${exprs.length}")
+        // k must match the store's build k or the union silently
+        // degrades the rollup to k=200 accuracy (KLL adapts DOWNWARD)
+        val k = if (exprs.length < 2) 200 else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kll_union_agg k must be an integer literal, got $other")
+        }
+        graft.expressions.KllUnionAgg(exprs.head, k)
       }),
     GraftFn("kll_quantile",
       classOf[graft.expressions.KllQuantile].getName, exprs => {

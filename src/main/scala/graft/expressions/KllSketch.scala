@@ -94,15 +94,21 @@ case class KllSketchAgg(
 }
 
 /** Merge serialized KLL sketches (the store-rollup aggregate). The
-  * buffer starts empty at the k of the FIRST sketch merged in — KLL
-  * unions adapt downward, so mixed-k stores merge at the smallest k's
-  * accuracy, mirroring `hll_union_agg`'s lgK semantics. */
+  * union buffer is created at `k` (default 200, the build default):
+  * KLL merges adapt DOWNWARD to the smallest k involved, so a store
+  * built at a larger k must pass that k here or the rollup silently
+  * degrades to k=200 accuracy — the same caller obligation as
+  * `ThetaUnionAgg`'s lgK. Mixed-k stores merge at min(k, smallest
+  * stored k) by the library's contract. */
 case class KllUnionAgg(
     child: Expression,
+    k: Int = 200,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[KllDoublesSketch]
   with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"KLL k out of range: $k")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
@@ -113,7 +119,7 @@ case class KllUnionAgg(
   override def prettyName: String = "kll_union_agg"
 
   override def createAggregationBuffer(): KllDoublesSketch =
-    KllDoublesSketch.newHeapInstance()
+    KllDoublesSketch.newHeapInstance(k)
 
   override def update(
       buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {

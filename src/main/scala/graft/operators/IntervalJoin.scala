@@ -47,6 +47,17 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Floor division of a LONG column by a positive long width, in pure
+    * long arithmetic. `floor(c / w)` would route through a double
+    * divide and can misassign bins for |c| > 2^53 (the mantissa
+    * limit), breaking both overlap matching and the exactly-once bin
+    * claim; here `c - pmod(c, w)` is an exact multiple of w (pmod is
+    * non-negative), so the integral `div` truncation IS the floor.
+    * Remaining precondition: c > Long.MinValue + w (the subtraction
+    * would wrap at the very bottom of the long range). */
+  private def floorDiv(c: Column, w: Long): Column =
+    call_function("div", c - pmod(c, lit(w)), lit(w))
+
   private def explodeBins(
       df: DataFrame, s: String, e: String, w: Long): DataFrame =
     df
@@ -57,8 +68,8 @@ object IntervalJoin {
       .withColumn(
         "__bin",
         explode(sequence(
-          floor(col(s) / w).cast("long"),
-          floor((col(e) - 1) / w).cast("long"))))
+          floorDiv(col(s), w),
+          floorDiv(col(e) - 1, w))))
 
   /** All (left, right) pairs whose half-open intervals overlap.
     *
@@ -85,7 +96,7 @@ object IntervalJoin {
           s1 < e2 && s2 < e1 &&
           // claim the pair only in the bin holding the overlap's first
           // instant — exactly-once without a distinct
-          col("__bin") === floor(greatest(s1, s2) / binWidth).cast("long") &&
+          col("__bin") === floorDiv(greatest(s1, s2), binWidth) &&
           extraPred)
       .drop("__bin", "__rbin")
       .withColumn("overlap_start", greatest(s1, s2))

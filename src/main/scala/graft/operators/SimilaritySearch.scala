@@ -1416,33 +1416,24 @@ object SimilaritySearch {
           case _ => ()
         }
       }
-      val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+      var nSelected = 0
       val isSel = new Array[Boolean](math.max(n, 1))
+      // per-candidate running max-sim-to-selected, updated once per new
+      // selection: the greedy is O(n·k) instead of rescanning the
+      // selected set per candidate per step (O(n·k²)). MinValue means
+      // "nothing selected yet" → pure-relevance score at step 1.
+      val pen = Array.fill(math.max(n, 1))(Long.MinValue)
       val out = new scala.collection.mutable.ArrayBuffer[MmrPick](k)
       var step = 1
-      while (step <= k && selected.length < n) {
+      while (step <= k && nSelected < n) {
         var best = -1
         var bestScore = 0L
         var i = 0
         while (i < n) {
           if (!isSel(i)) {
             // step 1: pure relevance; later: rel − max sim to selected
-            var score = rels(i)
-            if (selected.nonEmpty) {
-              var pen = Long.MinValue
-              selected.foreach { s =>
-                val v = sim(i * n + s)
-                if (v > pen) pen = v
-              }
-              // a missing (candidate, selected) sim would leave pen at
-              // the sentinel and the subtraction would wrap — the pool
-              // is distinct by construction so every pair exists; fail
-              // loudly if that invariant is ever violated upstream
-              require(pen != Long.MinValue,
-                s"mmrGreedy: no pairwise sim for candidate ${ids(i)} " +
-                  "against the selected set (duplicate vec_id in pool?)")
-              score = rels(i) - pen
-            }
+            val score =
+              if (pen(i) == Long.MinValue) rels(i) else rels(i) - pen(i)
             if (best < 0 || score > bestScore ||
                 (score == bestScore && ids(i) < ids(best))) {
               best = i; bestScore = score
@@ -1450,8 +1441,23 @@ object SimilaritySearch {
           }
           i += 1
         }
-        selected += best
         isSel(best) = true
+        nSelected += 1
+        var j = 0
+        while (j < n) {
+          if (!isSel(j)) {
+            val v = sim(j * n + best)
+            // a missing (candidate, selected) sim would leave the
+            // penalty at the sentinel and the subtraction would wrap —
+            // the pool is distinct by construction so every pair
+            // exists; fail loudly if that invariant is ever violated
+            require(v != Long.MinValue,
+              s"mmrGreedy: no pairwise sim for candidate ${ids(j)} " +
+                "against the selected set (duplicate vec_id in pool?)")
+            if (v > pen(j)) pen(j) = v
+          }
+          j += 1
+        }
         out += MmrPick(step.toLong, ids(best), rels(best), bestScore)
         step += 1
       }

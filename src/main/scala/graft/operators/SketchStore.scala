@@ -118,10 +118,13 @@ object SketchStore {
     ColumnBridge.column(
       KllSketchAgg(ColumnBridge.expression(value), k).toAggregateExpression())
 
-  /** `kll_union_agg(sketch)` as a Column — merge stored sketches. */
-  def kllUnionAgg(sketch: Column): Column =
+  /** `kll_union_agg(sketch[, k])` as a Column — merge stored sketches.
+    * Pass the store's build k: KLL unions adapt DOWNWARD, so a default
+    * k=200 buffer would silently cap a higher-k store's accuracy. */
+  def kllUnionAgg(sketch: Column, k: Int = 200): Column =
     ColumnBridge.column(
-      KllUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+      KllUnionAgg(ColumnBridge.expression(sketch), k)
+        .toAggregateExpression())
 
   /** `kll_quantile(sketch, rank)` as a Column. */
   def kllQuantile(sketch: Column, rank: Double): Column =

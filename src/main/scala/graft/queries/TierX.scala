@@ -802,8 +802,12 @@ object TierX {
       // half-split cutoff: a 1-row driver scalar (the x_cdc_upsert
       // maxTs pattern) — the store's day grain makes it a partition
       // predicate on the sketch table, never a base rescan
-      val minDate = store.agg(min(col("event_date"))).head().getDate(0)
-      val cut = java.sql.Date.valueOf(minDate.toLocalDate.plusDays(15))
+      val minRow = store.agg(min(col("event_date"))).head()
+      require(!minRow.isNullAt(0),
+        "x_sketch_setops: sketch store has no purchase rows — " +
+          "cannot place the half-split cutoff")
+      val cut = java.sql.Date.valueOf(
+        minRow.getDate(0).toLocalDate.plusDays(15))
       val est = store
         .agg(
           SketchStore.thetaUnionAgg(

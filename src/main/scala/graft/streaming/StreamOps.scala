@@ -24,6 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** Recursively delete a throwaway work directory (source copies,
+    * checkpoint, state generations). The maintenance runs materialize
+    * their tiny verdict result on the driver first, so nothing lazy
+    * still points at the deleted files. */
+  private def deleteWorkDir(path: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** Pin a lazily-built TINY result (a few verdict/aggregate rows) as
+    * a driver-local relation so the temp dirs backing it can be
+    * deleted. The collect is bounded by construction — one row per
+    * group key, KBs total. */
+  private def pinTinyResult(df: DataFrame): DataFrame = {
+    val rows = df.collect().toIndexedSeq
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      df.schema)
+  }
+
   private def fmt(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
@@ -463,9 +489,13 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(stateDir.get())
+    val out = spark.read.parquet(stateDir.get())
       .select(col("event_type"), col("n"),
         (col("total_e6").cast("double") / lit(1000000d)).as("total"))
+    // one row per event_type — pin, then reclaim the work dir (same
+    // throwaway-generation lifecycle as sketchStoreMaintainRun)
+    try pinTinyResult(out)
+    finally deleteWorkDir(work)
   }
 
   /** Streaming maintenance of the HLL sketch STORE
@@ -533,12 +563,17 @@ object StreamOps {
       .unionByName(
         ev.agg(countDistinct("user_id").as("n_users"))
           .withColumn("event_type", lit("__all__")))
-    approx.join(exact, "event_type")
+    val out = approx.join(exact, "event_type")
       .select(
         col("event_type"), col("n_sketches"),
         col(SketchStore.RowCountCol).as("n_events"), col("n_users"),
         (abs(col("approx_distinct") - col("n_users")).cast("double")
           / col("n_users") <= 0.05).as("approx_ok"))
+    // one verdict row per event_type — pin it, then reclaim the source
+    // copies + checkpoint + state generations (repeat runs were
+    // accumulating parquet copies of the events table in the tmpdir)
+    try pinTinyResult(out)
+    finally deleteWorkDir(work)
   }
 
   /** Two-pass checkpointed ingest of the events table into a fresh

@@ -39,7 +39,14 @@ class DeterminismSpec extends SparkSpec {
     "x_quality_rrf",     // per-lang rank windows + integer fusion
     "r_join_interval",   // bin explode + equi-join + exactly-once claim
     "x_sketch_rollup",   // HLL register merge across partition orders
-    "x_quantile_rollup", // KLL compaction across merge orders (verdict cols)
+    // KLL compaction across merge orders. NOTE: datasketches KLL
+    // compaction draws from a shared non-seeded Random once a group
+    // exceeds k=200 values, so the merged-sketch ESTIMATE is not
+    // structurally deterministic — this invariance holds because the
+    // query's approx_ok verdict uses a ±5% rank margin that dwarfs
+    // the ~1.65% k=200 error bound (margin-dependent, by design;
+    // a near-boundary dataset could flake where this one cannot)
+    "x_quantile_rollup",
     "x_sketch_setops",   // theta union/intersect across merge orders
     "x_stream_sketch")   // streamed store maintenance vs shuffle conf
 

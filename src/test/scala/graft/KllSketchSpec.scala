@@ -35,6 +35,23 @@ class KllSketchSpec extends SparkSpec {
     assert(direct == 50.0)
   }
 
+  test("union at the store's k preserves accuracy above the 200 default") {
+    // n = 1000 > k on both sides, so the sketch is in the estimating
+    // regime; a k=400 store union-merged at k=400 must keep a k=400
+    // buffer (KLL adapts DOWNWARD — a default k=200 union buffer
+    // would silently cap the rollup at k=200 accuracy)
+    val df = (1 to 1000).map(i => (i % 4, i.toDouble)).toDF("part", "v")
+    val mergedBytes = df.groupBy("part")
+      .agg(SketchStore.kllSketchAgg(col("v"), 400).as("sk"))
+      .agg(SketchStore.kllUnionAgg(col("sk"), 400).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val merged = org.apache.datasketches.kll.KllDoublesSketch.wrap(
+      org.apache.datasketches.memory.Memory.wrap(mergedBytes))
+    assert(merged.getK == 400,
+      s"union buffer degraded the store k: got ${merged.getK}")
+    assert(merged.getN == 1000)
+  }
+
   test("merged day sketches land within exact rank ± 5% on real data") {
     val ev = Tables(spark, sf, "events").select(
       to_date(col("ts")).as("event_date"),
