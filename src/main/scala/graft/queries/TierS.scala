@@ -71,6 +71,12 @@ object TierS {
       // (generation swap); rollup from the maintained store must equal
       // the one-shot batch rollup — shares x_sketch_rollup's oracle
       StreamOps.sketchStoreMaintainRun(s, d).orderBy("event_type")),
+    "x_stream_decontam" -> ((s, d) =>
+      // decontamination AT INGEST: each train micro-batch is gated
+      // against the frozen eval MinHash index before landing; the
+      // per-doc landed verdict must equal batch-mode decontamination
+      // over the full corpus (x_contamination's chain, same params)
+      StreamOps.streamDecontamRun(s, d).orderBy("doc_id")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -107,6 +113,21 @@ object TierS {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+    // batch-mode decontamination over the FULL corpus (the
+    // x_contamination chain, shared CTE BY DESIGN): the streaming
+    // gate's per-batch hits against the frozen eval index must union
+    // to exactly this set — banding is per-document independent and
+    // the index is frozen, so landed = train minus batch-mode hits
+    "x_stream_decontam" ->
+      s"""WITH ${TierX.crossContamCte},
+        |hits AS (SELECT DISTINCT d1 FROM jx
+        |         WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8)
+        |SELECT d.doc_id, d.lang, (h.d1 IS NULL) AS landed
+        |FROM documents d
+        |JOIN sp ON d.doc_id = sp.doc_id
+        |LEFT JOIN hits h ON d.doc_id = h.d1
+        |WHERE sp.is_train
+        |ORDER BY d.doc_id""".stripMargin,
     // the one-shot batch aggregate: the maintained partial-merge state
     // must equal it bit-for-bit (scaled-integer totals are order-free)
     "x_incr_agg" ->

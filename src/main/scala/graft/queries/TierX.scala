@@ -1096,6 +1096,37 @@ object TierX {
       |       JOIN sh sa ON cand.d1 = sa.doc_id
       |       JOIN sh sb ON cand.d2 = sb.doc_id)""".stripMargin
   private val minhashPairsCte = minhashPairsCteFrom("documents")
+  /** Cross-corpus (train vs held-out) MinHash contamination chain —
+    * the x_contamination oracle's WITH body, shared with the streaming
+    * gate's oracle (`x_stream_decontam` in [[TierS]]: the per-batch
+    * gate against the frozen eval index must drop exactly these hits).
+    * Ends with `sp(doc_id, is_train)` and
+    * `jx(d1 train, d2 held-out, inter, la, lb)`. */
+  private[queries] val crossContamCte: String =
+    s"""$shinglesCte,
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
+      |              ${hash32("'1:' || s")} AS h2 FROM ex),
+      |hx AS (SELECT doc_id, j,
+      |         min((h1 + j * h2) % 4294967296) AS mh
+      |       FROM hw, range(16) t(j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
+      |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
+      |          FROM hx GROUP BY doc_id, j // 4),
+      |sp AS (SELECT doc_id,
+      |         ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_train
+      |       FROM documents),
+      |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |         FROM bands a JOIN sp sa ON a.doc_id = sa.doc_id
+      |              JOIN bands b ON a.band = b.band AND a.key = b.key
+      |              JOIN sp sb ON b.doc_id = sb.doc_id
+      |         WHERE sa.is_train AND NOT sb.is_train),
+      |jx AS (SELECT d1, d2,
+      |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+      |         len(sa.shingles) AS la, len(sb.shingles) AS lb
+      |       FROM cand
+      |       JOIN sh sa ON cand.d1 = sa.doc_id
+      |       JOIN sh sb ON cand.d2 = sb.doc_id)""".stripMargin
 
   private val dotSql = (a: String, b: String) =>
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
@@ -1849,30 +1880,7 @@ object TierX {
     // probabilistic, so the oracle must re-derive the same candidates,
     // as x_dedup_minhash does), then exact Jaccard
     "x_contamination" ->
-      s"""WITH $shinglesCte,
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |hw AS (SELECT doc_id, ${hash32("s")} AS h1,
-        |              ${hash32("'1:' || s")} AS h2 FROM ex),
-        |hx AS (SELECT doc_id, j,
-        |         min((h1 + j * h2) % 4294967296) AS mh
-        |       FROM hw, range(16) t(j) GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, CAST(j // 4 AS INT) AS band,
-        |            string_agg(CAST(mh AS VARCHAR), '_' ORDER BY j) AS key
-        |          FROM hx GROUP BY doc_id, j // 4),
-        |sp AS (SELECT doc_id,
-        |         ${hash32("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80 AS is_train
-        |       FROM documents),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM bands a JOIN sp sa ON a.doc_id = sa.doc_id
-        |              JOIN bands b ON a.band = b.band AND a.key = b.key
-        |              JOIN sp sb ON b.doc_id = sb.doc_id
-        |         WHERE sa.is_train AND NOT sb.is_train),
-        |jx AS (SELECT d1, d2,
-        |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
-        |         len(sa.shingles) AS la, len(sb.shingles) AS lb
-        |       FROM cand
-        |       JOIN sh sa ON cand.d1 = sa.doc_id
-        |       JOIN sh sb ON cand.d2 = sb.doc_id)
+      s"""WITH $crossContamCte
         |SELECT d1, d2, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jac
         |FROM jx
         |WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8

@@ -576,6 +576,87 @@ object StreamOps {
     finally deleteWorkDir(work)
   }
 
+  /** Decontamination AT INGEST: each training micro-batch is checked
+    * against a FROZEN benchmark/eval MinHash index BEFORE landing —
+    * the gate every production pretraining pipeline runs between the
+    * crawl and the corpus. Composition of the two serving-side
+    * primitives this engine already proves separately:
+    * [[ingestAvailableNow]]-style checkpointed exactly-once landing
+    * (idempotent batchId-named segments) and
+    * [[graft.operators.Dedup.crossDupAgainstIndex]] (per-batch banded
+    * probe of a frozen index — never a rescan of history, never
+    * |batch| × |eval|).
+    *
+    * The eval split's (shingles, banded) index is built ONCE and
+    * written to parquet before any train data flows; each micro-batch
+    * reads it back (at 100 TB it lives on shared storage), drops its
+    * contaminated docs, and lands the survivors. The returned verdict —
+    * every train doc with its landed flag — must equal batch-mode
+    * decontamination over the full corpus (`x_contamination`'s chain
+    * with the same k/threshold/bands), because banding is
+    * per-document independent and the index is frozen: the union of
+    * per-batch hits IS the batch result. Same proof pattern as
+    * `x_ingest_scd` / `x_sim_ivf_refresh`.
+    *
+    * The final collect is bounded by |documents| (the corpus roster,
+    * not its payload) and exists only to pin the verdict before the
+    * throwaway work dir is reclaimed. */
+  def streamDecontamRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{Curation, Dedup}
+    val dd = graft.Tables(spark, sfDir, "documents")
+    val sides = dd.join(
+      Curation.hashSplit(dd, trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("split")), "doc_id")
+    val train = sides.filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val eval = sides.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("text"))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_decontam").toString
+    val (src, bronze, ckpt) = (s"$work/src", s"$work/bronze", s"$work/ckpt")
+    val (idxSh, idxBands) = (s"$work/eval_sh", s"$work/eval_bands")
+    // freeze the eval index BEFORE any train data flows
+    val (sh, bands) = Dedup.contaminationIndex(eval)
+    sh.write.mode("overwrite").parquet(idxSh)
+    bands.write.mode("overwrite").parquet(idxBands)
+    // the train corpus arrives as two files → two micro-batches
+    train.filter(col("doc_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    train.filter(col("doc_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val hits = Dedup.crossDupAgainstIndex(
+            batch, s.read.parquet(idxSh), s.read.parquet(idxBands))
+          .select(col("d1").as("doc_id")).distinct()
+        batch.join(hits, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          // batchId-named segment: a replayed batch overwrites ITS OWN
+          // segment, so the landing is idempotent without a merge
+          .write.mode("overwrite").parquet(s"$bronze/batch_$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // recursive lookup over the batchId-named segments (a glob would
+    // trip FileStreamSink's noisy metadata probe on the parent)
+    val landed = spark.read
+      .option("recursiveFileLookup", "true").parquet(bronze)
+      .select(col("doc_id"), lit(true).as("landed"))
+    val out = train.select(col("doc_id"), col("lang"))
+      .join(landed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("landed"), lit(false)).as("landed"))
+    try pinTinyResult(out)
+    finally deleteWorkDir(work)
+  }
+
   /** Two-pass checkpointed ingest of the events table into a fresh
     * bronze dir: batch 0 (even event_ids) lands and drains via
     * AvailableNow; batch 1 (odd) lands; a RESTARTED pass with the same

@@ -443,6 +443,53 @@ class StreamingSpec extends SparkSpec {
       "maintained state diverges from the batch aggregate")
   }
 
+  test("decontamination gate: per-batch hits against the frozen index union to the batch-mode result") {
+    // the property the x_stream_decontam oracle equality rides on:
+    // banding is per-document independent and the eval index is
+    // frozen, so gating the train corpus in ANY micro-batch split
+    // yields exactly the whole-corpus cross-dup hits
+    import graft.operators.{Curation, Dedup}
+    val dd = Tables(spark, sf, "documents")
+    val sides = dd.join(
+      Curation.hashSplit(dd, trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("split")), "doc_id")
+    val train = sides.filter(col("split") === "train")
+    val eval = sides.filter(col("split") =!= "train")
+    val whole = Dedup.crossDupMinHash(train, eval).collect().toSet
+    val (idxSh, idxBands) = Dedup.contaminationIndex(eval)
+    val perBatch = Seq(
+        train.filter(col("doc_id") % 2 === 0),
+        train.filter(col("doc_id") % 2 =!= 0))
+      .flatMap(b =>
+        Dedup.crossDupAgainstIndex(b, idxSh, idxBands).collect())
+      .toSet
+    assert(perBatch == whole,
+      "per-batch gate hits diverge from whole-corpus contamination")
+  }
+
+  test("streaming decontamination: landed roster equals batch decontamination") {
+    import graft.operators.{Curation, Dedup}
+    val got = StreamOps.streamDecontamRun(spark, sf)
+    val dd = Tables(spark, sf, "documents")
+    val sides = dd.join(
+      Curation.hashSplit(dd, trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("split")), "doc_id")
+    val train = sides.filter(col("split") === "train")
+    val hits = Dedup.crossDupMinHash(
+        train, sides.filter(col("split") =!= "train"))
+      .select(col("d1").as("doc_id")).distinct()
+    val want = train.select(col("doc_id"), col("lang"))
+      .join(hits.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        (!coalesce(col("hit"), lit(false))).as("landed"))
+    assert(got.count() == train.count(), "gate changed the train roster")
+    assert(got.filter(!col("landed")).count() > 0,
+      "no contaminated docs at this SF — the gate is unexercised")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "streamed landing diverges from batch decontamination")
+  }
+
   test("streaming upsert: micro-batch merges equal the full-log batch replay") {
     // x_stream_upsert streams the newest slice as two micro-batches
     // (maxFilesPerTrigger=1 over two files) of foreachBatch MERGEs;
