@@ -497,14 +497,14 @@ object ScaleRehearsal {
     lazy val sketchEvents = layout(
       graft.Tables(spark, sfDir, "events")
         .select(col("ts").cast("long").as("s0"),
-          col("event_type"), col("user_id"))
+          col("event_type"), col("user_id"), col("value"))
         .select(col("*"),
           explode(sequence(lit(0L), lit(99L))).as("replica"))
         .select(
           to_date(from_unixtime(
             col("s0") + col("replica") * lit(31L * 24 * 3600)))
             .as("event_date"),
-          col("event_type"), col("user_id")))
+          col("event_type"), col("user_id"), col("value")))
       .persist()
     lazy val nSketchRows = sketchEvents.count()
     // staging + the skew audit below serve ONLY the ops that read the
@@ -521,6 +521,22 @@ object ScaleRehearsal {
     }
     def stagedPairs() = spark.read.parquet(pairsDir.toString)
       .select(col("d1"), col("d2"))
+    // frozen decontamination index (the serving artifact the per-batch
+    // gate probes): built from the eval half ONCE and round-tripped
+    // through parquet, outside the decontam_gate timing — selective
+    // runs that exclude the gate must not pay the index build
+    val gateDir = java.nio.file.Files
+      .createTempDirectory("graft_gate_idx")
+    val needGate = onlyOps.forall(_.contains("decontam_gate"))
+    if (needGate) {
+      val (gSh, gBands) =
+        Dedup.contaminationIndex(corpusB, k = 3, numHashes = 32, bands = 8)
+      gSh.write.mode("overwrite").parquet(s"$gateDir/sh")
+      gBands.write.mode("overwrite").parquet(s"$gateDir/bands")
+      spark.catalog.clearCache()
+    }
+    def stagedGateSh() = spark.read.parquet(s"$gateDir/sh")
+    def stagedGateBands() = spark.read.parquet(s"$gateDir/bands")
     // the two CC formulations keep a handle on their constructed frames:
     // both loops end in a Lineage.truncate fixpoint, so the post-run
     // equality audit reads the already-materialized labels instead of
@@ -572,6 +588,26 @@ object ScaleRehearsal {
       // rows = store groups, ~0.15% of input
       "sketch_build" -> (() => graft.operators.SketchStore.buildSketches(
         sketchEvents, Seq("event_date", "event_type"), "user_id")),
+      // the KLL and theta halves of the store at the SAME 10M-event
+      // synthesis: asserted shape-identical to the HLL build (one
+      // partial/final TypedImperativeAggregate, sketch bytes on the
+      // exchange) — these rows replace that assertion with measurement
+      "sketch_build_kll" -> (() => graft.operators.SketchStore
+        .buildQuantileSketches(
+          sketchEvents, Seq("event_date", "event_type"), "value")),
+      "sketch_build_theta" -> (() => graft.operators.SketchStore
+        .buildThetaSketches(
+          sketchEvents, Seq("event_date", "event_type"), "user_id")),
+      // the per-micro-batch decontamination gate (x_stream_decontam's
+      // inner loop) at 100×: the frozen eval index is STAGED to parquet
+      // outside the timing (built once per benchmark refresh, not per
+      // batch), so the row measures exactly what one ingested batch
+      // pays — index read + banded cross-probe + exact verify. Compare
+      // against contamination_minhash (same halves, index built
+      // inline): the delta is the amortizable index-build cost.
+      "decontam_gate" -> (() => Dedup.crossDupAgainstIndex(
+        corpusA, stagedGateSh(), stagedGateBands(),
+        k = 3, threshold = 0.8, numHashes = 32, bands = 8)),
       "minhash_pairs" -> (() => minhashPairs()),
       // triangle census over the bounded-cluster similarity graph:
       // each source doc's K10 yields a CONSTANT 120 triangles, so the
@@ -673,14 +709,15 @@ object ScaleRehearsal {
       case "embed_pairs" | "embed_cluster" | "contamination_embed"
            | "ivf_refresh" => nVecs
       case "interval_join" => nIv
-      case "sketch_build" => nSketchRows
+      case "sketch_build" | "sketch_build_kll"
+           | "sketch_build_theta" => nSketchRows
       case _ => nDocs
     }
     val fanoutCap = 10.0
     val pairOps = Set("ppjoin", "ppjoin_cand", "minhash_cand",
       "embed_pairs", "ngram_overlap",
       "contamination_minhash", "contamination_embed", "ivf_refresh",
-      "interval_join",
+      "interval_join", "decontam_gate",
       "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64")
     val bad = results.filter { case (n, _, r, c, b) =>
       c > 0 || b > 0 ||
@@ -699,9 +736,11 @@ object ScaleRehearsal {
     // rehearsals don't accumulate multi-GB temp trees
     locally {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(pairsDir))
-        java.nio.file.Files.walk(pairsDir).iterator().asScala.toSeq
-          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      Seq(pairsDir, gateDir).foreach { d =>
+        if (java.nio.file.Files.exists(d))
+          java.nio.file.Files.walk(d).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     require(bad.isEmpty,
       s"plan/fan-out guard violated at 100x scale: ${bad.map(_._1).mkString(", ")}")
@@ -1011,6 +1050,64 @@ object ScaleRehearsal {
     val uSec = (System.nanoTime() - tU) / 1e9
     val uRows = ChangeCapture.readCurrentState(spark, statePath, "op").count()
 
+    // 4) foreachBatch sketch-store maintenance (x_stream_sketch's
+    // shape at 10×): each stripe's per-(day, type) HLL partials are
+    // union-merged into the persisted store by generation swap.
+    // "State" here is the store itself — the guard proves it is
+    // bounded by |groups| (rows) and KBs/group (bytes), never by
+    // |events|: the HLL union monoid absorbs every stripe into
+    // fixed-size registers, which is the store's 100 TB contract.
+    import graft.operators.SketchStore
+    val sketchState =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+    var sGen = 0
+    val tS = System.nanoTime()
+    val sq = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val partial = SketchStore.buildSketches(
+          batch.select(to_date(col("ts")).as("event_date"),
+            col("event_type"), col("user_id")),
+          Seq("event_date", "event_type"), "user_id")
+        val merged = Option(sketchState.get()) match {
+          case None => partial
+          case Some(prev) =>
+            s.read.parquet(prev).unionByName(partial)
+              .groupBy("event_date", "event_type")
+              .agg(
+                hll_union_agg(col(SketchStore.SketchCol))
+                  .as(SketchStore.SketchCol),
+                sum(SketchStore.RowCountCol).as(SketchStore.RowCountCol))
+        }
+        sGen += 1
+        val next = s"$work/sketch_state_$sGen"
+        merged.write.mode("overwrite").parquet(next)
+        sketchState.set(next)
+      }
+      .option("checkpointLocation", s"$work/ckpt_sketch")
+      // default microbatch trigger: one union-merge PER STRIPE (see
+      // the upsert block's AvailableNow note)
+      .start()
+    try sq.processAllAvailable() finally sq.stop()
+    val sSec = (System.nanoTime() - tS) / 1e9
+    val sketchStore = spark.read.parquet(sketchState.get())
+    val sRows = sketchStore.count()
+    val sEvents = sketchStore
+      .agg(sum(SketchStore.RowCountCol)).head().getLong(0)
+    val nGroups = ev10
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .distinct().count()
+    val sBytes = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files
+        .walk(java.nio.file.Paths.get(sketchState.get()))
+        .iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+    }
+
     // contracts
     val checks = Seq(
       ("join_evicts", j.removed > 0L),
@@ -1019,14 +1116,22 @@ object ScaleRehearsal {
       ("hwm_key_bounded", h.fin == nUsers && h.peak <= nUsers),
       ("hwm_on_rocksdb", h.rocksBytes > 0L),
       ("timer_sessions_evict", ts.removed > 0L || ts.fin < ts.peak),
-      ("upsert_key_bounded", uRows <= nUsers))
+      ("upsert_key_bounded", uRows <= nUsers),
+      // store rows = exactly the (day, type) group count (never
+      // |events|), the audit row-count must cover every event exactly
+      // once (exactly-once merge), and the on-disk footprint must stay
+      // KBs/group (HLL registers, not raw values, on the store)
+      ("sketch_store_group_bounded",
+        sRows == nGroups && sEvents == nRows &&
+          sBytes < nGroups * 20000L))
     val bad = checks.filterNot(_._2).map(_._1)
     val qs = Seq(
       s""""stream_join":{"sec":${math.round(j.secs * 100) / 100.0},"batches":${j.batches},"state_peak":${j.peak},"state_final":${j.fin},"state_removed":${j.removed}}""",
       s""""stream_state":{"sec":${math.round(st.secs * 100) / 100.0},"state_peak":${st.peak},"state_final":${st.fin},"n_keys":$nUsers}""",
       s""""stream_hwm":{"sec":${math.round(h.secs * 100) / 100.0},"state_peak":${h.peak},"state_final":${h.fin},"rocksdb_bytes":${h.rocksBytes},"n_keys":$nUsers}""",
       s""""stream_timer_sessions":{"sec":${math.round(ts.secs * 100) / 100.0},"state_peak":${ts.peak},"state_final":${ts.fin},"state_removed":${ts.removed},"rocksdb_bytes":${ts.rocksBytes}}""",
-      s""""stream_upsert":{"sec":${math.round(uSec * 100) / 100.0},"state_rows":$uRows,"n_keys":$nUsers}""")
+      s""""stream_upsert":{"sec":${math.round(uSec * 100) / 100.0},"state_rows":$uRows,"n_keys":$nUsers}""",
+      s""""stream_sketch":{"sec":${math.round(sSec * 100) / 100.0},"state_rows":$sRows,"n_groups":$nGroups,"n_events_merged":$sEvents,"state_bytes":$sBytes,"batches":$sGen}""")
       .mkString("{", ",", "}")
     val line =
       s"""{"rehearsal":"stream10x","sf":"$sfDir","n_events":$nRows,"n_users":$nUsers,"stripes":$nStripes,"partitions":32,"ops":$qs,"state_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
