@@ -129,6 +129,33 @@ object GraftFunctions {
         require(exprs.length == 1,
           s"theta_estimate requires exactly 1 binary argument, got ${exprs.length}")
         graft.expressions.ThetaEstimate(exprs.head)
+      }),
+    // Frequent-items (Misra-Gries) heavy hitters
+    // (expressions/FreqSketch.scala): the fourth sketch-store half
+    GraftFn("freq_sketch_agg",
+      classOf[graft.expressions.FreqSketchAgg].getName, exprs => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"freq_sketch_agg requires (item[, maxMapSize]) arguments, " +
+            s"got ${exprs.length}")
+        val m = if (exprs.length < 2) 256 else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch_agg maxMapSize must be an integer literal, got $other")
+        }
+        graft.expressions.FreqSketchAgg(exprs.head, m)
+      }),
+    GraftFn("freq_union_agg",
+      classOf[graft.expressions.FreqUnionAgg].getName, exprs => {
+        require(exprs.length == 1,
+          s"freq_union_agg requires exactly 1 binary argument, got ${exprs.length}")
+        graft.expressions.FreqUnionAgg(exprs.head)
+      }),
+    GraftFn("freq_top_items",
+      classOf[graft.expressions.FreqTopItems].getName, exprs => {
+        require(exprs.length == 2,
+          s"freq_top_items requires (sketch, threshold) arguments, " +
+            s"got ${exprs.length}")
+        graft.expressions.FreqTopItems(exprs(0), exprs(1))
       }))
 
   /** Register all graft SQL functions as session temp functions. */

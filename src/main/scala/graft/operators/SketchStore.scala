@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.{KllQuantile, KllSketchAgg, KllUnionAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaUnionAgg}
+import graft.expressions.{FreqSketchAgg, FreqTopItems, FreqUnionAgg, KllQuantile, KllSketchAgg, KllUnionAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaUnionAgg}
 
 /** Mergeable-sketch store: persist per-partition HLL sketches at
   * ingest time, answer distinct-count rollups later by merging the
@@ -53,6 +53,7 @@ object SketchStore {
   val SketchCol = "sketch"
   val QSketchCol = "qsketch"
   val TSketchCol = "tsketch"
+  val FSketchCol = "fsketch"
   val RowCountCol = "n_rows"
 
   /** One HLL sketch of `valueCol`'s distinct values per `keyCols`
@@ -214,6 +215,49 @@ object SketchStore {
     df.groupBy(keyCols.map(col): _*)
       .agg(
         thetaSketchAgg(col(valueCol), lgK).as(TSketchCol),
+        count(lit(1)).as(RowCountCol))
+  }
+
+  // ---- heavy-hitters half (Misra-Gries; expressions/FreqSketch.scala)
+
+  /** `freq_sketch_agg(item, maxMapSize)` as a Column (native
+    * TypedImperativeAggregate — partial/final, sketch bytes on the
+    * exchange). */
+  def freqSketchAgg(item: Column, maxMapSize: Int = 256): Column =
+    ColumnBridge.column(
+      FreqSketchAgg(ColumnBridge.expression(item), maxMapSize)
+        .toAggregateExpression())
+
+  /** `freq_union_agg(sketch)` as a Column — merge stored sketches
+    * (error budgets add; the buffer size only floors accuracy). */
+  def freqUnionAgg(sketch: Column): Column =
+    ColumnBridge.column(
+      FreqUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** `freq_top_items(sketch, threshold)` as a Column —
+    * array<struct<item, est, lb, ub>> of every item whose true count
+    * may exceed `threshold` (no false negatives). */
+  def freqTopItems(sketch: Column, threshold: Column): Column =
+    ColumnBridge.column(FreqTopItems(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(threshold)))
+
+  /** One frequent-items sketch of `valueCol` per `keyCols` group — the
+    * heavy-hitters analog of [[buildSketches]]; same store layout
+    * contract, `fsketch` binary column. Unlike the other three halves
+    * the sketched statistic is WEIGHTED occurrence (every row counts),
+    * not distinct presence, so `n_rows` doubles as the exact stream
+    * length each sketch summarized — rollups derive support thresholds
+    * (e.g. "count > 2% of the stream") from the store alone. */
+  def buildFreqSketches(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      maxMapSize: Int = 256): DataFrame = {
+    require(keyCols.nonEmpty,
+      "buildFreqSketches needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        freqSketchAgg(col(valueCol), maxMapSize).as(FSketchCol),
         count(lit(1)).as(RowCountCol))
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, coalesce, col, concat, concat_ws, count, countDistinct, expr, greatest, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
+import org.apache.spark.sql.functions.{abs, coalesce, col, concat, concat_ws, count, countDistinct, explode, expr, floor, greatest, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -881,6 +881,42 @@ object TierX {
             col("q_95").between(col("q")(3), col("q")(5)))
             .as("approx_ok"))
         .orderBy("event_type")
+    }),
+    "x_freq_rollup" -> ((s, d) => {
+      // the HEAVY-HITTERS half of the sketch store (custom Misra-Gries
+      // TypedImperativeAggregates — expressions/FreqSketch.scala): per
+      // LANGUAGE frequent-token sketches persisted; the corpus-wide
+      // "tokens above 2% support" question is answered by union-merging
+      // the 5 stored sketches and reading NO_FALSE_NEGATIVES items —
+      // per-group top-k never merges into global top-k, which is
+      // exactly why the candidate set travels WITH the counters. The
+      // support threshold derives from the store's own n_rows (exact
+      // stream lengths decompose); the base scan below feeds only the
+      // bounded oracle's exact counts.
+      import graft.operators.SketchStore
+      val tok = Tables(s, d, "documents").select(
+        col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
+        s"fstore_${java.lang.Integer.toHexString(d.hashCode)}"
+      SketchStore.writeStore(
+        SketchStore.buildFreqSketches(tok, Seq("lang"), "tok"), path)
+      val store = SketchStore.readStore(s, path)
+      val items = store
+        .agg(
+          SketchStore.freqUnionAgg(col(SketchStore.FSketchCol)).as("fsk"),
+          count(lit(1)).as("n_sketches"),
+          sum(col(SketchStore.RowCountCol)).as("n_tokens"))
+        .select(col("n_sketches"),
+          explode(SketchStore.freqTopItems(col("fsk"),
+            floor(col("n_tokens") * 0.02))).as("f"))
+        .select(col("f.item").as("tok"), col("n_sketches"),
+          col("f.lb"), col("f.ub"))
+      val exact = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      items.join(exact, "tok")
+        .select(col("tok"), col("n_sketches"), col("exact_cnt"),
+          (col("lb") <= col("exact_cnt") && col("exact_cnt") <= col("ub"))
+            .as("approx_ok"))
+        .orderBy("tok")
     }),
     "x_pipeline_prepare" -> ((s, d) =>
       // the quality-side composition: perplexity filter → boilerplate
@@ -3181,6 +3217,21 @@ object TierX {
         |       TRUE AS approx_ok
         |FROM e
         |ORDER BY event_type""".stripMargin,
+    // bounded oracle, heavy-hitters flavor: exact counts of the tokens
+    // above 2% support + TRUE for the bracket verdict (test-scale
+    // sketches are in exact mode — vocab << maxMapSize — so the
+    // NO_FALSE_NEGATIVES item set equals the exact HAVING set and the
+    // lb/ub bracket is deterministic)
+    "x_freq_rollup" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tot AS (SELECT count(1) AS n,
+        |               count(DISTINCT lang) AS n_sketches FROM tok)
+        |SELECT tok, n_sketches, count(1) AS exact_cnt, TRUE AS approx_ok
+        |FROM tok, tot
+        |GROUP BY tok, n, n_sketches
+        |HAVING count(1) > floor(n * 0.02)
+        |ORDER BY tok""".stripMargin,
     // vocab ids re-derived, then per-doc exact integer checksums of the
     // encoded id sequence (sum + position-weighted sum)
     "x_encode_ids" ->

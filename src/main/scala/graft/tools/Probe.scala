@@ -91,6 +91,47 @@ object Probe {
       return
     }
 
+    // host-speed canary (round-13): a DETERMINISTIC synthetic workload
+    // with zero testdata dependence, recorded next to every committed
+    // bench merge so cross-round wall-clock comparisons can separate
+    // "the code got slower" from "this round's host is slower". Two
+    // numbers, each min-of-3:
+    //  - canary_st: single-thread JVM arithmetic (xxhash-style mix over
+    //    a fixed loop) — pins per-core speed, the dominant factor in
+    //    per-query steady times at this data scale;
+    //  - canary_mt: a fixed 32-slot Spark aggregate over range(200M)
+    //    (hash-partial + exchange + final) — pins the whole-machine
+    //    throughput the bench totals actually ride on.
+    // The cold/steady contracts in BASELINE.md are evaluated against
+    // the settlement host's canary (first recorded in
+    // BENCH_LOCAL_r13.json); future rounds scale the target by the
+    // measured canary ratio instead of adjudicating "host drift" prose.
+    if (which == "hostcanary") {
+      import org.apache.spark.sql.functions._
+      def minOf3(f: () => Unit): Double =
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.min
+      val st = minOf3 { () =>
+        var h = 0x9E3779B97F4A7C15L
+        var i = 0L
+        while (i < 400000000L) {
+          h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 31); i += 1
+        }
+        // fold the result into a side effect the JIT cannot elide
+        if (h == 42L) println("")
+      }
+      val mt = minOf3 { () =>
+        spark.range(0L, 200000000L, 1L, 32)
+          .selectExpr("xxhash64(id) % 1024 AS k")
+          .groupBy("k").count()
+          .write.mode("overwrite").format("noop").save()
+      }
+      println(f"""{"canary_st":$st%.3f,"canary_mt":$mt%.3f}""")
+      spark.stop()
+      return
+    }
+
     // current open experiment: PPJoin stage profile at the 100x
     // rehearsal volume (500k docs, 400 partitions) — where do the
     // 116 s go?

@@ -598,6 +598,14 @@ object ScaleRehearsal {
       "sketch_build_theta" -> (() => graft.operators.SketchStore
         .buildThetaSketches(
           sketchEvents, Seq("event_date", "event_type"), "user_id")),
+      // the heavy-hitters (Misra-Gries) fourth half at the same
+      // synthesis: counter-table purges make its per-row work the
+      // highest of the four, but the plan shape is the same single
+      // partial/final TypedImperativeAggregate
+      "sketch_build_freq" -> (() => graft.operators.SketchStore
+        .buildFreqSketches(
+          sketchEvents.withColumn("uid", col("user_id").cast("string")),
+          Seq("event_date", "event_type"), "uid")),
       // the per-micro-batch decontamination gate (x_stream_decontam's
       // inner loop) at 100×: the frozen eval index is STAGED to parquet
       // outside the timing (built once per benchmark refresh, not per
@@ -710,7 +718,7 @@ object ScaleRehearsal {
            | "ivf_refresh" => nVecs
       case "interval_join" => nIv
       case "sketch_build" | "sketch_build_kll"
-           | "sketch_build_theta" => nSketchRows
+           | "sketch_build_theta" | "sketch_build_freq" => nSketchRows
       case _ => nDocs
     }
     val fanoutCap = 10.0

@@ -48,6 +48,10 @@ class DeterminismSpec extends SparkSpec {
     // a near-boundary dataset could flake where this one cannot)
     "x_quantile_rollup",
     "x_sketch_setops",   // theta union/intersect across merge orders
+    // MG counter merge across partition orders: exact mode at test
+    // scale (vocab << maxMapSize, no purges), so counts — not just
+    // the item set — are structurally partition-invariant
+    "x_freq_rollup",
     "x_stream_sketch")   // streamed store maintenance vs shuffle conf
 
   sample.foreach { name =>

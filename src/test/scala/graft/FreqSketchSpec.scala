@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchStore
+
+/** Frequent-items (Misra-Gries) sketch: exact in exact mode,
+  * split-merge invariant, no false negatives once lossy, store
+  * round-trips through parquet. */
+class FreqSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 'h1' ×500, 'h2' ×300, tail t0..t99 ×2 each (1000 rows total). */
+  private def skewed = (
+    Seq.fill(500)("h1") ++ Seq.fill(300)("h2") ++
+      (0 until 100).flatMap(i => Seq.fill(2)(s"t$i"))
+  ).toDF("tok")
+
+  test("exact mode: NO_FALSE_NEGATIVES set equals the exact HAVING set") {
+    val got = skewed
+      .agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
+      .select(explode(SketchStore.freqTopItems(col("sk"), lit(100L))))
+      .select("col.item", "col.est", "col.lb", "col.ub")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, e, l, u) => k -> ((e, l, u)) }.toMap
+    assert(got.keySet == Set("h1", "h2"))
+    assert(got("h1") == (500L, 500L, 500L)) // exact: est == lb == ub
+    assert(got("h2") == (300L, 300L, 300L))
+  }
+
+  test("union of per-group sketches == direct sketch (merge invariance," +
+    " exact mode)") {
+    val df = skewed.withColumn("part", (rand(7) * 5).cast("int"))
+    val direct = skewed
+      .agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
+      .select(explode(SketchStore.freqTopItems(col("sk"), lit(100L))))
+      .select("col.item", "col.est").as[(String, Long)].collect().toSet
+    val merged = df.groupBy("part")
+      .agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
+      .agg(SketchStore.freqUnionAgg(col("sk")).as("sk"))
+      .select(explode(SketchStore.freqTopItems(col("sk"), lit(100L))))
+      .select("col.item", "col.est").as[(String, Long)].collect().toSet
+    assert(direct == merged)
+  }
+
+  test("lossy mode keeps the two-sided guarantee: heavy items present, " +
+    "brackets cover the true counts") {
+    // maxMapSize 8 over 100 distinct tail items forces purges
+    val got = skewed
+      .agg(SketchStore.freqSketchAgg(col("tok"), maxMapSize = 8).as("sk"))
+      .select(explode(SketchStore.freqTopItems(col("sk"), lit(250L))))
+      .select("col.item", "col.lb", "col.ub")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, l, u) => (k, (l, u)) }.toMap
+    // no false negatives: both true heavy hitters survive the purges
+    assert(got.contains("h1") && got.contains("h2"))
+    assert(got("h1")._1 <= 500L && 500L <= got("h1")._2)
+    assert(got("h2")._1 <= 300L && 300L <= got("h2")._2)
+    // threshold honored: nothing with ub below it
+    got.values.foreach { case (_, ub) => assert(ub >= 250L) }
+  }
+
+  test("store round-trips through parquet and rolls up") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("freqstore").toString + "/store"
+    val store = SketchStore.buildFreqSketches(
+      skewed.withColumn("g", length(col("tok"))), Seq("g"), "tok")
+    SketchStore.writeStore(store, dir)
+    val rolled = SketchStore.readStore(spark, dir)
+      .agg(SketchStore.freqUnionAgg(col(SketchStore.FSketchCol)).as("sk"),
+        sum(col(SketchStore.RowCountCol)).as("n"))
+      .select(col("n"),
+        explode(SketchStore.freqTopItems(col("sk"), lit(100L)))
+          .as("f"))
+      .select(col("n"), col("f.item"), col("f.est"))
+      .as[(Long, String, Long)].collect()
+    assert(rolled.map(_._1).forall(_ == 1000L))
+    assert(rolled.map(r => r._2 -> r._3).toMap == Map("h1" -> 500L, "h2" -> 300L))
+  }
+
+  test("nulls are skipped; empty input yields an empty item set") {
+    val df = Seq[Option[String]](None, Some("a"), None).toDF("tok")
+    val items = df.agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
+      .select(explode(SketchStore.freqTopItems(col("sk"), lit(0L))))
+      .select("col.item").as[String].collect()
+    assert(items.toSeq == Seq("a"))
+    val empty = Seq[Option[String]](None).toDF("tok")
+      .agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
+      .select(size(SketchStore.freqTopItems(col("sk"), lit(0L))))
+      .head().getInt(0)
+    assert(empty == 0)
+  }
+}
