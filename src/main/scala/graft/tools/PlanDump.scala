@@ -140,7 +140,11 @@ object PlanDump {
     "x_quantile_rollup" ->
       "quantile-sketch store: custom KLL TypedImperativeAggregates run partial/final over the persisted store; kll_quantile extraction is per rollup-output row — the exchange carries sketch bytes, never values",
     "x_sketch_setops" ->
-      "theta set algebra: three union aggregates over the persisted day-grain sketch table in ONE pass (conditional halves + total), intersect/a-not-b/estimate as row-local scalar ops on the 1-row result")
+      "theta set algebra: three union aggregates over the persisted day-grain sketch table in ONE pass (conditional halves + total), intersect/a-not-b/estimate as row-local scalar ops on the 1-row result",
+    "x_freq_rollup" ->
+      "frequent-items store: Misra-Gries union aggregate over the persisted per-language sketch table (candidate sets travel WITH the counters — per-group top-k never merges into global top-k), freq_top_items explodes the 1-row merged result; the token scan feeds only the oracle's exact side",
+    "x_stream_decontam" ->
+      "decontamination at ingest: per-micro-batch banded probe of the FROZEN eval MinHash index (parquet-staged before any train data flows) — candidates are an equi-join on (band, key) between batch signatures and stored index rows, O(batch) per batch, never a history rescan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
