@@ -132,6 +132,52 @@ object Probe {
       return
     }
 
+    // sketch-store build at 1000× (100M events): the one-rep rehearsal
+    // number (565 s at p1200 / 488 s at p400) bundles the synthesis,
+    // persist population and build — split them, and time warm reps of
+    // the build alone so the three-decade linearity claim compares
+    // like with like (the 100× rows are min-of-3 on a resident frame).
+    // Variants: the rehearsal's worst-case scatter vs an
+    // ingest-clustered build (repartition by the store grain first —
+    // the locality a real date-partitioned ingest batch has for free).
+    if (which == "sketch1000x") {
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.shuffle.partitions", "400")
+      val ev = graft.Tables(spark, sfDir, "events")
+        .select(col("ts").cast("long").as("s0"),
+          col("event_type"), col("user_id"))
+        .select(col("*"),
+          explode(sequence(lit(0L), lit(999L))).as("replica"))
+        .select(
+          to_date(from_unixtime(
+            col("s0") + col("replica") * lit(31L * 24 * 3600)))
+            .as("event_date"),
+          col("event_type"), col("user_id"))
+        .repartition(400)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val t0 = System.nanoTime()
+      println(s"[probe] synth+persist: ${ev.count()} rows, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      (1 to 2).foreach { rep =>
+        val t = System.nanoTime()
+        graft.operators.SketchStore
+          .buildSketches(ev, Seq("event_date", "event_type"), "user_id")
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] scattered build rep $rep: ${(System.nanoTime() - t) / 1e9}%.1f s")
+      }
+      (1 to 2).foreach { rep =>
+        val t = System.nanoTime()
+        graft.operators.SketchStore
+          .buildSketches(
+            ev.repartition(col("event_date")),
+            Seq("event_date", "event_type"), "user_id")
+          .write.mode("overwrite").format("noop").save()
+        println(f"[probe] clustered build rep $rep: ${(System.nanoTime() - t) / 1e9}%.1f s")
+      }
+      spark.stop()
+      return
+    }
+
     // current open experiment: PPJoin stage profile at the 100x
     // rehearsal volume (500k docs, 400 partitions) — where do the
     // 116 s go?

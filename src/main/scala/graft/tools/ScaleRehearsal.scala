@@ -826,6 +826,25 @@ object ScaleRehearsal {
       .repartition(parts.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     lazy val nIv = intervals.count()
+    // 1000× sketch events (100M): the 100× worst-case-locality
+    // synthesis one decade further — 1000 replicas shift the day grain
+    // across ~85 years, so the (day, type) group count grows 10× to
+    // 150k while per-group cardinality stays constant; the store
+    // build's linear claim now has all three decades (sf0.1 inline /
+    // 10M / 100M) on measurement
+    lazy val sketchEvents = graft.Tables(spark, sfDir, "events")
+      .select(col("ts").cast("long").as("s0"),
+        col("event_type"), col("user_id"))
+      .select(col("*"),
+        explode(sequence(lit(0L), lit(999L))).as("replica"))
+      .select(
+        to_date(from_unixtime(
+          col("s0") + col("replica") * lit(31L * 24 * 3600)))
+          .as("event_date"),
+        col("event_type"), col("user_id"))
+      .repartition(parts.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    lazy val nSketchRows = sketchEvents.count()
     // sign-LSH band keys follow the documented bucket-occupancy rule
     // (~log2(corpus) bits): 2M vectors → 20-bit keys, 3 bands — the
     // knob the operator's scaladoc prescribes, NOT a new shape; mean
@@ -840,15 +859,19 @@ object ScaleRehearsal {
       "embed_pairs" -> (() => embedPairs()),
       "embed_cluster" -> (() => Dedup.clusters(embedPairs().persist())),
       "interval_join" -> (() => graft.operators.IntervalJoin
-        .overlapPairs(intervals, "event_id", "s", "e", binWidth = 120L)))
+        .overlapPairs(intervals, "event_id", "s", "e", binWidth = 120L)),
+      "sketch_build" -> (() => graft.operators.SketchStore.buildSketches(
+        sketchEvents, Seq("event_date", "event_type"), "user_id")))
     val results = runOps(spark, selectOps(ops), () => {
       if (needs(docOps)) { docs.count(); () }
       if (needs(vecOps)) { vecs.count(); () }
       if (needs(Set("interval_join"))) { intervals.count(); () }
+      if (needs(Set("sketch_build"))) { sketchEvents.count(); () }
     })
     def denom(n: String): Long = n match {
       case "ppjoin" | "minhash_pairs" => nDocs
       case "interval_join" => nIv
+      case "sketch_build" => nSketchRows
       case _ => nVecs
     }
     val fanoutCap = 10.0
