@@ -79,6 +79,21 @@ class FreqSketchSpec extends SparkSpec {
     assert(rolled.map(r => r._2 -> r._3).toMap == Map("h1" -> 500L, "h2" -> 300L))
   }
 
+  test("SQL surface: freq_sketch_agg / freq_union_agg / freq_top_items") {
+    GraftFunctions.registerAll(spark)
+    skewed.withColumn("part", (col("tok") === "h1").cast("int"))
+      .createOrReplaceTempView("freq_vals")
+    val got = spark.sql(
+      """SELECT f.item, f.est
+        |FROM (SELECT freq_union_agg(sk) AS sk
+        |      FROM (SELECT part, freq_sketch_agg(tok, 256) AS sk
+        |            FROM freq_vals GROUP BY part)),
+        |     LATERAL explode(freq_top_items(sk, 100L)) AS t(f)
+        |ORDER BY f.item""".stripMargin)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == Seq("h1" -> 500L, "h2" -> 300L))
+  }
+
   test("nulls are skipped; empty input yields an empty item set") {
     val df = Seq[Option[String]](None, Some("a"), None).toDF("tok")
     val items = df.agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
