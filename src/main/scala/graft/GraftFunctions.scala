@@ -37,6 +37,26 @@ object GraftFunctions {
       implClass: String,
       builder: Seq[Expression] => Expression)
 
+  /** Resolve a function argument that must be a compile-time integer
+    * (a sketch size, a shingle width): fold any foldable expression
+    * and accept every integral literal type — `256`, `256L`,
+    * `CAST(256 AS INT)`, `2*128` all work, matching the
+    * numeric-literal tolerance of built-in SQL functions. `sig` names
+    * the function's SQL signature in the error. */
+  private def intLitArg(e: Expression, what: String, sig: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val folded =
+      if (e.foldable) Literal.create(e.eval(), e.dataType) else e
+    folded match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) if v.isValidInt => v.toInt
+      case Literal(v: Short, _) => v.toInt
+      case Literal(v: Byte, _) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$what in $sig must be an integer literal, got ${e.sql}")
+    }
+  }
+
   private val functions: Seq[GraftFn] = Seq(
     GraftFn("dot_f32", classOf[DotProductFloat].getName, exprs => {
       require(exprs.length == 2,
@@ -53,11 +73,7 @@ object GraftFunctions {
       classOf[graft.expressions.GramFingerprint].getName, exprs => {
         require(exprs.length == 2,
           s"gram_fingerprint requires (text, k) arguments, got ${exprs.length}")
-        val k = exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"gram_fingerprint k must be an integer literal, got $other")
-        }
+        val k = intLitArg(exprs(1), "k", "gram_fingerprint(text, k)")
         graft.expressions.GramFingerprint(exprs.head, k)
       }),
     // KLL quantile-sketch lifecycle (expressions/KllSketch.scala):
@@ -67,11 +83,8 @@ object GraftFunctions {
       classOf[graft.expressions.KllSketchAgg].getName, exprs => {
         require(exprs.length == 1 || exprs.length == 2,
           s"kll_sketch_agg requires (value[, k]) arguments, got ${exprs.length}")
-        val k = if (exprs.length < 2) 200 else exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"kll_sketch_agg k must be an integer literal, got $other")
-        }
+        val k = if (exprs.length < 2) 200
+          else intLitArg(exprs(1), "k", "kll_sketch_agg(value[, k])")
         graft.expressions.KllSketchAgg(exprs.head, k)
       }),
     GraftFn("kll_union_agg",
@@ -80,11 +93,8 @@ object GraftFunctions {
           s"kll_union_agg requires (sketch[, k]) arguments, got ${exprs.length}")
         // k must match the store's build k or the union silently
         // degrades the rollup to k=200 accuracy (KLL adapts DOWNWARD)
-        val k = if (exprs.length < 2) 200 else exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"kll_union_agg k must be an integer literal, got $other")
-        }
+        val k = if (exprs.length < 2) 200
+          else intLitArg(exprs(1), "k", "kll_union_agg(sketch[, k])")
         graft.expressions.KllUnionAgg(exprs.head, k)
       }),
     GraftFn("kll_quantile",
@@ -99,11 +109,8 @@ object GraftFunctions {
       classOf[graft.expressions.ThetaSketchAgg].getName, exprs => {
         require(exprs.length == 1 || exprs.length == 2,
           s"theta_sketch_agg requires (value[, lgK]) arguments, got ${exprs.length}")
-        val lgK = if (exprs.length < 2) 12 else exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"theta_sketch_agg lgK must be an integer literal, got $other")
-        }
+        val lgK = if (exprs.length < 2) 12
+          else intLitArg(exprs(1), "lgK", "theta_sketch_agg(value[, lgK])")
         graft.expressions.ThetaSketchAgg(exprs.head, lgK)
       }),
     GraftFn("theta_union_agg",
@@ -137,18 +144,28 @@ object GraftFunctions {
         require(exprs.length == 1 || exprs.length == 2,
           s"freq_sketch_agg requires (item[, maxMapSize]) arguments, " +
             s"got ${exprs.length}")
-        val m = if (exprs.length < 2) 256 else exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"freq_sketch_agg maxMapSize must be an integer literal, got $other")
-        }
+        val m = if (exprs.length < 2) 256
+          else intLitArg(exprs(1), "maxMapSize",
+            "freq_sketch_agg(item[, maxMapSize])")
         graft.expressions.FreqSketchAgg(exprs.head, m)
       }),
     GraftFn("freq_union_agg",
       classOf[graft.expressions.FreqUnionAgg].getName, exprs => {
+        require(exprs.length == 1 || exprs.length == 2,
+          s"freq_union_agg requires (sketch[, maxMapSize]) arguments, " +
+            s"got ${exprs.length}")
+        // pass the store's build size: the union BUFFER's map caps
+        // merged capacity (see FreqUnionAgg scaladoc)
+        val m = if (exprs.length < 2) 256
+          else intLitArg(exprs(1), "maxMapSize",
+            "freq_union_agg(sketch[, maxMapSize])")
+        graft.expressions.FreqUnionAgg(exprs.head, m)
+      }),
+    GraftFn("freq_max_error",
+      classOf[graft.expressions.FreqMaxError].getName, exprs => {
         require(exprs.length == 1,
-          s"freq_union_agg requires exactly 1 binary argument, got ${exprs.length}")
-        graft.expressions.FreqUnionAgg(exprs.head)
+          s"freq_max_error requires exactly 1 binary argument, got ${exprs.length}")
+        graft.expressions.FreqMaxError(exprs.head)
       }),
     GraftFn("freq_top_items",
       classOf[graft.expressions.FreqTopItems].getName, exprs => {

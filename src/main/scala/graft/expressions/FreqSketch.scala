@@ -121,11 +121,16 @@ case class FreqSketchAgg(
 }
 
 /** Merge serialized frequent-items sketches (the store-rollup
-  * aggregate). The fresh buffer's own maxMapSize only floors the
-  * merged error: Misra-Gries merge keeps each input's error budget, so
-  * a store built at maxMapSize M rolls up at M-grade accuracy
-  * regardless of this default (unlike KLL, there is no silent downward
-  * adaptation to document — error bounds simply add across inputs). */
+  * aggregate). `maxMapSize` MUST be the store's build size: the
+  * library's merge routes every incoming item through the union
+  * BUFFER's own update(), so the buffer's map caps merged capacity —
+  * a store built at M > this value silently degrades the rollup to
+  * this value's error grade (the exact analog of KLL's downward
+  * adaptation, reached through the receiver rather than the inputs).
+  * The default only floors error when inputs were built at ≤ its
+  * size. Either way the NO_FALSE_NEGATIVES [lb, ub] brackets stay
+  * valid — purges widen bounds, never drop a true heavy hitter — so
+  * an undersized buffer costs accuracy, not correctness. */
 case class FreqUnionAgg(
     child: Expression,
     maxMapSize: Int = 256,
@@ -210,4 +215,34 @@ case class FreqTopItems(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): FreqTopItems = copy(left = l, right = r)
+}
+
+/** `freq_max_error(sketch)` — the sketch's maximum estimation error
+  * (ub − est, a.k.a. the purge offset). 0 ⟺ the sketch is still in
+  * exact mode (never purged), in which case est == lb == ub for every
+  * item and threshold queries equal their exact HAVING set. Queries
+  * whose oracle relies on that equality assert this instead of letting
+  * a grown vocabulary surface as an opaque row-count diff. Scalar op
+  * on rollup-output rows → CodegenFallback by design. */
+case class FreqMaxError(child: Expression)
+  extends Expression with UnaryLike[Expression] with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"freq_max_error needs BINARY sketch bytes, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "freq_max_error"
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) return null
+    ItemsSketch.getInstance(
+      Memory.wrap(a.asInstanceOf[Array[Byte]]), FreqSketch.serde)
+      .getMaximumError
+  }
+
+  override protected def withNewChildInternal(c: Expression): FreqMaxError =
+    copy(child = c)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.expressions.{FreqSketchAgg, FreqTopItems, FreqUnionAgg, KllQuantile, KllSketchAgg, KllUnionAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaUnionAgg}
+import graft.expressions.{FreqMaxError, FreqSketchAgg, FreqTopItems, FreqUnionAgg, KllQuantile, KllSketchAgg, KllUnionAgg, ThetaEstimate, ThetaSetOp, ThetaSketchAgg, ThetaUnionAgg}
 
 /** Mergeable-sketch store: persist per-partition HLL sketches at
   * ingest time, answer distinct-count rollups later by merging the
@@ -228,11 +228,21 @@ object SketchStore {
       FreqSketchAgg(ColumnBridge.expression(item), maxMapSize)
         .toAggregateExpression())
 
-  /** `freq_union_agg(sketch)` as a Column — merge stored sketches
-    * (error budgets add; the buffer size only floors accuracy). */
-  def freqUnionAgg(sketch: Column): Column =
+  /** `freq_union_agg(sketch[, maxMapSize])` as a Column — merge stored
+    * sketches. Pass the store's build maxMapSize: merge routes items
+    * through the union buffer's update(), so the BUFFER's map caps
+    * merged accuracy (mirror of [[kllUnionAgg]]'s k rule; see
+    * [[graft.expressions.FreqUnionAgg]]). */
+  def freqUnionAgg(sketch: Column, maxMapSize: Int = 256): Column =
     ColumnBridge.column(
-      FreqUnionAgg(ColumnBridge.expression(sketch)).toAggregateExpression())
+      FreqUnionAgg(ColumnBridge.expression(sketch), maxMapSize)
+        .toAggregateExpression())
+
+  /** `freq_max_error(sketch)` as a Column — 0 ⟺ still exact mode
+    * (never purged); queries whose oracle needs item-set equality
+    * with the exact HAVING set assert on this. */
+  def freqMaxError(sketch: Column): Column =
+    ColumnBridge.column(FreqMaxError(ColumnBridge.expression(sketch)))
 
   /** `freq_top_items(sketch, threshold)` as a Column —
     * array<struct<item, est, lb, ub>> of every item whose true count

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, coalesce, col, concat, concat_ws, count, countDistinct, explode, expr, floor, greatest, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
+import org.apache.spark.sql.functions.{abs, assert_true, coalesce, col, concat, concat_ws, count, countDistinct, explode, expr, floor, greatest, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
 
 import graft.{Conventions, Tables}
 import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
@@ -555,7 +555,7 @@ object TierX {
       val maxTs = log.agg(max(col("ts"))).head().getTimestamp(0)
       val cut = new java.sql.Timestamp(maxTs.getTime - 2L * 3600 * 1000)
       val path = s"${sys.props("java.io.tmpdir")}/graft_cdc/" +
-        s"state_${java.lang.Integer.toHexString(d.hashCode)}"
+        s"state_${graft.CachePaths.tag(d)}"
       val keys = Seq("user_id")
       val versions = Seq("ts", "event_id")
       val payload = Seq("event_type", "value")
@@ -757,7 +757,7 @@ object TierX {
         to_date(col("ts")).as("event_date"),
         col("event_type"), col("user_id"))
       val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
-        s"store_${java.lang.Integer.toHexString(d.hashCode)}"
+        s"store_${graft.CachePaths.tag(d)}"
       SketchStore.writeStore(
         SketchStore.buildSketches(
           ev, Seq("event_date", "event_type"), "user_id"), path)
@@ -793,7 +793,7 @@ object TierX {
         to_date(col("ts")).as("event_date"),
         col("event_type"), col("user_id"))
       val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
-        s"tstore_${java.lang.Integer.toHexString(d.hashCode)}"
+        s"tstore_${graft.CachePaths.tag(d)}"
       SketchStore.writeStore(
         SketchStore.buildThetaSketches(
           ev, Seq("event_date", "event_type"), "user_id"), path)
@@ -856,7 +856,7 @@ object TierX {
         to_date(col("ts")).as("event_date"),
         col("event_type"), col("value"))
       val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
-        s"qstore_${java.lang.Integer.toHexString(d.hashCode)}"
+        s"qstore_${graft.CachePaths.tag(d)}"
       SketchStore.writeStore(
         SketchStore.buildQuantileSketches(
           ev, Seq("event_date", "event_type"), "value"), path)
@@ -897,7 +897,7 @@ object TierX {
       val tok = Tables(s, d, "documents").select(
         col("lang"), explode(split(col("text"), " ")).as("tok"))
       val path = s"${sys.props("java.io.tmpdir")}/graft_sketch/" +
-        s"fstore_${java.lang.Integer.toHexString(d.hashCode)}"
+        s"fstore_${graft.CachePaths.tag(d)}"
       SketchStore.writeStore(
         SketchStore.buildFreqSketches(tok, Seq("lang"), "tok"), path)
       val store = SketchStore.readStore(s, path)
@@ -906,6 +906,17 @@ object TierX {
           SketchStore.freqUnionAgg(col(SketchStore.FSketchCol)).as("fsk"),
           count(lit(1)).as("n_sketches"),
           sum(col(SketchStore.RowCountCol)).as("n_tokens"))
+        // fail fast BY NAME if the corpus vocabulary ever outgrows the
+        // sketch: the oracle's item-set equality holds only in exact
+        // mode (max error 0 ⇒ NO_FALSE_NEGATIVES == exact HAVING set);
+        // without this a grown test corpus would surface as an opaque
+        // row-count diff instead of the violated assumption
+        .where(assert_true(
+          SketchStore.freqMaxError(col("fsk")) === 0,
+          lit("x_freq_rollup precondition violated: merged freq sketch " +
+            "left exact mode (corpus vocabulary >= maxMapSize), so the " +
+            "NO_FALSE_NEGATIVES item set may exceed the exact HAVING set"))
+          .isNull)
         .select(col("n_sketches"),
           explode(SketchStore.freqTopItems(col("fsk"),
             floor(col("n_tokens") * 0.02))).as("f"))

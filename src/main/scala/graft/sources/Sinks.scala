@@ -48,7 +48,7 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_part/" +
-        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+        s"orders_${graft.CachePaths.tag(sfDir)}"
       if (!writtenLayouts.contains(dir)) {
         writePartitioned(
           graft.Tables(spark, sfDir, "orders"), dir, Seq("o_orderpriority"))
@@ -73,7 +73,7 @@ object Sinks {
     synchronized {
       import org.apache.spark.sql.functions._
       val dir = s"${sys.props("java.io.tmpdir")}/graft_zorder/" +
-        s"lineitem_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+        s"lineitem_${graft.CachePaths.tag(sfDir)}"
       if (!writtenLayouts.contains(dir)) {
         val li = graft.Tables(spark, sfDir, "lineitem")
         val mm = li.agg(
@@ -101,7 +101,7 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_orc/" +
-        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+        s"orders_${graft.CachePaths.tag(sfDir)}"
       if (!writtenLayouts.contains(dir)) {
         graft.Tables(spark, sfDir, "orders")
           .write.mode(SaveMode.Overwrite).orc(dir)
@@ -122,7 +122,7 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_json/" +
-        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+        s"orders_${graft.CachePaths.tag(sfDir)}"
       if (!writtenLayouts.contains(dir)) {
         graft.Tables(spark, sfDir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_orderpriority",
@@ -144,7 +144,7 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     synchronized {
       val dir = s"${sys.props("java.io.tmpdir")}/graft_evolved/" +
-        s"orders_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+        s"orders_${graft.CachePaths.tag(sfDir)}"
       if (!writtenLayouts.contains(dir)) {
         val o = graft.Tables(spark, sfDir, "orders")
         o.filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0)
@@ -168,7 +168,7 @@ object Sinks {
   def ensureBucketedPair(
       spark: org.apache.spark.sql.SparkSession,
       sfDir: String): (String, String) = synchronized {
-    val tag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tag = graft.CachePaths.tag(sfDir)
     val (ot, ct) = (s"b_orders_$tag", s"b_customer_$tag")
     if (!writtenLayouts.contains(ot)) {
       // a managed table whose JVM died leaves its LOCATION behind with

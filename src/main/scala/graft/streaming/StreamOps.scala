@@ -623,7 +623,14 @@ object StreamOps {
 
   private def frozenEvalIndex(
       spark: SparkSession, sfDir: String): (String, String) =
-    frozenEvalIdx.computeIfAbsent(sfDir, _ => {
+    frozenEvalIdx.compute(sfDir, (_, cached) => {
+      // the staged parquet lives under the OS tmpdir, which can be
+      // reclaimed out from under a long-lived JVM — a cache hit whose
+      // files are gone must rebuild, not hand back a dangling path
+      if (cached != null &&
+          new java.io.File(cached._1).isDirectory &&
+          new java.io.File(cached._2).isDirectory) cached
+      else {
       import graft.operators.{Curation, Dedup}
       val dd = graft.Tables(spark, sfDir, "documents")
       val eval = dd.join(
@@ -632,11 +639,12 @@ object StreamOps {
         .filter(col("split") =!= "train")
         .select(col("doc_id"), col("text"))
       val base = s"${sys.props("java.io.tmpdir")}/graft_decontam_idx/" +
-        s"idx_${java.lang.Integer.toHexString(sfDir.hashCode)}"
+        s"idx_${graft.CachePaths.tag(sfDir)}"
       val (sh, bands) = Dedup.contaminationIndex(eval)
       sh.write.mode("overwrite").parquet(s"$base/sh")
       bands.write.mode("overwrite").parquet(s"$base/bands")
       (s"$base/sh", s"$base/bands")
+      }
     })
 
   private def streamDecontamAgainst(

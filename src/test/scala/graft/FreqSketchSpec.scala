@@ -94,6 +94,45 @@ class FreqSketchSpec extends SparkSpec {
     assert(got.toSeq == Seq("h1" -> 500L, "h2" -> 300L))
   }
 
+  test("union BUFFER size caps merged accuracy; freq_max_error names " +
+    "the exact/lossy boundary") {
+    // 300 distinct items built exactly at maxMapSize 512 — one sketch
+    // per 100-item stripe, each individually exact
+    val df = (0 until 300).map(i => (i / 100, s"v$i")).toDF("part", "tok")
+    val perPart = df.groupBy("part")
+      .agg(SketchStore.freqSketchAgg(col("tok"), maxMapSize = 512).as("sk"))
+    def unionErr(m: Int): Long = perPart
+      .agg(SketchStore.freqUnionAgg(col("sk"), maxMapSize = m).as("sk"))
+      .select(SketchStore.freqMaxError(col("sk"))).head().getLong(0)
+    // a right-sized buffer keeps the store's exactness...
+    assert(unionErr(512) == 0L)
+    // ...an undersized one purges during merge: items route through the
+    // BUFFER's update(), so its map caps merged capacity (the scaladoc
+    // contract this spec pins)
+    assert(unionErr(64) > 0L)
+    // and a single never-purged sketch reports error 0
+    val direct = df.agg(
+        SketchStore.freqSketchAgg(col("tok"), maxMapSize = 512).as("sk"))
+      .select(SketchStore.freqMaxError(col("sk"))).head().getLong(0)
+    assert(direct == 0L)
+  }
+
+  test("SQL surface: freq_union_agg(sk, m) / freq_max_error; integral " +
+    "literal tolerance for size args") {
+    GraftFunctions.registerAll(spark)
+    (0 until 300).map(i => (i / 100, s"v$i")).toDF("part", "tok")
+      .createOrReplaceTempView("freq_wide")
+    // BIGINT literal + foldable arithmetic both resolve (ADVICE r13:
+    // only a plain INT literal used to be accepted)
+    val errs = spark.sql(
+      """SELECT freq_max_error(freq_union_agg(sk, 512L)) AS e_ok,
+        |       freq_max_error(freq_union_agg(sk, 2 * 32)) AS e_small
+        |FROM (SELECT part, freq_sketch_agg(tok, CAST(512 AS BIGINT)) AS sk
+        |      FROM freq_wide GROUP BY part)""".stripMargin)
+      .as[(Long, Long)].head()
+    assert(errs._1 == 0L && errs._2 > 0L)
+  }
+
   test("nulls are skipped; empty input yields an empty item set") {
     val df = Seq[Option[String]](None, Some("a"), None).toDF("tok")
     val items = df.agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))
