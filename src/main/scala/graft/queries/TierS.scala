@@ -77,6 +77,14 @@ object TierS {
       // per-doc landed verdict must equal batch-mode decontamination
       // over the full corpus (x_contamination's chain, same params)
       StreamOps.streamDecontamRun(s, d).orderBy("doc_id")),
+    "x_dedup_incr_cluster" -> ((s, d) =>
+      // near-dup cluster state maintained AT INGEST: each crawl
+      // micro-batch probes the accumulated band index for its new
+      // pairs, then only the touched components re-resolve (bounded
+      // frontier CC); the final label generation must equal batch
+      // connected components over the whole corpus (x_dedup_cluster's
+      // oracle, shared BY DESIGN)
+      StreamOps.incrClusterRun(s, d).orderBy("doc_id")),
     "x_ingest_incremental" -> ((s, d) =>
       StreamOps.incrementalIngestRun(s, d).orderBy("user_id")),
     "x_ingest_scd" -> ((s, d) => {
@@ -113,6 +121,12 @@ object TierS {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+    // shared with x_dedup_cluster BY DESIGN: incrementally maintained
+    // cluster state must equal batch connected components over the
+    // full corpus's MinHash pair graph — star edges are
+    // connectivity-equivalent and min-id representatives agree under
+    // merge, so the final generation IS the batch result
+    "x_dedup_incr_cluster" -> TierX.clusterOracle,
     // batch-mode decontamination over the FULL corpus (the
     // x_contamination chain, shared CTE BY DESIGN): the streaming
     // gate's per-batch hits against the frozen eval index must union

@@ -1429,7 +1429,7 @@ object TierX {
       |      FROM cand JOIN e ea ON cand.v1 = ea.vec_id
       |                JOIN e eb ON cand.v2 = eb.vec_id)""".stripMargin
 
-  private val clusterOracle =
+  private[queries] val clusterOracle =
     s"""WITH RECURSIVE $minhashPairsCte,
       |mp AS (SELECT d1, d2 FROM jx
       |       WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8),

@@ -698,6 +698,134 @@ object StreamOps {
     finally deleteWorkDir(work)
   }
 
+  /** Incremental near-dup CLUSTER maintenance — the dup-graph analog
+    * of [[streamDecontamRun]]'s frozen-index gate. Production
+    * pipelines maintain the duplicate graph as crawl batches arrive;
+    * re-running connected components over the full corpus per batch
+    * is the history rescan this operator exists to avoid.
+    *
+    * State, both persisted as parquet (at 100 TB: shared storage next
+    * to the corpus):
+    *  - the corpus BAND INDEX — each ingested batch appends its
+    *    (shingles, banded-MinHash) rows as a batchId-named segment,
+    *    the accumulating analog of the frozen eval index;
+    *  - the LABEL table (doc_id, rep_id, cluster_size) — rewritten
+    *    per batch as a new generation (the `x_incr_agg`
+    *    write-new-then-swap pattern), so a reader never sees a
+    *    half-merged state.
+    *
+    * Per AvailableNow micro-batch:
+    *  1. probe the index of STRICTLY EARLIER batches with
+    *     [[graft.operators.Dedup.crossDupAgainstIndex]] — O(|batch|
+    *     shingles + band collisions), never |batch| × |corpus| — and
+    *     find within-batch pairs with
+    *     [[graft.operators.Dedup.nearDupMinHash]]. Their union is
+    *     exactly the set of corpus pairs this batch introduces: pair
+    *     (i, j) with batch(i) ≤ batch(j) is discovered once, when
+    *     batch(j) lands (cross if earlier, within if equal).
+    *  2. re-resolve labels over a BOUNDED FRONTIER: only components
+    *     containing an endpoint of a new pair re-enter CC. Their star
+    *     edges (member → representative — connectivity-equivalent to
+    *     the original pair graph) plus the new pairs feed
+    *     [[graft.operators.Dedup.clusters]]; every untouched
+    *     component's rows carry over byte-identical. The delta graph
+    *     is |touched members| + |new pairs| — bounded by the batch's
+    *     dup fan-out, not by corpus history.
+    *  3. land the merged labels as generation `batchId` and append
+    *     the batch's index segment. The segment is written AFTER the
+    *     probe and the probe reads only earlier segments, so a
+    *     replayed batch neither probes itself nor duplicates its
+    *     index rows — idempotent like the decontam gate's
+    *     batchId-named bronze.
+    *
+    * Oracle: equality with the BATCH formulation (`x_dedup_cluster` —
+    * CC over the whole corpus's MinHash pair graph). Star edges
+    * preserve connectivity, min-id representatives agree under merge
+    * (the min of a merged component is the min over all its members,
+    * all of which are in the frontier), and sizes are recomputed
+    * exactly for every touched component — the incremental ≡ batch
+    * proof pattern of `x_ingest_scd` / `x_sim_ivf_refresh`. */
+  def incrClusterRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dd = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_incrcc").toString
+    val (src, ckpt) = (s"$work/src", s"$work/ckpt")
+    // the corpus arrives as three crawl batches → three micro-batches
+    (0 until 3).foreach { r =>
+      dd.filter(col("doc_id") % 3 === r)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val labelSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("rep_id", LongType),
+      StructField("cluster_size", LongType)))
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        def empty(schema: StructType): DataFrame = s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // this batch's index rows (also the schema source for the
+        // earlier-segment read when no segment exists yet)
+        val (shB, bandsB) = Dedup.contaminationIndex(batch)
+        def earlier(kind: String, schema: StructType): DataFrame = {
+          val dirs = Option(
+              new java.io.File(s"$work/idx/$kind").listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isDirectory &&
+              f.getName.stripPrefix("batch_").toLong < batchId)
+            .map(_.getPath).toIndexedSeq
+          if (dirs.isEmpty) empty(schema) else s.read.parquet(dirs: _*)
+        }
+        val cross = Dedup.crossDupAgainstIndex(
+            batch, earlier("sh", shB.schema), earlier("bands", bandsB.schema))
+          .select(col("d1"), col("d2"))
+        val within = Dedup.nearDupMinHash(batch).select(col("d1"), col("d2"))
+        val newPairs = cross.unionByName(within).persist()
+        val prior =
+          if (batchId == 0) empty(labelSchema)
+          else s.read.schema(labelSchema)
+            .parquet(s"$work/labels/gen_${batchId - 1}")
+        val ends = newPairs.select(col("d1").as("doc_id"))
+          .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
+        val touched = prior.join(ends, "doc_id")
+          .select(col("rep_id")).distinct()
+        val starEdges = prior.join(touched, "rep_id")
+          .filter(col("doc_id") =!= col("rep_id"))
+          .select(col("doc_id").as("d1"), col("rep_id").as("d2"))
+        val delta = newPairs.unionByName(starEdges)
+        val resolved =
+          if (delta.isEmpty) prior
+          else prior.join(touched, Seq("rep_id"), "left_anti")
+            .select("doc_id", "rep_id", "cluster_size")
+            .unionByName(
+              Dedup.clusters(delta).select("doc_id", "rep_id", "cluster_size"))
+        resolved.coalesce(1).write.mode("overwrite")
+          .parquet(s"$work/labels/gen_$batchId")
+        shB.write.mode("overwrite").parquet(s"$work/idx/sh/batch_$batchId")
+        bandsB.write.mode("overwrite")
+          .parquet(s"$work/idx/bands/batch_$batchId")
+        newPairs.unpersist()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lastGen = Option(new java.io.File(s"$work/labels").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName.stripPrefix("gen_").toLong).max
+    val out = spark.read.schema(labelSchema)
+      .parquet(s"$work/labels/gen_$lastGen")
+    try pinTinyResult(out)
+    finally deleteWorkDir(work)
+  }
+
   /** Two-pass checkpointed ingest of the events table into a fresh
     * bronze dir: batch 0 (even event_ids) lands and drains via
     * AvailableNow; batch 1 (odd) lands; a RESTARTED pass with the same

@@ -151,9 +151,21 @@ object ScaleRehearsal {
     }
   }
 
-  /** Time each op, drain every captured plan it fired, count guard
-    * violations. `keepResident` re-pins shared inputs after the per-op
-    * cache clear.
+  /** Time each op in TWO phases, drain every captured plan it fired,
+    * count guard violations.
+    *
+    * Phase split (round-13 finding, the `sketch1000x` probe): the
+    * one-phase protocol timed synthetic-input manufacture and the
+    * operator BUNDLED — the 1000× sketch_build row read 565.7 s of
+    * which 442.2 s was re-synthesizing the 100M-event input after the
+    * previous op's cache clear. Every rep now first restores the op's
+    * inputs (`keepResident` for the block-shared corpora plus the
+    * op's `extras` entry for op-specific frames — persist + count,
+    * exactly the work the old post-clear hook did untimed or the op
+    * paid inline) as `t_synth`, then runs the operator against warm
+    * inputs as `sec` — so the committed per-op number is
+    * operator-attributable. At 100 TB the input is a table on disk,
+    * not a synthesis lineage: `sec` is the number that projects.
     *
     * `reps` > 1 runs an op back-to-back that many times inside the one
     * (warmed) JVM — each rep re-constructs the DataFrame and clears
@@ -169,13 +181,23 @@ object ScaleRehearsal {
       spark: SparkSession,
       ops: Seq[(String, () => DataFrame)],
       keepResident: () => Unit,
-      reps: Int = 1): Seq[(String, Seq[Double], Long, Int, Int)] = {
+      reps: Int = 1,
+      extras: Map[String, () => Unit] = Map.empty)
+    : Seq[(String, Seq[Double], Seq[Double], Long, Int, Int)] = {
     Captured.drain()
     ops.map { case (name, f) =>
       var rows = -1L
       var cartesian = 0
       var bnlj = 0
-      val secRuns = (1 to math.max(1, reps)).map { rep =>
+      val timed = (1 to math.max(1, reps)).map { rep =>
+        // phase 1 — input restoration (t_synth): re-pin and
+        // re-materialize what the previous rep's cache clear dropped
+        val tS = System.nanoTime()
+        keepResident()
+        extras.get(name).foreach(_.apply())
+        Captured.drain() // restoration plans are not the op's
+        val synthSecs = (System.nanoTime() - tS) / 1e9
+        // phase 2 — the operator, inputs warm
         val t0 = System.nanoTime()
         val df = f()
         df.write.mode("overwrite").format("noop").save()
@@ -192,13 +214,13 @@ object ScaleRehearsal {
           s"$name: rep $rep produced $repRows rows, earlier rep(s) $rows")
         rows = repRows
         spark.catalog.clearCache()
-        keepResident()
         Captured.drain()
-        secs
+        (synthSecs, secs)
       }
+      val secRuns = timed.map(_._2)
       System.err.println(
-        f"[rehearsal] $name: ${secRuns.min}%.1f s (runs ${secRuns.map(s => f"$s%.1f").mkString("/")}), $rows rows")
-      (name, secRuns, rows, cartesian, bnlj)
+        f"[rehearsal] $name: ${secRuns.min}%.1f s op (runs ${secRuns.map(s => f"$s%.1f").mkString("/")}) + ${timed.map(_._1).min}%.1f s synth, $rows rows")
+      (name, timed.map(_._1), secRuns, rows, cartesian, bnlj)
     }
   }
 
@@ -406,10 +428,10 @@ object ScaleRehearsal {
     // inherits x_sim_topk's broadcast query grid for its candidate pool
     val bnljAllowed = Set("tokenize_pack", "ivf_pq", "select_dsir",
       "pipeline_ccnet", "mmr_rerank")
-    val bad = results.filter { case (n, _, _, c, b) =>
+    val bad = results.filter { case (n, _, _, _, c, b) =>
       c > 0 || (b > 0 && !bnljAllowed.contains(n)) }
-    val qs = results.map { case (n, s, r, c, b) =>
-      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"rows":$r,"cartesian":$c,"bnlj":$b}"""
+    val qs = results.map { case (n, sy, s, r, c, b) =>
+      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"t_synth":${math.round(sy.min * 100) / 100.0},"rows":$r,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"rehearsal":"10x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
@@ -660,10 +682,25 @@ object ScaleRehearsal {
     // committed 100x protocol is reps=3 — SPARK_GRAFT_REHEARSAL_REPS
     // overrides for quick iteration
     val reps = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_REPS", "3").toInt
+    // op-specific resident inputs, restored inside t_synth (round-13
+    // fix): the interval/sketch corpora used to be re-synthesized
+    // INSIDE the op timing after each rep's cache clear — the
+    // committed sketch rows were "mostly their own 10M-row
+    // re-synthesis". Registered per-op so selective runs still never
+    // pay a corpus their ops don't read.
+    val restoreSketch = () => {
+      sketchEvents.persist(); sketchEvents.count(); ()
+    }
+    val extras: Map[String, () => Unit] = Map(
+      "interval_join" -> (() => { intervals.persist(); intervals.count(); () }),
+      "sketch_build" -> restoreSketch,
+      "sketch_build_kll" -> restoreSketch,
+      "sketch_build_theta" -> restoreSketch,
+      "sketch_build_freq" -> restoreSketch)
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
-    }, reps = reps)
+    }, reps = reps, extras = extras)
     // Skew audit for the wedge join (the census' only quadratic-risk
     // site): per-vertex wedge work is C(outdeg, 2) under the (deg, id)
     // orientation, so the MAX orientation out-degree bounds the worst
@@ -727,14 +764,15 @@ object ScaleRehearsal {
       "contamination_minhash", "contamination_embed", "ivf_refresh",
       "interval_join", "decontam_gate",
       "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64")
-    val bad = results.filter { case (n, _, r, c, b) =>
+    val bad = results.filter { case (n, _, _, r, c, b) =>
       c > 0 || b > 0 ||
         (pairOps(n) && r.toDouble / denom(n) > fanoutCap)
     }
-    val qs = results.map { case (n, s, r, c, b) =>
+    val qs = results.map { case (n, sy, s, r, c, b) =>
       val fo = math.round(r.toDouble / denom(n) * 1000) / 1000.0
       val runsJson = s.map(v => math.round(v * 100) / 100.0).mkString("[", ",", "]")
-      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"sec_runs":$runsJson,"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
+      val synthJson = sy.map(v => math.round(v * 100) / 100.0).mkString("[", ",", "]")
+      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"sec_runs":$runsJson,"t_synth":${math.round(sy.min * 100) / 100.0},"t_synth_runs":$synthJson,"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val line =
       s"""{"rehearsal":"100x","sf":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,"partitions":$parts,"reps":$reps,"fanout_cap":$fanoutCap,$triAudit$ccAudit"ops":$qs,"plan_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""
@@ -862,12 +900,23 @@ object ScaleRehearsal {
         .overlapPairs(intervals, "event_id", "s", "e", binWidth = 120L)),
       "sketch_build" -> (() => graft.operators.SketchStore.buildSketches(
         sketchEvents, Seq("event_date", "event_type"), "user_id")))
-    val results = runOps(spark, selectOps(ops), () => {
-      if (needs(docOps)) { docs.count(); () }
-      if (needs(vecOps)) { vecs.count(); () }
-      if (needs(Set("interval_join"))) { intervals.count(); () }
-      if (needs(Set("sketch_build"))) { sketchEvents.count(); () }
-    })
+    // per-op input restoration, timed as t_synth (round-13 fix: the
+    // one-phase protocol booked the 100M-row synthesis into the op —
+    // sketch_build read 565.7 s of which 442.2 s was input
+    // manufacture). Each op restores ONLY its own corpus; the
+    // MEMORY_AND_DISK_SER level is re-declared because the previous
+    // op's clearCache dropped the registration, not just the blocks.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val extras: Map[String, () => Unit] = Map(
+      "ppjoin" -> (() => { docs.persist(ser); docs.count(); () }),
+      "minhash_pairs" -> (() => { docs.persist(ser); docs.count(); () }),
+      "embed_pairs" -> (() => { vecs.persist(ser); vecs.count(); () }),
+      "embed_cluster" -> (() => { vecs.persist(ser); vecs.count(); () }),
+      "interval_join" ->
+        (() => { intervals.persist(ser); intervals.count(); () }),
+      "sketch_build" ->
+        (() => { sketchEvents.persist(ser); sketchEvents.count(); () }))
+    val results = runOps(spark, selectOps(ops), () => (), extras = extras)
     def denom(n: String): Long = n match {
       case "ppjoin" | "minhash_pairs" => nDocs
       case "interval_join" => nIv
@@ -875,12 +924,12 @@ object ScaleRehearsal {
       case _ => nVecs
     }
     val fanoutCap = 10.0
-    val bad = results.filter { case (n, _, r, c, b) =>
+    val bad = results.filter { case (n, _, _, r, c, b) =>
       c > 0 || b > 0 || r.toDouble / denom(n) > fanoutCap
     }
-    val qs = results.map { case (n, s, r, c, b) =>
+    val qs = results.map { case (n, sy, s, r, c, b) =>
       val fo = math.round(r.toDouble / denom(n) * 1000) / 1000.0
-      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
+      s"""\"$n\":{"sec":${math.round(s.min * 100) / 100.0},"t_synth":${math.round(sy.min * 100) / 100.0},"rows":$r,"per_row_fanout":$fo,"cartesian":$c,"bnlj":$b}"""
     }.mkString("{", ",", "}")
     val nDocsJson = if (needs(docOps)) nDocs.toString else "null"
     val nVecsJson = if (needs(vecOps)) nVecs.toString else "null"

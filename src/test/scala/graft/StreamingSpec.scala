@@ -490,6 +490,24 @@ class StreamingSpec extends SparkSpec {
       "streamed landing diverges from batch decontamination")
   }
 
+  test("incremental cluster maintenance: final generation equals batch " +
+    "connected components") {
+    import graft.operators.Dedup
+    // the x_dedup_incr_cluster oracle-equality property at spec scale:
+    // per-batch index probes find every corpus pair exactly once, and
+    // bounded-frontier re-resolution (touched components' star edges +
+    // new pairs) reproduces batch CC — including representatives and
+    // sizes — over any batch split of the corpus
+    val incr = StreamOps.incrClusterRun(spark, sf)
+    val batch = Dedup.clusters(Dedup.nearDupMinHash(
+      Tables(spark, sf, "documents").select(col("doc_id"), col("text"))))
+    assert(incr.count() > 0,
+      "no dup clusters at this SF — the operator is unexercised")
+    assert(incr.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(incr).count() == 0,
+      "incremental labels diverge from batch connected components")
+  }
+
   test("streaming upsert: micro-batch merges equal the full-log batch replay") {
     // x_stream_upsert streams the newest slice as two micro-batches
     // (maxFilesPerTrigger=1 over two files) of foreachBatch MERGEs;
