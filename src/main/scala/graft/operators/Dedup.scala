@@ -651,6 +651,43 @@ object Dedup {
     (sh, bandedMinHash(sh, numHashes, bands))
   }
 
+  /** Batch-side banded rows from an ALREADY materialized shingle
+    * frame — the incremental-gate composition: one shingling pass
+    * serves the within-batch pairs, the index probe, AND the index
+    * segment the batch appends ([[graft.streaming.StreamOps]]
+    * `incrClusterStream`). Same derivation as the bands half of
+    * [[contaminationIndex]]. */
+  def bandsFromShingles(
+      sh: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4): DataFrame = bandedMinHash(sh, numHashes, bands)
+
+  /** Within-batch AND batch↔index near-dup pairs from pre-built batch
+    * (shingles, bands): candidates are the bands self-join (d1 < d2)
+    * plus the bands ⋈ index-bands cross equi-join, each verified with
+    * the exact Jaccard. Value-identical to
+    * `nearDupMinHash(batch) ∪ crossDupAgainstIndex(batch, idx)` at the
+    * same (k, numHashes, bands) derivation — the banding is a pure
+    * function of the shingle sets — but the batch is shingled and
+    * banded ONCE instead of three times (pinned by the incremental
+    * cluster oracle equality). */
+  def pairsWithinAndAgainstIndex(
+      shA: DataFrame,
+      bandsA: DataFrame,
+      idxShingles: DataFrame,
+      idxBands: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val withinCand = bandsA.as("a").join(bandsA.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val crossCand = bandsA.as("a").join(idxBands.as("b"), Seq("band", "key"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(withinCand, shA, shA, threshold)
+      .unionByName(verifyJaccard(crossCand, shA, idxShingles, threshold))
+  }
+
   /** Contamination of `batch` against a FROZEN [[contaminationIndex]]:
     * identical semantics to `crossDupMinHash(batch, corpus)` — banding
     * is per-document independent and the index side is fixed, so

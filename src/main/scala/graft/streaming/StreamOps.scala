@@ -745,19 +745,50 @@ object StreamOps {
     * all of which are in the frontier), and sizes are recomputed
     * exactly for every touched component — the incremental ≡ batch
     * proof pattern of `x_ingest_scd` / `x_sim_ivf_refresh`. */
-  def incrClusterRun(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.Dedup
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val dd = graft.Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_incrcc").toString
-    val (src, ckpt) = (s"$work/src", s"$work/ckpt")
-    // the corpus arrives as three crawl batches → three micro-batches
-    (0 until 3).foreach { r =>
-      dd.filter(col("doc_id") % 3 === r)
+  def incrClusterRun(spark: SparkSession, sfDir: String): DataFrame =
+    incrClusterMaintain(spark,
+      graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")),
+      nBatches = 3)
+
+  /** The maintenance loop behind [[incrClusterRun]], parameterized so
+    * the scale rehearsal can drive it over a synthetic corpus: `docs`
+    * (doc_id, text) arrives as `nBatches` crawl batches split by
+    * doc_id residue. Returns the final label generation, driver-pinned
+    * (bounded by the docs-in-pairs roster) so the throwaway work dir
+    * can be reclaimed. */
+  private[graft] def incrClusterMaintain(
+      spark: SparkSession, docs: DataFrame, nBatches: Int): DataFrame = {
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_incrcc_src").toString
+    incrClusterStage(docs, src, nBatches)
+    try incrClusterStream(spark, src)
+    finally deleteWorkDir(src)
+  }
+
+  /** Stage `docs` as `nBatches` crawl-batch files under `src` (one
+    * file per batch → one micro-batch per trigger). Split out from
+    * the stream so the scale rehearsal can stage once and time the
+    * maintenance loop alone — the staging is test-input manufacture,
+    * not the operator. */
+  private[graft] def incrClusterStage(
+      docs: DataFrame, src: String, nBatches: Int): Unit =
+    (0 until nBatches).foreach { r =>
+      docs.filter(col("doc_id") % nBatches === r)
         .coalesce(1).write.mode("append").parquet(src)
     }
+
+  /** The maintenance loop alone, over a pre-staged `src` batch dir
+    * (see [[incrClusterStage]]); state and checkpoint live in a fresh
+    * throwaway dir per call, so repeated calls over the same staged
+    * source re-run the full loop. */
+  private[graft] def incrClusterStream(
+      spark: SparkSession, src: String): DataFrame = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_incrcc").toString
+    val ckpt = s"$work/ckpt"
     val labelSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("rep_id", LongType),
       StructField("cluster_size", LongType)))
@@ -767,12 +798,29 @@ object StreamOps {
       .parquet(src)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tB = System.nanoTime()
+        def lap(stage: String): Unit = System.err.println(
+          f"[incr_cluster] batch $batchId $stage: ${(System.nanoTime() - tB) / 1e9}%.1f s")
         val s = batch.sparkSession
+        // the micro-batch's CLONED session force-disables AQE (the
+        // streaming plan can't re-plan mid-flight), but everything
+        // this body runs is ordinary batch work over the landed
+        // batch — probes, CC rounds, label joins — so re-enable it
+        // for them (the batch formulation they must match runs with
+        // it on)
+        s.conf.set("spark.sql.adaptive.enabled", "true")
         def empty(schema: StructType): DataFrame = s.createDataFrame(
           s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        // this batch's index rows (also the schema source for the
-        // earlier-segment read when no segment exists yet)
-        val (shB, bandsB) = Dedup.contaminationIndex(batch)
+        // the batch is shingled and banded ONCE (eagerly truncated):
+        // these two frames serve the within-batch pairs, the index
+        // probe, AND the index segment appended below — the previous
+        // three independent derivations re-shingled the batch per use
+        // (measured at the 100× rehearsal as most of the per-batch
+        // cost); they are also the schema source for the
+        // earlier-segment read when no segment exists yet
+        val shB = graft.operators.Lineage.truncate(Dedup.shingles(batch))
+        val bandsB = graft.operators.Lineage.truncate(
+          Dedup.bandsFromShingles(shB))
         def earlier(kind: String, schema: StructType): DataFrame = {
           val dirs = Option(
               new java.io.File(s"$work/idx/$kind").listFiles())
@@ -782,19 +830,27 @@ object StreamOps {
             .map(_.getPath).toIndexedSeq
           if (dirs.isEmpty) empty(schema) else s.read.parquet(dirs: _*)
         }
-        val cross = Dedup.crossDupAgainstIndex(
-            batch, earlier("sh", shB.schema), earlier("bands", bandsB.schema))
-          .select(col("d1"), col("d2"))
-        val within = Dedup.nearDupMinHash(batch).select(col("d1"), col("d2"))
-        val newPairs = cross.unionByName(within).persist()
+        // eager truncation, NOT persist: the pair set feeds many
+        // downstream actions (endpoints, frontier, the CC loop's own
+        // checkpointed rounds), and a cache lookup that misses re-runs
+        // the probe + verify chain once per action; truncation makes
+        // every consumer read the materialized partitions
+        val newPairs = graft.operators.Lineage.truncate(
+          Dedup.pairsWithinAndAgainstIndex(shB, bandsB,
+            earlier("sh", shB.schema), earlier("bands", bandsB.schema))
+            .select(col("d1"), col("d2")))
+        lap("pairs (cross probe + within)")
         val prior =
           if (batchId == 0) empty(labelSchema)
           else s.read.schema(labelSchema)
             .parquet(s"$work/labels/gen_${batchId - 1}")
         val ends = newPairs.select(col("d1").as("doc_id"))
           .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
-        val touched = prior.join(ends, "doc_id")
-          .select(col("rep_id")).distinct()
+        // touched is referenced three times (frontier, carry-over
+        // anti-join) over parquet+checkpoint inputs — tiny, truncate it
+        // too so each use is a read, not a re-join
+        val touched = graft.operators.Lineage.truncate(
+          prior.join(ends, "doc_id").select(col("rep_id")).distinct())
         val starEdges = prior.join(touched, "rep_id")
           .filter(col("doc_id") =!= col("rep_id"))
           .select(col("doc_id").as("d1"), col("rep_id").as("d2"))
@@ -805,12 +861,13 @@ object StreamOps {
             .select("doc_id", "rep_id", "cluster_size")
             .unionByName(
               Dedup.clusters(delta).select("doc_id", "rep_id", "cluster_size"))
+        lap("frontier CC resolved")
         resolved.coalesce(1).write.mode("overwrite")
           .parquet(s"$work/labels/gen_$batchId")
+        lap("labels landed")
         shB.write.mode("overwrite").parquet(s"$work/idx/sh/batch_$batchId")
         bandsB.write.mode("overwrite")
           .parquet(s"$work/idx/bands/batch_$batchId")
-        newPairs.unpersist()
         ()
       }
       .option("checkpointLocation", ckpt)

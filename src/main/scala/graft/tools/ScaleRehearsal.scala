@@ -559,6 +559,17 @@ object ScaleRehearsal {
     }
     def stagedGateSh() = spark.read.parquet(s"$gateDir/sh")
     def stagedGateBands() = spark.read.parquet(s"$gateDir/bands")
+    // staged crawl-batch files for the incremental cluster op (three
+    // batches by doc_id residue) — input manufacture, outside the
+    // timing, same rationale as the gate index above
+    val incrSrcDir = java.nio.file.Files
+      .createTempDirectory("graft_incr_src")
+    val needIncr = onlyOps.forall(_.contains("incr_cluster"))
+    if (needIncr) {
+      graft.streaming.StreamOps.incrClusterStage(
+        docs.select(col("doc_id"), col("text")), incrSrcDir.toString, 3)
+      spark.catalog.clearCache()
+    }
     // the two CC formulations keep a handle on their constructed frames:
     // both loops end in a Lineage.truncate fixpoint, so the post-run
     // equality audit reads the already-materialized labels instead of
@@ -677,7 +688,16 @@ object ScaleRehearsal {
       // corpus-scale remedy, now measured rather than asserted
       "phash_pairs64" -> (() => Dedup.hammingPairs64(
         graft.operators.Multimodal.imageAHash64(spark, docs).toDF(),
-        idCol = "doc_id", hashCol = "ahash64", maxHamming = 6)))
+        idCol = "doc_id", hashCol = "ahash64", maxHamming = 6)),
+      // incremental cluster maintenance (x_dedup_incr_cluster's loop)
+      // at 100×: three crawl batches from the staged src, each paying
+      // one band-index probe of strictly-earlier batches + within-batch
+      // MinHash + bounded-frontier CC; output = the final label
+      // generation (docs-in-pairs roster — the 10-member verbatim
+      // families, fan-out 0.1). The staged src is read per rep with a
+      // fresh checkpoint/state dir, so every rep runs the full loop.
+      "incr_cluster" -> (() => graft.streaming.StreamOps
+        .incrClusterStream(spark, incrSrcDir.toString)))
     // min-of-N within the one warmed JVM (see runOps scaladoc): the
     // committed 100x protocol is reps=3 — SPARK_GRAFT_REHEARSAL_REPS
     // overrides for quick iteration
@@ -763,7 +783,8 @@ object ScaleRehearsal {
       "embed_pairs", "ngram_overlap",
       "contamination_minhash", "contamination_embed", "ivf_refresh",
       "interval_join", "decontam_gate",
-      "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64")
+      "minhash_pairs", "triangles", "phash_pairs", "phash_pairs64",
+      "incr_cluster")
     val bad = results.filter { case (n, _, _, r, c, b) =>
       c > 0 || b > 0 ||
         (pairOps(n) && r.toDouble / denom(n) > fanoutCap)
@@ -782,7 +803,7 @@ object ScaleRehearsal {
     // rehearsals don't accumulate multi-GB temp trees
     locally {
       import scala.jdk.CollectionConverters._
-      Seq(pairsDir, gateDir).foreach { d =>
+      Seq(pairsDir, gateDir, incrSrcDir).foreach { d =>
         if (java.nio.file.Files.exists(d))
           java.nio.file.Files.walk(d).iterator().asScala.toSeq
             .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
@@ -1188,8 +1209,37 @@ object ScaleRehearsal {
         .map(java.nio.file.Files.size).sum
     }
 
+    // 5) incremental dedup-cluster maintenance at 10× docs: the crawl
+    // corpus arrives as 5 batches through StreamOps.incrClusterMaintain
+    // (per-batch band-index probe + bounded-frontier CC). The guard
+    // proves the maintained label state IS the batch CC result (the
+    // checksum-equality audit the 100× CC rows use) and that state
+    // rows stay on the docs-in-pairs roster — never the pair count,
+    // never the batch history.
+    import graft.operators.Dedup
+    val docs10 = docs10x(spark, graft.Tables(spark, sfDir, "documents"))
+      .select(col("doc_id"), col("text")).persist()
+    val nDocs10 = docs10.count()
+    val tC = System.nanoTime()
+    val incrLabels =
+      graft.streaming.StreamOps.incrClusterMaintain(spark, docs10, nBatches = 5)
+    val cSec = (System.nanoTime() - tC) / 1e9
+    val batchLabels = Dedup.clusters(Dedup.nearDupMinHash(docs10))
+    def fpLabels(df: DataFrame) = df
+      .select(xxhash64(col("doc_id"), col("rep_id"),
+        col("cluster_size")).as("h"))
+      .agg(expr("bit_xor(h)").as("x"),
+        sum(pmod(col("h"), lit(1000000007L))).as("s"),
+        count(lit(1)).as("n")).head()
+    val (fpIncr, fpBatch) = (fpLabels(incrLabels), fpLabels(batchLabels))
+    val incrEqual = (0 to 2).forall(i => fpIncr.getLong(i) == fpBatch.getLong(i))
+    val incrRows = fpIncr.getLong(2)
+    spark.catalog.clearCache()
+
     // contracts
     val checks = Seq(
+      ("incr_cluster_equals_batch", incrEqual),
+      ("incr_cluster_label_bounded", incrRows > 0L && incrRows <= nDocs10),
       ("join_evicts", j.removed > 0L),
       ("join_state_bounded", j.peak < nRows / 2), // vs 2M rows buffered unwatermarked
       ("state_key_bounded", st.fin == nUsers && st.peak <= nUsers),
@@ -1211,7 +1261,8 @@ object ScaleRehearsal {
       s""""stream_hwm":{"sec":${math.round(h.secs * 100) / 100.0},"state_peak":${h.peak},"state_final":${h.fin},"rocksdb_bytes":${h.rocksBytes},"n_keys":$nUsers}""",
       s""""stream_timer_sessions":{"sec":${math.round(ts.secs * 100) / 100.0},"state_peak":${ts.peak},"state_final":${ts.fin},"state_removed":${ts.removed},"rocksdb_bytes":${ts.rocksBytes}}""",
       s""""stream_upsert":{"sec":${math.round(uSec * 100) / 100.0},"state_rows":$uRows,"n_keys":$nUsers}""",
-      s""""stream_sketch":{"sec":${math.round(sSec * 100) / 100.0},"state_rows":$sRows,"n_groups":$nGroups,"n_events_merged":$sEvents,"state_bytes":$sBytes,"batches":$sGen}""")
+      s""""stream_sketch":{"sec":${math.round(sSec * 100) / 100.0},"state_rows":$sRows,"n_groups":$nGroups,"n_events_merged":$sEvents,"state_bytes":$sBytes,"batches":$sGen}""",
+      s""""stream_incr_cluster":{"sec":${math.round(cSec * 100) / 100.0},"batches":5,"label_rows":$incrRows,"n_docs":$nDocs10,"cc_equal":$incrEqual}""")
       .mkString("{", ",", "}")
     val line =
       s"""{"rehearsal":"stream10x","sf":"$sfDir","n_events":$nRows,"n_users":$nUsers,"stripes":$nStripes,"partitions":32,"ops":$qs,"state_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Merge N bench-run JSON lines into one BENCH_LOCAL snapshot.
 
-Usage: merge_bench.py OUT.json RUN1.json [RUN2.json ...]
+Usage: merge_bench.py OUT.json [--canary CANARY.json] RUN1.json [RUN2.json ...]
+
+--canary embeds the quiet-window `Probe hostcanary` line (required in
+every committed merge from round 14: BASELINE.md's cold contract is
+canary-normalized, so a merge without its host_canary cannot be
+evaluated).
 
 Per-query steady value = min across runs (each run is itself a
 min-of-2 within one JVM, so this is the documented min-of-N protocol:
@@ -27,7 +32,14 @@ from collections import Counter
 
 
 def main() -> None:
-    out, first, *rest = sys.argv[1:]
+    args = sys.argv[1:]
+    canary = None
+    if "--canary" in args:
+        i = args.index("--canary")
+        with open(args[i + 1]) as f:
+            canary = json.load(f)
+        args = args[:i] + args[i + 2:]
+    out, first, *rest = args
     runs = []
     for p in [first] + rest:
         with open(p) as f:
@@ -109,6 +121,8 @@ def main() -> None:
         "plans": base["plans"],
         "sf": base["sf"],
     }
+    if canary is not None:
+        snap["host_canary"] = canary
     with open(out, "w") as f:
         json.dump(snap, f, indent=1, sort_keys=True)
     print(f"merged {len(runs)} runs -> {out}: steady {snap['value']:.1f}s, "
