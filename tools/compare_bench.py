@@ -89,7 +89,15 @@ def main() -> None:
     if not improv:
         print("  none")
 
-    ho, hn = old.get("host_canary"), new.get("host_canary")
+    def flat_canary(h):
+        # r14+ merges may carry {before, after} endpoint canaries for a
+        # drifting window; pair comparisons with the 'before' endpoint
+        # (the minmerged basis is dominated by the earliest/fastest run)
+        if h is None:
+            return None
+        return h.get("before", h) if "canary_mt" not in h else h
+
+    ho, hn = flat_canary(old.get("host_canary")), flat_canary(new.get("host_canary"))
     if ho and hn:
         print(f"\nhost canary: st {ho['canary_st']:.3f} -> {hn['canary_st']:.3f} "
               f"({hn['canary_st'] / ho['canary_st']:.3f}x), "
