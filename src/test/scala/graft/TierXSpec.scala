@@ -41,6 +41,29 @@ class TierXSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).size} pairs")
   }
 
+  test("pairsWithinAndAgainstIndex == nearDupMinHash(batch) union " +
+    "crossDupAgainstIndex(batch, idx)") {
+    // the fused form the incremental cluster gate uses (one shingling
+    // and banding per batch) must be value-identical to the two
+    // independent derivations it replaced — banding is a pure function
+    // of the shingle sets, so this pins the composition contract
+    val dd = Tables(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val batch = dd.filter(col("doc_id") % 3 === 0)
+    val corpus = dd.filter(col("doc_id") % 3 =!= 0)
+    val (idxSh, idxBands) = Dedup.contaminationIndex(corpus)
+    val sh = Dedup.shingles(batch).localCheckpoint()
+    val bands = Dedup.bandsFromShingles(sh).localCheckpoint()
+    val fused = Dedup.pairsWithinAndAgainstIndex(sh, bands, idxSh, idxBands)
+      .select("d1", "d2")
+    val separate = Dedup.nearDupMinHash(batch).select("d1", "d2")
+      .unionByName(
+        Dedup.crossDupAgainstIndex(batch, idxSh, idxBands).select("d1", "d2"))
+    assert(fused.count() > 0, "no pairs at this SF — composition unexercised")
+    assert(fused.exceptAll(separate).count() == 0 &&
+      separate.exceptAll(fused).count() == 0,
+      "fused pair derivation diverges from the two-call composition")
+  }
+
   test("simhash distance 0 for exact dup, small for near-dup") {
     val hs = Dedup.simHashes(crafted).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
