@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, assert_true, coalesce, col, concat, concat_ws, count, countDistinct, explode, expr, floor, greatest, length, lit, lpad, max, min, round, slice, split, substring, sum, to_date, upper, when}
+import org.apache.spark.sql.functions.{abs, assert_true, coalesce, col, concat, concat_ws, count, countDistinct, date_format, explode, expr, floor, greatest, length, lit, lpad, max, min, pmod, round, slice, split, substring, sum, to_date, upper, when}
 
 import graft.{Conventions, Tables}
-import graft.operators.{Curation, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
+import graft.operators.{Curation, Dedup, Maintenance, Multimodal, Packing, SimilaritySearch, TextAnalysis}
 import graft.sources.Sinks
 
 /** Tier X — training-data-pipeline extensions (SURVEY.md §2.2 Tier X +
@@ -104,6 +104,75 @@ object TierX {
         .agg(count(lit(1)).as("n_rows"),
           Conventions.moneySum(col("l_extendedprice")).as("revenue"))
         .orderBy("zb")
+    }),
+    "x_maint_compact" -> ((s, d) => {
+      // small-file compaction (the OPTIMIZE shape): the events table is
+      // first landed the way a one-file-per-trigger streaming sink
+      // leaves it — 12 batchId-named segments x 4 files — then
+      // Maintenance.compactDir bin-packs the sub-threshold files into
+      // target-size outputs (write-new, move-in, delete-old) and a
+      // SECOND pass must select nothing: the fixpoint is the
+      // idempotence contract a scheduled compactor converges on. The
+      // oracle reads the raw table — compaction re-blocks bytes, it
+      // must never change a row
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      (0 until 12).foreach { b =>
+        ev.filter(pmod(col("event_id"), lit(12)) === b)
+          .repartition(4)
+          .write.mode("overwrite").parquet(s"$work/batch_$b")
+      }
+      val st = Maintenance.compactDir(s, work,
+        targetBytes = 128L << 20, minFileBytes = 8L << 20)
+      require(st.filesRewritten >= 48,
+        s"expected the 48 landed fragments selected, got $st")
+      val again = Maintenance.compactDir(s, work,
+        targetBytes = 128L << 20, minFileBytes = 8L << 20)
+      require(again.filesRewritten == 0,
+        s"second compaction must be a fixpoint no-op, got $again")
+      s.read.parquet(work).orderBy("event_id")
+    }),
+    "x_maint_timetravel" -> ((s, d) => {
+      // generational table lifecycle: three cumulative state commits
+      // (the write-new-then-swap pattern with its manifest made
+      // explicit), an incident ROLLBACK to gen 2 — a manifest pointer,
+      // never a data copy — then a retention vacuum keeping the last 2
+      // commits, under which gen 2's directory SURVIVES because the
+      // in-retention rollback still references it while gen 1 is
+      // reclaimed. The current read is therefore the state as of
+      // batches 0-1, which the oracle recomputes from the raw table
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_gen_table").toString
+      val root = s"$work/table"
+      (0 to 2).foreach { b =>
+        val upTo = ev.filter(pmod(col("event_id"), lit(3)) <= b)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            Conventions.moneySum(col("value")).as("total"))
+        Maintenance.commit(s, root, upTo)
+      }
+      val g4 = Maintenance.rollback(s, root, toGen = 2)
+      require(g4 == 4, s"rollback commit expected gen 4, got $g4")
+      val reclaimed = Maintenance.vacuum(s, root, keepLast = 2)
+      require(reclaimed == Seq(1),
+        s"vacuum keep-2 must reclaim exactly gen 1 (gen 2 is pinned " +
+          s"by the rollback pointer), got $reclaimed")
+      val out = Maintenance.readCurrent(s, root)
+        .orderBy("event_type")
+      // a handful of per-type rows: pin driver-side so the throwaway
+      // root can be reclaimed (the StreamOps maintenance-run lifecycle)
+      val rows = out.collect().toIndexedSeq
+      val pinned = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+      Maintenance.deleteRoot(s, work)
+      pinned
     }),
     "x_dedup_incremental" -> ((s, d) =>
       // incremental crawl dedup: batch docs (hash-fated ~10%) survive
@@ -1446,6 +1515,20 @@ object TierX {
 
   val oracle: Map[String, String] = Map(
     "x_dedup_simhash64p" -> simhash64Oracle,
+    // compaction re-blocks bytes, never rows: the compacted landing
+    // must read back as exactly the raw table
+    "x_maint_compact" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    // after the rollback-to-gen-2 + keep-2 vacuum, the current read is
+    // the cumulative state over batches 0-1 (event_id % 3 <= 1) —
+    // recomputed here from the raw table
+    "x_maint_timetravel" ->
+      s"""SELECT event_type, count(1) AS n,
+        |       ${moneySumSql("value")} AS total
+        |FROM events WHERE event_id % 3 <= 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_join_bloom" ->
       """SELECT o_orderkey, o_custkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -576,6 +576,12 @@ object ScaleRehearsal {
     // re-running the rounds
     var ccHashMin: DataFrame = null
     var ccStar: DataFrame = null
+    // maintenance-op scratch: the landing is re-fragmented per rep
+    // inside t_synth (compaction consumes its input); each maint_gen
+    // rep gets a fresh table root (the manifest is append-only)
+    val maintDir = java.nio.file.Files
+      .createTempDirectory("graft_maint100").toString
+    var maintGenRep = 0
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       // sub-phase rows: candidate generation timed WITHOUT the exact
@@ -697,7 +703,49 @@ object ScaleRehearsal {
       // families, fan-out 0.1). The staged src is read per rep with a
       // fresh checkpoint/state dir, so every rep runs the full loop.
       "incr_cluster" -> (() => graft.streaming.StreamOps
-        .incrClusterStream(spark, incrSrcDir.toString)))
+        .incrClusterStream(spark, incrSrcDir.toString)),
+      // small-file compaction at 100× BYTE volume / 10× file count
+      // (480 landed fragments of the 10M-event frame, re-fragmented
+      // per rep inside t_synth): the op must cost O(small-file bytes +
+      // listing), never O(logical table) — the stats row carries the
+      // file accounting so a selection regression is visible
+      "maint_compact" -> (() => {
+        val st = graft.operators.Maintenance.compactDir(spark,
+          s"$maintDir/landing",
+          targetBytes = 128L << 20, minFileBytes = 8L << 20)
+        require(st.filesRewritten == 480 && st.filesWritten >= 1,
+          s"maint_compact expected all 480 fragments selected: $st")
+        spark.range(1).select(
+          lit(st.filesBefore).as("files_before"),
+          lit(st.filesRewritten).as("files_rewritten"),
+          lit(st.filesWritten).as("files_written"),
+          lit(st.bytesRewritten).as("bytes_rewritten"))
+      }),
+      // generational lifecycle at 100×: three day-grain state commits
+      // computed from the 10M-event frame, an incident rollback and a
+      // keep-2 vacuum — the COMMITS carry the cost (each is a full
+      // state aggregate + write); rollback and vacuum must stay
+      // metadata-only, which the wall-clock of this row demonstrates
+      // against the sketch_build band (one aggregate ≈ one commit)
+      "maint_gen" -> (() => {
+        maintGenRep += 1
+        val root = s"$maintDir/table_rep$maintGenRep"
+        val state = sketchEvents
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value")).as("total"))
+        val g1 = graft.operators.Maintenance.commit(spark, root,
+          state.filter(col("event_type") =!= "purchase"))
+        graft.operators.Maintenance.commit(spark, root, state)
+        graft.operators.Maintenance.commit(spark, root, state)
+        graft.operators.Maintenance.rollback(spark, root, toGen = g1)
+        val reclaimed =
+          graft.operators.Maintenance.vacuum(spark, root, keepLast = 2)
+        require(reclaimed == Seq(2),
+          s"keep-2 vacuum with gen 4 -> gen 1 pointer must reclaim " +
+            s"exactly gen 2, got $reclaimed")
+        graft.operators.Maintenance.readCurrent(spark, root)
+      }))
     // min-of-N within the one warmed JVM (see runOps scaladoc): the
     // committed 100x protocol is reps=3 — SPARK_GRAFT_REHEARSAL_REPS
     // overrides for quick iteration
@@ -716,7 +764,16 @@ object ScaleRehearsal {
       "sketch_build" -> restoreSketch,
       "sketch_build_kll" -> restoreSketch,
       "sketch_build_theta" -> restoreSketch,
-      "sketch_build_freq" -> restoreSketch)
+      "sketch_build_freq" -> restoreSketch,
+      // input manufacture for the compaction row: land the 10M-event
+      // frame as 480 small fragments (mode=overwrite resets the
+      // previous rep's compacted files)
+      "maint_compact" -> (() => {
+        restoreSketch()
+        sketchEvents.repartition(480)
+          .write.mode("overwrite").parquet(s"$maintDir/landing")
+      }),
+      "maint_gen" -> restoreSketch)
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+
+/** Table-maintenance specs: the generational manifest (commit /
+  * time-travel read / pointer rollback / retention vacuum) and
+  * OPTIMIZE-style small-file compaction (selection threshold, swap
+  * safety, fixpoint idempotence, per-partition pools). The end-to-end
+  * lifecycles are additionally oracle-verified by `x_maint_timetravel`
+  * and `x_maint_compact`.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_maint").toString
+
+  // ---- generational table ----
+
+  test("commit / readGen / readCurrent round-trip per generation") {
+    val root = tmp() + "/t"
+    val g1 = Maintenance.commit(spark, root, Seq((1, "a")).toDF("k", "v"))
+    val g2 = Maintenance.commit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert((g1, g2) == (1, 2))
+    assert(Maintenance.currentGen(spark, root) == 2)
+    assert(Maintenance.readGen(spark, root, 1).count() == 1)
+    assert(Maintenance.readCurrent(spark, root).count() == 2)
+  }
+
+  test("rollback is a manifest pointer, never a data copy") {
+    val root = tmp() + "/t"
+    Maintenance.commit(spark, root, Seq((1, "good")).toDF("k", "v"))
+    Maintenance.commit(spark, root, Seq((1, "bad")).toDF("k", "v"))
+    val g3 = Maintenance.rollback(spark, root, toGen = 1)
+    assert(g3 == 3)
+    // no gen_00000003 directory exists — the commit row resolves to 1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(f"$root/gen_${3}%08d")))
+    assert(Maintenance.readCurrent(spark, root)
+      .select("v").as[String].collect().toSeq == Seq("good"))
+    // the bad generation's history stays readable
+    assert(Maintenance.readGen(spark, root, 2)
+      .select("v").as[String].collect().toSeq == Seq("bad"))
+  }
+
+  test("vacuum keeps directories referenced by in-retention rollbacks") {
+    val root = tmp() + "/t"
+    (1 to 3).foreach(i =>
+      Maintenance.commit(spark, root, Seq((i, s"g$i")).toDF("k", "v")))
+    Maintenance.rollback(spark, root, toGen = 2) // gen 4 -> data gen 2
+    val reclaimed = Maintenance.vacuum(spark, root, keepLast = 2)
+    // retained commits: gens 3, 4 -> data dirs {3, 2}; only 1 reclaims
+    assert(reclaimed == Seq(1))
+    assert(Maintenance.readGen(spark, root, 4)
+      .select("v").as[String].collect().toSeq == Seq("g2"))
+    // a vacuumed generation fails LOUDLY, naming itself
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.readGen(spark, root, 1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // vacuum is idempotent: nothing further to reclaim
+    assert(Maintenance.vacuum(spark, root, keepLast = 2).isEmpty)
+  }
+
+  // ---- compaction ----
+
+  private def listData(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += st
+    }
+    out.result()
+  }
+
+  test("flat-pool compaction packs landing segments and is a fixpoint") {
+    val work = tmp() + "/landing"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    (0 until 4).foreach { b =>
+      ev.filter(pmod(col("event_id"), lit(4)) === b)
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$work/batch_$b")
+    }
+    val before = listData(work)
+    assert(before.size == 12)
+    val expected = ev.orderBy("event_id").collect().toSeq
+    val st = Maintenance.compactDir(spark, work,
+      targetBytes = 64L << 20, minFileBytes = 4L << 20)
+    assert(st.filesRewritten == 12 && st.filesWritten == 1)
+    val after = listData(work)
+    assert(after.size == 1 &&
+      after.head.getPath.getName.startsWith("compacted-"))
+    // content-preserving: every row survives, byte re-blocking only
+    assert(spark.read.parquet(work)
+      .orderBy("event_id").collect().toSeq == expected)
+    // second pass selects nothing — the idempotence fixpoint
+    val again = Maintenance.compactDir(spark, work,
+      targetBytes = 64L << 20, minFileBytes = 4L << 20)
+    assert(again.filesRewritten == 0 && again.filesWritten == 0)
+  }
+
+  test("files at or above the size floor are never rewritten") {
+    val work = tmp() + "/mixed"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$work/big")
+    ev.limit(50).repartition(2)
+      .write.mode("overwrite").parquet(s"$work/small")
+    val bigFile = listData(s"$work/big").head
+    // floor below the big file's size: only the two small files pack
+    val st = Maintenance.compactDir(spark, work,
+      targetBytes = 64L << 20, minFileBytes = bigFile.getLen)
+    assert(st.filesRewritten == 2)
+    val names = listData(work).map(_.getPath.getName)
+    assert(names.contains(bigFile.getPath.getName))
+    // landing dirs are read recursively by convention (the
+    // incrClusterRun bronze pattern) — the untouched big file stays
+    // under its segment, the packed file lands at the pool root
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(work).count() == ev.count() + 50)
+  }
+
+  test("per-parent pools keep hive partition files under their path") {
+    val work = tmp() + "/hive"
+    val df = Seq((1, "x"), (2, "x"), (3, "y"), (4, "y")).toDF("k", "p")
+    // two appends guarantee >= 2 files under each partition directory
+    df.write.partitionBy("p").mode("overwrite").parquet(work)
+    df.write.partitionBy("p").mode("append").parquet(work)
+    val st = Maintenance.compactDir(spark, work,
+      targetBytes = 64L << 20, minFileBytes = 4L << 20, perParent = true)
+    assert(st.pools == 2)
+    // one packed file per partition directory, partition values intact
+    val after = listData(work)
+    assert(after.size == 2 &&
+      after.map(_.getPath.getParent.getName).sorted == Seq("p=x", "p=y"))
+    assert(spark.read.parquet(work)
+      .groupBy("p").agg(count(lit(1)).as("n"), sum("k").as("s"))
+      .orderBy("p").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("x", 4L, 6L), ("y", 4L, 14L)))
+  }
+}
