@@ -58,7 +58,15 @@ object Maintenance {
   /** Manifest schema: one row per commit. `action` ∈ commit | rollback
     * | vacuum; `data_gen` is the generation whose DIRECTORY holds this
     * commit's rows (= `gen` for a plain commit, the restored target
-    * for a rollback, unused sentinel -1 for a vacuum audit row). */
+    * for a rollback, unused sentinel -1 for a vacuum audit row).
+    *
+    * Concurrency contract: SINGLE WRITER. The append-only parquet log
+    * serializes history for any number of READERS (a reader never sees
+    * a half-commit: data lands before the manifest row), but two
+    * concurrent committers could both read `currentGen` = g and write
+    * gen g+1 — a production deployment puts the append behind the
+    * catalog's atomic swap (the maintenance loops in this engine are
+    * single-writer by construction: one streaming query owns a root). */
   private val manifestSchema = StructType(Seq(
     StructField("gen", IntegerType, nullable = false),
     StructField("action", StringType, nullable = false),
