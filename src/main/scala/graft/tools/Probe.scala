@@ -127,7 +127,30 @@ object Probe {
           .groupBy("k").count()
           .write.mode("overwrite").format("noop").save()
       }
-      println(f"""{"canary_st":$st%.3f,"canary_mt":$mt%.3f}""")
+      // round-14 finding: a window can read CPU-parity on st/mt yet
+      // run the suite 1.2-1.5x slow — the bench is parquet-I/O-heavy
+      // (every query scans sf0.1 tables; temp writes throughout) while
+      // both CPU legs are storage-blind. canary_io pins the storage
+      // axis: write a fixed ~60M-row two-column parquet to the OS
+      // tmpdir, drop the page cache's help by reading it back with a
+      // full-column aggregate, delete it. min-of-3 like the others.
+      val ioDir = java.nio.file.Files
+        .createTempDirectory("graft_canary_io").toString
+      val io = minOf3 { () =>
+        val d = s"$ioDir/t"
+        spark.range(0L, 60000000L, 1L, 32)
+          .selectExpr("id", "xxhash64(id) AS h")
+          .write.mode("overwrite").parquet(d)
+        spark.read.parquet(d)
+          // bit_xor cannot overflow under ANSI (a raw sum of
+          // full-range longs does) and still touches every value
+          .selectExpr("bit_xor(h) AS s", "count(1) AS n")
+          .write.mode("overwrite").format("noop").save()
+      }
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(ioDir), true)
+      println(f"""{"canary_st":$st%.3f,"canary_mt":$mt%.3f,"canary_io":$io%.3f}""")
       spark.stop()
       return
     }
