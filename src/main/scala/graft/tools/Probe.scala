@@ -155,6 +155,54 @@ object Probe {
       return
     }
 
+    // compaction's selection contract at the 1000×-class table: a
+    // 110M-row landing where only ~9% of the BYTES (10M rows in 480
+    // sub-threshold fragments) sit under the size floor next to 480
+    // at-size files (100M rows). The selective pass must cost ~the
+    // 100× rehearsal row — it reads only the small fraction — while a
+    // deliberately mis-floored full rewrite pays the whole table; the
+    // pair is the measured proof that compaction is O(small-file
+    // bytes), never O(logical table). Ends with the fixpoint check.
+    if (which == "maint1000x") {
+      import graft.operators.Maintenance
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_maint1000x").toString + "/landing"
+      def now() = System.nanoTime()
+      def f(s: Double): Double = math.round(s * 100) / 100.0
+      val t0 = now()
+      spark.range(0L, 100000000L, 1L, 480)
+        .selectExpr("id", "xxhash64(id) AS h")
+        .write.mode("overwrite").parquet(d)
+      spark.range(100000000L, 110000000L, 1L, 480)
+        .selectExpr("id", "xxhash64(id) AS h")
+        .write.mode("append").parquet(d)
+      val tSynth = (now() - t0) / 1e9
+      val t1 = now()
+      val sel = Maintenance.compactDir(spark, d,
+        targetBytes = 256L << 20, minFileBytes = 1L << 20)
+      val tSel = (now() - t1) / 1e9
+      require(sel.filesRewritten == 480,
+        s"selective pass must rewrite exactly the 480 fragments: $sel")
+      val t2 = now()
+      val full = Maintenance.compactDir(spark, d,
+        targetBytes = 256L << 20, minFileBytes = 8L << 20)
+      val tFull = (now() - t2) / 1e9
+      val t3 = now()
+      val fix = Maintenance.compactDir(spark, d,
+        targetBytes = 256L << 20, minFileBytes = 1L << 20)
+      val tFix = (now() - t3) / 1e9
+      require(fix.filesRewritten == 0, s"fixpoint violated: $fix")
+      val n = spark.read.parquet(d).count()
+      require(n == 110000000L, s"content loss: $n rows")
+      println(
+        s"""{"probe":"maint1000x","rows":$n,"t_synth":${f(tSynth)},""" +
+        s""""sec_selective":${f(tSel)},"selective":"$sel",""" +
+        s""""sec_full_rewrite":${f(tFull)},"full":"$full",""" +
+        s""""sec_fixpoint":${f(tFix)}}""")
+      spark.stop()
+      return
+    }
+
     // sketch-store build at 1000× (100M events): the one-rep rehearsal
     // number (565 s at p1200 / 488 s at p400) bundles the synthesis,
     // persist population and build — split them, and time warm reps of
