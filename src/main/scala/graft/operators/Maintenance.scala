@@ -234,7 +234,17 @@ object Maintenance {
     * are named `compacted-<uuid>-…` so a re-run (or crash replay)
     * never collides. The rewrite is `coalesce`, not `repartition`:
     * compaction must not pay a shuffle to move bytes it is only
-    * re-blocking. */
+    * re-blocking.
+    *
+    * NOT safe under an ACTIVE checkpointed file-stream source watching
+    * `dir`: Structured Streaming's file source tracks seen FILES by
+    * path, so it would ingest the packed outputs as brand-new data
+    * (duplicates) while the deleted originals break replay. Compact
+    * only tables read by batch readers — landings whose ingest has
+    * completed (the AvailableNow lifecycles in this engine tear down
+    * their checkpoints with the run), or downstream generations. Under
+    * a manifest-backed table the same rule is enforced by snapshot
+    * isolation; on raw directories it is an operational contract. */
   def compactDir(
       spark: SparkSession, dir: String,
       targetBytes: Long, minFileBytes: Long,

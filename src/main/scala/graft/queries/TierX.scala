@@ -114,7 +114,10 @@ object TierX {
       // SECOND pass must select nothing: the fixpoint is the
       // idempotence contract a scheduled compactor converges on. The
       // oracle reads the raw table — compaction re-blocks bytes, it
-      // must never change a row
+      // must never change a row. Bench attribution: this query times
+      // the whole LIFECYCLE (land fragmented + compact + fixpoint +
+      // read-back) by design; the operator-attributable number is the
+      // split-timing 100x rehearsal row (t_synth excludes the landing)
       val ev = Tables(s, d, "events").select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))

@@ -436,6 +436,40 @@ object Probe {
     // and print the FINAL (AQE) plan's exchange/reuse lines — run this
     // in several fresh JVMs to see which exchanges flip to
     // ReusedExchange between runs (the bench merge's 4-vs-6 drift).
+    // parameterized watch-list variant of entityplan: capture the
+    // EXECUTED (post-AQE) plan of any registry query in a fresh JVM —
+    // `Probe queryplan x_pipeline_prepare` — and print its node
+    // metrics + exchange/join lines for cross-JVM stability checks
+    if (which == "queryplan") {
+      val qname = args(1)
+      val qe = new java.util.concurrent.atomic.AtomicReference[
+        org.apache.spark.sql.execution.QueryExecution]()
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(f: String,
+              q: org.apache.spark.sql.execution.QueryExecution,
+              d: Long): Unit = qe.set(q)
+          override def onFailure(f: String,
+              q: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+      val df = graft.SparkEntry.queries(qname)(spark, sfDir)
+      df.write.mode("overwrite").format("noop").save()
+      val deadline = System.nanoTime() + 10000000000L
+      while (qe.get() == null && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      if (qe.get() == null) {
+        println("[probe] QueryExecutionListener did not fire within 10 s")
+        spark.stop()
+        return
+      }
+      val plan = qe.get().explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      println("[probe] metrics=" + graft.Bench.planMetrics(plan))
+      spark.stop()
+      return
+    }
+
     if (which == "entityplan") {
       val qe = new java.util.concurrent.atomic.AtomicReference[
         org.apache.spark.sql.execution.QueryExecution]()
