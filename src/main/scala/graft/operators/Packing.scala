@@ -82,4 +82,50 @@ object Packing {
     spark.createDataFrame(packed, outSchema)
       .select("doc_id", "n_tokens", "start_tok", "pack_id", "pack_off")
   }
+
+  /** Export the packed corpus as PHYSICAL training shards — the
+    * last-mile artifact a trainer consumes ([[packSequences]] computes
+    * the layout; this lands it).
+    *
+    * Each document goes to the shard its first token lands in
+    * (`pack_id` at budget = `shardTokens` — production shards are
+    * token-budgeted, not row-counted, so every shard carries ~equal
+    * training signal regardless of document length skew). The payload
+    * is written hive-partitioned by `shard_id` with ONE file per shard
+    * (`repartition(shard_id)` co-locates each shard in one task before
+    * the partitioned write — no small-file debris for
+    * [[Maintenance.compactDir]] to clean later), and the returned
+    * MANIFEST is aggregated from the LANDED files, not the plan: rows
+    * that did not survive the write cannot appear in it. Manifest
+    * carries a portable per-shard content fingerprint (bit_xor of
+    * hash32, engine-reproducible) so a consumer can verify a shard
+    * without re-reading the corpus.
+    *
+    * Scale notes: layout cost is [[packSequences]] (one range shuffle
+    * + two streamed passes); the export adds one doc_id equi-join
+    * (sort-merge on the corpus's natural key) and one shard_id
+    * exchange feeding the write. Shard count = total tokens /
+    * `shardTokens` — pick GB-scale budgets in production so the
+    * output file count stays O(corpus / GB). */
+  def exportShards(
+      docs: DataFrame, shardTokens: Int, outDir: String): DataFrame = {
+    val layout = packSequences(docs, budget = shardTokens)
+      .select(col("doc_id"), col("n_tokens"),
+        col("pack_id").as("shard_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(layout, "doc_id")
+      .repartition(col("shard_id"))
+      .write.partitionBy("shard_id")
+      .mode("overwrite").parquet(outDir)
+    docs.sparkSession.read.parquet(outDir)
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr(s"bit_xor(${Hashing.hash32Sql(
+          "concat('fp:', cast(doc_id as string))")})").as("doc_fp"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .withColumn("shard_id", col("shard_id").cast("long"))
+  }
 }

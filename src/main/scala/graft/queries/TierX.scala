@@ -575,6 +575,27 @@ object TierX {
       // prefix-sum via the distributed two-phase path (range sort +
       // per-partition offsets) — never a single-partition window
       Packing.packSequences(docs(s, d), budget = 256).orderBy("doc_id")),
+    "x_export_shards" -> ((s, d) => {
+      // last-mile shard export: token-budgeted shard cuts over the
+      // deterministic shuffle order (the x_pack_sequences layout at
+      // shard scale), landed hive-partitioned with ONE file per shard,
+      // manifest aggregated FROM THE LANDED FILES with a portable
+      // per-shard fingerprint — the artifact a trainer consumes. The
+      // manifest is shard-count-sized: pin driver-side, reclaim the
+      // export dir (the StreamOps maintenance-run lifecycle)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_export").toString
+      val out = Packing.exportShards(docs(s, d),
+        shardTokens = 2000, outDir = s"$work/shards")
+        .orderBy("shard_id")
+      val rows = out.collect().toIndexedSeq
+      val pinned = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        out.schema)
+      Maintenance.deleteRoot(s, work)
+      pinned
+    }),
     "x_quality_rep" -> ((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d), threshold = 0.2)
         .orderBy("doc_id")),
@@ -2782,6 +2803,30 @@ object TierX {
         |       CAST(start_tok // 256 AS BIGINT) AS pack_id,
         |       CAST(start_tok % 256 AS BIGINT) AS pack_off
         |FROM o ORDER BY doc_id""".stripMargin,
+    // the x_pack_sequences prefix-sum CTE at shard budget, grouped to
+    // the manifest: per-shard doc/token totals + the bit_xor hash32
+    // fingerprint — recomputed from the raw corpus, so equality proves
+    // the landed shards carry exactly the assigned documents
+    "x_export_shards" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         ${hash32("'pack:' || CAST(doc_id AS VARCHAR)")} AS h,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(start_tok // 2000 AS BIGINT) AS shard_id
+        |  FROM o)
+        |SELECT shard_id, count(1) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |       bit_xor(${hash32("'fp:' || CAST(doc_id AS VARCHAR)")}) AS doc_fp,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // n-gram lists re-derived with the same slice arithmetic as the
     // shingle CTEs; a doc shorter than n tokens has no n-grams -> 0
     "x_quality_rep" ->

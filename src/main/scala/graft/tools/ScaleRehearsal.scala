@@ -582,6 +582,7 @@ object ScaleRehearsal {
     val maintDir = java.nio.file.Files
       .createTempDirectory("graft_maint100").toString
     var maintGenRep = 0
+    var exportRep = 0
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       // sub-phase rows: candidate generation timed WITHOUT the exact
@@ -727,6 +728,19 @@ object ScaleRehearsal {
       // state aggregate + write); rollback and vacuum must stay
       // metadata-only, which the wall-clock of this row demonstrates
       // against the sketch_build band (one aggregate ≈ one commit)
+      // last-mile shard export at 100× (500k docs, ~50M tokens): the
+      // packSequences layout at a production-scale 1M-token shard
+      // budget (~50 shards), payload joined and landed hive-partitioned
+      // one-file-per-shard, manifest aggregated from the landed files —
+      // layout shuffle + doc_id join + shard exchange + write is the
+      // whole cost; output rows = shard count (fan-out ~1e-4)
+      "export_shards" -> (() => {
+        exportRep += 1
+        graft.operators.Packing.exportShards(
+          docs.select(col("doc_id"), col("text")),
+          shardTokens = 1 << 20,
+          outDir = s"$maintDir/export_rep$exportRep")
+      }),
       "maint_gen" -> (() => {
         maintGenRep += 1
         val root = s"$maintDir/table_rep$maintGenRep"
