@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -15,39 +15,50 @@ import org.apache.spark.sql.types._
   * ([[graft.streaming.StreamOps]]). At scale both patterns demand the
   * two most-run maintenance jobs in any production lake:
   *
-  *  1. '''Generational commits with time travel, rollback and
-  *     retention''' — the swap's "old generation" is not garbage, it is
-  *     the table's history: readers pinned to a snapshot, incident
-  *     rollback, and audit all address it, until a retention vacuum
-  *     reclaims it. [[commit]]/[[readGen]]/[[rollback]]/[[vacuum]]
-  *     formalize the pattern the incremental operators already use,
-  *     with an append-only parquet manifest as the commit log.
-  *     Rollback is a MANIFEST POINTER, never a data copy (the
-  *     Delta-`RESTORE` shape): a rollback commit records `data_gen` of
-  *     the restored generation, and [[vacuum]] resolves pointers so a
-  *     still-referenced directory survives reclamation.
+  *  1. '''Generational commits with time travel, rollback, retention
+  *     and schema evolution''' — the swap's "old generation" is not
+  *     garbage, it is the table's history: readers pinned to a
+  *     snapshot, incident rollback, and audit all address it, until a
+  *     retention vacuum reclaims it. [[commit]]/[[readGen]]/
+  *     [[rollback]]/[[vacuum]] formalize the pattern the incremental
+  *     operators already use, with an append-only parquet manifest as
+  *     the commit log. Rollback is a MANIFEST POINTER, never a data
+  *     copy (the Delta-`RESTORE` shape): a rollback commit records
+  *     `data_gen` of the restored generation, and [[vacuum]] resolves
+  *     pointers so a still-referenced directory survives reclamation.
+  *     A commit may EVOLVE the schema — add a column, or rename one
+  *     with the mapping recorded in the manifest (the Iceberg
+  *     column-mapping shape, additive-only) — and [[readGen]]
+  *     reconciles every older generation to the current schema, so a
+  *     time-travel reader never has to know which names were current
+  *     when its snapshot was written.
   *
   *  2. '''Small-file compaction''' — streaming sinks produce one-file-
   *     per-trigger landings whose file COUNT, not byte volume, comes to
   *     dominate scan cost (driver listing, task scheduling, row-group
-  *     overhead). [[compactDir]] is the `OPTIMIZE` shape: only files
-  *     below `minFileBytes` are selected, bin-packed to ~`targetBytes`
-  *     outputs, written first, swapped in, originals deleted. Files
-  *     already at target are NEVER rewritten — re-running is a no-op
-  *     (the fixpoint is the idempotence contract, pinned by
-  *     MaintenanceSpec), so a scheduled compactor converges instead of
-  *     churning the same bytes.
+  *     overhead). [[compactDir]] is the `OPTIMIZE` shape over a raw
+  *     directory: only files below `minFileBytes` are selected,
+  *     bin-packed to ~`targetBytes` outputs, written first, swapped
+  *     in, originals deleted. Files already at target are NEVER
+  *     rewritten — re-running is a no-op (the fixpoint is the
+  *     idempotence contract, pinned by MaintenanceSpec), so a
+  *     scheduled compactor converges instead of churning the same
+  *     bytes. [[compactGen]] is the same job SNAPSHOT-ISOLATED: the
+  *     packed copy lands as a new generation and the manifest flip is
+  *     the atomic swap, so pinned readers and crash replay need no
+  *     operational contract at all.
   *
   * Scale notes: the file inventory is driver-side METADATA (one
   * recursive listing — at warehouse scale the table format's manifest
   * serves it without touching the FS); the rewrite itself is
   * shuffle-free (`coalesce`, no exchange) and proportional to the
-  * SMALL-file byte volume only. The file-level swap here stands in for
-  * the table format's atomic commit: new files are fully written and
-  * moved in before any original is deleted, so a crash mid-swap leaves
-  * duplicates (re-runnable) rather than loss; under a manifest-backed
-  * table the same two steps ride one atomic manifest flip — which is
-  * exactly what [[commit]] provides when the two halves compose.
+  * SMALL-file byte volume only. The file-level swap in [[compactDir]]
+  * stands in for the table format's atomic commit: new files are fully
+  * written and moved in (each move VERIFIED — a failed move aborts the
+  * pool with originals intact) before any original is deleted, so a
+  * crash mid-swap leaves duplicates (re-runnable) rather than loss;
+  * [[compactGen]] rides the manifest flip instead and needs neither
+  * caveat.
   */
 object Maintenance {
 
@@ -58,7 +69,12 @@ object Maintenance {
   /** Manifest schema: one row per commit. `action` ∈ commit | rollback
     * | vacuum; `data_gen` is the generation whose DIRECTORY holds this
     * commit's rows (= `gen` for a plain commit, the restored target
-    * for a rollback, unused sentinel -1 for a vacuum audit row).
+    * for a rollback, unused sentinel -1 for a vacuum audit row);
+    * `renames` records this commit's column renames as `new=old` pairs
+    * (`;`-separated, null when none); `schema_json` is the committed
+    * DataFrame's schema (commit rows only) — the latest commit's is
+    * the table's CURRENT schema, consulted by [[readGen]] without
+    * touching any data directory (so vacuum can never strand it).
     *
     * Concurrency contract: SINGLE WRITER. The append-only parquet log
     * serializes history for any number of READERS (a reader never sees
@@ -71,10 +87,23 @@ object Maintenance {
     StructField("gen", IntegerType, nullable = false),
     StructField("action", StringType, nullable = false),
     StructField("data_gen", IntegerType, nullable = false),
-    StructField("n_rows", LongType, nullable = false)))
+    StructField("n_rows", LongType, nullable = false),
+    StructField("renames", StringType, nullable = true),
+    StructField("schema_json", StringType, nullable = true)))
 
   private def manifestDir(root: String) = s"$root/_manifest"
   private def genDir(root: String, g: Int) = f"$root/gen_$g%08d"
+
+  private def encodeRenames(m: Map[String, String]): String =
+    if (m.isEmpty) null
+    else m.toSeq.sorted.map { case (n, o) => s"$n=$o" }.mkString(";")
+
+  private def decodeRenames(s: String): Seq[(String, String)] =
+    if (s == null || s.isEmpty) Nil
+    else s.split(";").toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      (kv.take(i), kv.drop(i + 1))
+    }
 
   private def appendManifest(
       spark: SparkSession, root: String, row: Row): Unit = {
@@ -104,19 +133,33 @@ object Maintenance {
   /** Write `df` as the next immutable generation, then append the
     * manifest row — data lands fully BEFORE the pointer flips, the
     * write-new-then-swap ordering every incremental operator in this
-    * engine relies on. Returns the new generation id. */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Int = {
+    * engine relies on. The committed row count is OBSERVED on the
+    * write itself (`df.observe`): a commit writes once and reads zero
+    * — at 100 TB a count-by-re-read would pay a second full scan per
+    * commit. `renames` records this commit's column renames relative
+    * to the previous generation (`newName -> oldName`); see
+    * [[readGen]] for how old snapshots reconcile. Returns the new
+    * generation id. */
+  def commit(
+      spark: SparkSession, root: String, df: DataFrame,
+      renames: Map[String, String] = Map.empty): Int = {
     val g = currentGen(spark, root) + 1
-    df.write.mode("overwrite").parquet(genDir(root, g))
-    val n = spark.read.parquet(genDir(root, g)).count()
-    appendManifest(spark, root, Row(g, "commit", g, n))
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(genDir(root, g))
+    val n = obs.get("n").asInstanceOf[Long]
+    appendManifest(spark, root,
+      Row(g, "commit", g, n, encodeRenames(renames), df.schema.json))
     g
   }
 
   /** Restore the table to `toGen` WITHOUT copying data: the new commit
     * row points its `data_gen` at the restored generation's directory.
     * History is never rewritten — the bad generations stay readable
-    * (until vacuumed) and the restore itself is one manifest append. */
+    * (until vacuumed) and the restore itself is one manifest append.
+    * Schema is TABLE-level metadata (the Iceberg shape): a rollback
+    * restores ROWS, and [[readGen]] presents them under the current
+    * schema like any other old snapshot. */
   def rollback(spark: SparkSession, root: String, toGen: Int): Int = {
     val m = manifest(spark, root)
       .filter(col("gen") === toGen &&
@@ -125,14 +168,21 @@ object Maintenance {
     require(m.nonEmpty, s"rollback target gen=$toGen not in manifest")
     val g = currentGen(spark, root) + 1
     appendManifest(spark, root,
-      Row(g, "rollback", m(0).getInt(0), m(0).getLong(1)))
+      Row(g, "rollback", m(0).getInt(0), m(0).getLong(1), null, null))
     g
   }
 
   /** Resolve a generation to the directory that holds its rows
-    * (following a rollback's pointer), then read it. Throws with the
-    * generation named if it was vacuumed — a pinned reader must fail
-    * loudly, not silently read an empty dir. */
+    * (following a rollback's pointer), read it, and RECONCILE it to
+    * the table's current schema: renames recorded by later commits
+    * apply forward, columns the schema gained later surface as typed
+    * nulls, and columns it dropped are omitted — so every reader, live
+    * or time-traveling, sees ONE schema (the latest commit's,
+    * resolved from the manifest without touching any data directory).
+    * When the snapshot already matches the current schema the frame is
+    * returned as-is — zero plan overhead on the no-evolution path.
+    * Throws with the generation named if it was vacuumed — a pinned
+    * reader must fail loudly, not silently read an empty dir. */
   def readGen(spark: SparkSession, root: String, gen: Int): DataFrame = {
     val m = manifest(spark, root)
       .filter(col("gen") === gen &&
@@ -144,7 +194,34 @@ object Maintenance {
     require(hadoopFs(spark, root).exists(new Path(dir)),
       s"gen=$gen (data_gen=$dataGen) was vacuumed; oldest retained " +
         s"generation is recorded in the manifest's vacuum rows")
-    spark.read.parquet(dir)
+    reconcileToCurrent(spark, root, spark.read.parquet(dir), dataGen)
+  }
+
+  /** Forward-reconcile a snapshot written at `dataGen` to the latest
+    * commit's schema. Driver-side over the KB-sized manifest. */
+  private def reconcileToCurrent(
+      spark: SparkSession, root: String,
+      raw: DataFrame, dataGen: Int): DataFrame = {
+    val commits = manifest(spark, root)
+      .filter(col("action") === "commit")
+      .select("gen", "renames", "schema_json")
+      .collect().sortBy(_.getInt(0))
+    if (commits.isEmpty) return raw
+    var out = raw
+    commits.filter(_.getInt(0) > dataGen).foreach { c =>
+      decodeRenames(c.getString(1)).foreach { case (nw, old) =>
+        if (out.columns.contains(old))
+          out = out.withColumnRenamed(old, nw)
+      }
+    }
+    val headJson = commits.last.getString(2)
+    if (headJson == null) return out // legacy rows without schema
+    val target = DataType.fromJson(headJson).asInstanceOf[StructType]
+    if (out.schema.fieldNames.toSeq == target.fieldNames.toSeq) out
+    else out.select(target.fields.map { f =>
+      if (out.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Current table state = [[readGen]] of [[currentGen]]. */
@@ -169,7 +246,7 @@ object Maintenance {
       .filter(g => fs.exists(new Path(genDir(root, g))))
     reclaimed.foreach { g =>
       fs.delete(new Path(genDir(root, g)), true)
-      appendManifest(spark, root, Row(g, "vacuum", -1, 0L))
+      appendManifest(spark, root, Row(g, "vacuum", -1, 0L, null, null))
     }
     reclaimed.toSeq
   }
@@ -178,6 +255,25 @@ object Maintenance {
     * result no longer references it. */
   def deleteRoot(spark: SparkSession, root: String): Unit =
     hadoopFs(spark, root).delete(new Path(root), true)
+
+  /** A throwaway working directory reclaimed at JVM exit (shutdown
+    * hook, plain java.io — no SparkSession needed at teardown). For
+    * query-shaped maintenance lifecycles whose RESULT is a lazy read
+    * over the scratch tree: the caller cannot [[deleteRoot]] before
+    * the result is consumed, and leaking an events-table-sized temp
+    * tree per run is the alternative. */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(dir.toFile)))
+    dir.toString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   // ---------------------------------------------------------------
   // Small-file compaction (the OPTIMIZE shape)
@@ -215,24 +311,52 @@ object Maintenance {
     out.result()
   }
 
+  /** A directory holding nothing but hidden entries (`_SUCCESS`
+    * markers, committer droppings) is EMPTY to every reader that
+    * honors the hidden-path convention — reclaim it as such. */
+  private def onlyHiddenEntries(fs: FileSystem, p: Path): Boolean =
+    fs.listStatus(p).forall { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+
+  /** Shared fixpoint precondition: each packed output must itself land
+    * at or above the selection floor, or a scheduled compactor
+    * re-selects its own outputs and churns the same bytes forever.
+    * `ceil(smallBytes / targetBytes)` outputs average > targetBytes/2
+    * each, so `minFileBytes <= targetBytes / 2` guarantees it. */
+  private def requireConvergent(
+      targetBytes: Long, minFileBytes: Long): Unit =
+    require(minFileBytes * 2 <= targetBytes,
+      s"minFileBytes ($minFileBytes) must be <= targetBytes/2 " +
+        s"(${targetBytes / 2}): a higher floor can re-select the packed " +
+        "outputs and the compactor never converges")
+
   /** Bin-pack the sub-`minFileBytes` files under `dir` into
     * ~`targetBytes` outputs; files already at size are left untouched.
     *
     *  - `perParent = false`: one pool across the whole tree — the
     *    LANDING-SEGMENT layout (batchId-named subdirs are micro-batch
     *    provenance, not partition semantics, so packing across them is
-    *    sound; emptied segment dirs are removed).
+    *    sound; segment dirs the pack emptied — holding at most hidden
+    *    `_SUCCESS`-style markers — are removed).
     *  - `perParent = true`: one pool per leaf directory — the
     *    HIVE-PARTITION layout, where a file must stay under its
     *    partition path to keep its partition values (`OPTIMIZE` is
     *    always per-partition).
     *
     * Swap ordering: pack into a `_compact_tmp` staging dir (underscore
-    * prefix → invisible to readers), MOVE the outputs into the pool,
-    * and only then delete the originals — a crash between the two
-    * steps leaves re-runnable duplicates, never loss. Compacted files
-    * are named `compacted-<uuid>-…` so a re-run (or crash replay)
-    * never collides. The rewrite is `coalesce`, not `repartition`:
+    * prefix → invisible to readers), MOVE the outputs into the pool —
+    * each rename's result CHECKED, because `FileSystem.rename` reports
+    * failure by returning false (dest exists, missing parent,
+    * object-store quirks) and an unchecked move would delete originals
+    * whose replacement never landed — and only then delete the
+    * originals. A failed move aborts the pool with the originals
+    * intact (the moved-in duplicates are removed, the error names the
+    * path); a crash between move and delete leaves re-runnable
+    * duplicates, never loss. Compacted files are named
+    * `compacted-<uuid>-…` so a re-run (or crash replay) never
+    * collides. The rewrite is `coalesce`, not `repartition`:
     * compaction must not pay a shuffle to move bytes it is only
     * re-blocking.
     *
@@ -244,13 +368,13 @@ object Maintenance {
     * completed (the AvailableNow lifecycles in this engine tear down
     * their checkpoints with the run), or downstream generations. Under
     * a manifest-backed table the same rule is enforced by snapshot
-    * isolation; on raw directories it is an operational contract. */
+    * isolation — [[compactGen]] —; on raw directories it is an
+    * operational contract. */
   def compactDir(
       spark: SparkSession, dir: String,
       targetBytes: Long, minFileBytes: Long,
       perParent: Boolean = false): CompactStats = {
-    require(minFileBytes <= targetBytes,
-      "minFileBytes must not exceed targetBytes")
+    requireConvergent(targetBytes, minFileBytes)
     val fs = hadoopFs(spark, dir)
     val rootQ = fs.makeQualified(new Path(dir))
     val all = dataFiles(fs, dir)
@@ -276,19 +400,36 @@ object Maintenance {
           .write.mode("overwrite").parquet(tmp.toString)
         val tag = java.util.UUID.randomUUID().toString.take(8)
         var k = 0
+        val moved = Seq.newBuilder[Path]
+        var failedMove: Path = null
         dataFiles(fs, tmp.toString).foreach { st =>
-          fs.rename(st.getPath,
-            new Path(poolDir, s"compacted-$tag-$k.parquet"))
-          k += 1
+          if (failedMove == null) {
+            val dst = new Path(poolDir, s"compacted-$tag-$k.parquet")
+            if (fs.rename(st.getPath, dst)) { moved += dst; k += 1 }
+            else failedMove = st.getPath
+          }
+        }
+        if (failedMove != null) {
+          // abort THIS pool, originals untouched: the moved-in files
+          // duplicate still-present originals, so removing them (and
+          // the staging dir) restores the exact pre-compaction state
+          moved.result().foreach(p => fs.delete(p, false))
+          fs.delete(tmp, true)
+          throw new java.io.IOException(
+            s"compaction move failed for $failedMove into $poolDir; " +
+              "pool aborted with originals intact — re-run after " +
+              "resolving the filesystem condition")
         }
         fs.delete(tmp, true)
         small.foreach(st => fs.delete(st.getPath, false))
-        // reclaim segment dirs the pack emptied (flat-pool mode only)
+        // reclaim segment dirs the pack emptied (flat-pool mode only);
+        // "empty" honors the hidden-path convention — Spark leaves a
+        // _SUCCESS marker per landing, which readers already skip
         if (!perParent) {
           small.map(_.getPath.getParent).distinct
             .filter(p => p != poolDir)
-            .filter(p => fs.listStatus(p).isEmpty)
-            .foreach(p => fs.delete(p, false))
+            .filter(p => onlyHiddenEntries(fs, p))
+            .foreach(p => fs.delete(p, true))
         }
         rewritten += small.size
         written += k
@@ -296,5 +437,85 @@ object Maintenance {
       }
     }
     CompactStats(nPools, all.size.toLong, rewritten, written, bytes)
+  }
+
+  /** Snapshot-isolated `OPTIMIZE` over a generational table: pack the
+    * current generation's sub-`minFileBytes` files into ~`targetBytes`
+    * outputs landed as a NEW commit. The old generation's directory is
+    * never touched — readers pinned by [[readGen]] keep reading it
+    * unperturbed, and it is reclaimed only when a later [[vacuum]]
+    * ages it out — so the manifest flip IS the atomic swap, retiring
+    * both of [[compactDir]]'s raw-directory caveats (the active-
+    * file-stream-source hazard and the crash-duplicates window) for
+    * manifest-backed tables.
+    *
+    * Already-at-size files are FS-copied byte-for-byte into the new
+    * generation (`FileUtil.copy` — no decode, no shuffle, no Spark
+    * job); under a file-granular manifest (the Iceberg shape) that
+    * copy is a metadata pointer — directory-granular generations keep
+    * each snapshot self-contained at the price of re-linking the
+    * at-size bytes. The new commit's row count and schema are COPIED
+    * from the source commit's manifest row: compaction re-blocks
+    * bytes, never rows, so the pack is write-only (zero re-read, zero
+    * re-count). A generation with fewer than two small files is
+    * already the fixpoint: no new commit is appended (same idempotence
+    * contract as [[compactDir]] — a scheduled optimizer converges
+    * instead of minting no-op generations). Returns (the generation
+    * now holding the current state, stats). */
+  def compactGen(
+      spark: SparkSession, root: String,
+      targetBytes: Long, minFileBytes: Long): (Int, CompactStats) = {
+    requireConvergent(targetBytes, minFileBytes)
+    val g = currentGen(spark, root)
+    val src = manifest(spark, root)
+      .filter(col("gen") === g &&
+        col("action").isin("commit", "rollback"))
+      .select("data_gen", "n_rows").collect()
+    require(src.nonEmpty, s"no current generation under $root")
+    val dataGen = src(0).getInt(0)
+    val nRows = src(0).getLong(1)
+    val fs = hadoopFs(spark, root)
+    val all = dataFiles(fs, genDir(root, dataGen))
+    val small = all.filter(_.getLen < minFileBytes)
+    if (small.size < 2)
+      return (g, CompactStats(0, all.size.toLong, 0L, 0L, 0L))
+    val commits = manifest(spark, root)
+      .filter(col("action") === "commit")
+      .select("gen", "schema_json").collect().sortBy(_.getInt(0))
+    val schemaJson = commits.find(_.getInt(0) == dataGen)
+      .map(_.getString(1)).orNull
+    val headJson = commits.last.getString(1)
+    // a rollback across a schema change leaves the current rows
+    // physically under the OLD names (readGen reconciles on read); a
+    // byte-copy pack of those files would mint a head commit whose
+    // schema silently reverts the evolution — materialize first
+    require(schemaJson == headJson,
+      s"current generation's physical schema predates the table " +
+        s"schema (rollback across a schema change); " +
+        "commit(readCurrent(...)) to materialize before compacting")
+    val newGen = g + 1
+    val outDir = new Path(genDir(root, newGen))
+    fs.delete(outDir, true)
+    val smallBytes = small.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (smallBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read
+      .parquet(small.map(_.getPath.toString): _*)
+      .coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir.toString)
+    val written = dataFiles(fs, outDir.toString).size
+    // at-size files ride in by byte copy — names are collision-free
+    // (Spark part files carry a per-write uuid, packed outputs too)
+    val conf = spark.sparkContext.hadoopConfiguration
+    all.filterNot(_.getLen < minFileBytes).foreach { st =>
+      FileUtil.copy(
+        fs, st.getPath, fs, new Path(outDir, st.getPath.getName),
+        false, conf)
+    }
+    appendManifest(spark, root,
+      Row(newGen, "commit", newGen, nRows, null, schemaJson))
+    (newGen,
+      CompactStats(1, all.size.toLong, small.size.toLong,
+        written.toLong, smallBytes))
   }
 }

@@ -97,9 +97,13 @@ object Packing {
     * [[Maintenance.compactDir]] to clean later), and the returned
     * MANIFEST is aggregated from the LANDED files, not the plan: rows
     * that did not survive the write cannot appear in it. Manifest
-    * carries a portable per-shard content fingerprint (bit_xor of
-    * hash32, engine-reproducible) so a consumer can verify a shard
-    * without re-reading the corpus.
+    * carries a portable per-shard CONTENT fingerprint — bit_xor of
+    * hash32 over `doc_id:text`, engine-reproducible — so a consumer
+    * can verify both shard membership and payload integrity (a
+    * corrupted or truncated text fails the check, not just a missing
+    * doc) without re-reading the corpus; being an order-insensitive
+    * xor it cannot see a doc duplicated an EVEN number of times, which
+    * `n_docs` catches as count drift.
     *
     * Scale notes: layout cost is [[packSequences]] (one range shuffle
     * + two streamed passes); the export adds one doc_id equi-join
@@ -123,7 +127,7 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
         expr(s"bit_xor(${Hashing.hash32Sql(
-          "concat('fp:', cast(doc_id as string))")})").as("doc_fp"),
+          "concat(cast(doc_id as string), ':', text)")})").as("doc_fp"),
         min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"))
       .withColumn("shard_id", col("shard_id").cast("long"))

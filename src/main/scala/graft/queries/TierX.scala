@@ -121,8 +121,10 @@ object TierX {
       val ev = Tables(s, d, "events").select(
         col("event_id"), col("user_id"), col("event_type"), col("value"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_compact").toString
+      // the result is a lazy read of the compacted tree, so the
+      // scratch dir outlives this call — reclaimed at JVM exit
+      // (scratchDir shutdown hook), never leaked per run
+      val work = Maintenance.scratchDir("graft_compact")
       (0 until 12).foreach { b =>
         ev.filter(pmod(col("event_id"), lit(12)) === b)
           .repartition(4)
@@ -137,6 +139,70 @@ object TierX {
       require(again.filesRewritten == 0,
         s"second compaction must be a fixpoint no-op, got $again")
       s.read.parquet(work).orderBy("event_id")
+    }),
+    "x_maint_compact_gen" -> ((s, d) => {
+      // snapshot-isolated OPTIMIZE: the same events frame committed as
+      // a deliberately fragmented generation 1 (48 sub-threshold
+      // files), then Maintenance.compactGen packs it into a NEW commit
+      // — gen 1's directory is untouched, so a reader pinned BEFORE
+      // the compaction keeps reading its snapshot unperturbed (the
+      // pinned count is re-checked after the pack), the fixpoint pass
+      // mints no no-op generation, and a keep-1 vacuum then ages the
+      // fragmented original out. The oracle reads the raw table:
+      // compaction re-blocks bytes, never rows — now with the manifest
+      // flip as the atomic swap instead of compactDir's file-level
+      // move-then-delete contract
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val root = Maintenance.scratchDir("graft_compact_gen") + "/table"
+      Maintenance.commit(s, root, ev.repartition(48))
+      val pinned = Maintenance.readGen(s, root, 1)
+      val nPinned = pinned.count()
+      val (g2, st) = Maintenance.compactGen(s, root,
+        targetBytes = 128L << 20, minFileBytes = 8L << 20)
+      require(g2 == 2 && st.filesRewritten == 48,
+        s"expected the 48 fragments packed into gen 2, got ($g2, $st)")
+      require(pinned.count() == nPinned,
+        "pinned gen-1 reader must survive the compaction unperturbed")
+      val (g3, fix) = Maintenance.compactGen(s, root,
+        targetBytes = 128L << 20, minFileBytes = 8L << 20)
+      require(g3 == 2 && fix.filesRewritten == 0,
+        s"second compactGen must be a fixpoint no-op, got ($g3, $fix)")
+      val reclaimed = Maintenance.vacuum(s, root, keepLast = 1)
+      require(reclaimed == Seq(1),
+        s"keep-1 vacuum must reclaim the fragmented gen 1, got $reclaimed")
+      Maintenance.readCurrent(s, root).orderBy("event_id")
+    }),
+    "x_maint_schema_evolve" -> ((s, d) => {
+      // schema evolution on the generational table: three commits
+      // where the second RENAMES value -> amount (mapping recorded in
+      // the manifest) and ADDS a source column. The current read and a
+      // reader pinned to PRE-EVOLUTION gen 1 must both present the
+      // CURRENT schema — gen 1's value surfaces as amount, its missing
+      // source as a typed null — so time travel keeps working across
+      // the evolution (the Iceberg column-mapping shape, additive
+      // renames resolved forward from the manifest). The oracle
+      // recomputes both snapshots from the raw table with explicit
+      // casts
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = Maintenance.scratchDir("graft_schema_evolve") + "/table"
+      Maintenance.commit(s, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === 0))
+      val evolved = ev.withColumnRenamed("value", "amount")
+        .withColumn("source", concat(lit("src_"), col("event_type")))
+      Maintenance.commit(s, root,
+        evolved.filter(pmod(col("event_id"), lit(3)) <= 1),
+        renames = Map("amount" -> "value"))
+      Maintenance.commit(s, root, evolved)
+      val cur = Maintenance.readCurrent(s, root)
+        .withColumn("gen", lit(3))
+      val old = Maintenance.readGen(s, root, 1)
+        .withColumn("gen", lit(1))
+      cur.unionByName(old)
+        .select("gen", "event_id", "event_type", "amount", "source")
+        .orderBy("gen", "event_id")
     }),
     "x_maint_timetravel" -> ((s, d) => {
       // generational table lifecycle: three cumulative state commits
@@ -1545,6 +1611,26 @@ object TierX {
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
         |FROM events ORDER BY event_id""".stripMargin,
+    // snapshot-isolated variant: same invariant — the compacted
+    // generation reads back as exactly the raw table
+    "x_maint_compact_gen" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events ORDER BY event_id""".stripMargin,
+    // both snapshots recomputed from the raw table under the EVOLVED
+    // schema: gen 3 is the full frame with the rename + added column
+    // applied; pre-evolution gen 1 (event_id % 3 = 0) presents value
+    // as amount and a typed-null source — the manifest-resolved
+    // forward reconciliation readGen performs
+    "x_maint_schema_evolve" ->
+      """SELECT 3 AS gen, event_id, event_type, value AS amount,
+        |       'src_' || event_type AS source
+        |FROM events
+        |UNION ALL
+        |SELECT 1 AS gen, event_id, event_type, value AS amount,
+        |       CAST(NULL AS VARCHAR) AS source
+        |FROM events WHERE event_id % 3 = 0
+        |ORDER BY gen, event_id""".stripMargin,
     // after the rollback-to-gen-2 + keep-2 vacuum, the current read is
     // the cumulative state over batches 0-1 (event_id % 3 <= 1) —
     // recomputed here from the raw table
@@ -2805,26 +2891,27 @@ object TierX {
         |FROM o ORDER BY doc_id""".stripMargin,
     // the x_pack_sequences prefix-sum CTE at shard budget, grouped to
     // the manifest: per-shard doc/token totals + the bit_xor hash32
-    // fingerprint — recomputed from the raw corpus, so equality proves
-    // the landed shards carry exactly the assigned documents
+    // CONTENT fingerprint over doc_id:text — recomputed from the raw
+    // corpus, so equality proves the landed shards carry exactly the
+    // assigned documents WITH their payloads intact
     "x_export_shards" ->
       s"""WITH t AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, text,
         |         ${hash32("'pack:' || CAST(doc_id AS VARCHAR)")} AS h,
         |         len(string_split(text, ' ')) AS n_tokens
         |  FROM documents),
         |o AS (
-        |  SELECT doc_id, n_tokens,
+        |  SELECT doc_id, text, n_tokens,
         |         COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
         |  FROM t),
         |s AS (
-        |  SELECT doc_id, n_tokens,
+        |  SELECT doc_id, text, n_tokens,
         |         CAST(start_tok // 2000 AS BIGINT) AS shard_id
         |  FROM o)
         |SELECT shard_id, count(1) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |       bit_xor(${hash32("'fp:' || CAST(doc_id AS VARCHAR)")}) AS doc_fp,
+        |       bit_xor(${hash32("CAST(doc_id AS VARCHAR) || ':' || text")}) AS doc_fp,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     // n-gram lists re-derived with the same slice arithmetic as the

@@ -535,8 +535,8 @@ object ScaleRehearsal {
     // (and must not read the then-empty staging dir in the audit)
     val stagedOps = Set("triangles", "cluster_hashmin", "cluster_star")
     val needStaged = onlyOps.forall(_.exists(stagedOps))
-    val pairsDir = java.nio.file.Files
-      .createTempDirectory("graft_tri_pairs")
+    val pairsDir = java.nio.file.Paths.get(
+      graft.operators.Maintenance.scratchDir("graft_tri_pairs"))
     if (needStaged) {
       minhashPairs().write.mode("overwrite").parquet(pairsDir.toString)
       spark.catalog.clearCache() // drop the staging run's internal persists
@@ -547,8 +547,8 @@ object ScaleRehearsal {
     // gate probes): built from the eval half ONCE and round-tripped
     // through parquet, outside the decontam_gate timing — selective
     // runs that exclude the gate must not pay the index build
-    val gateDir = java.nio.file.Files
-      .createTempDirectory("graft_gate_idx")
+    val gateDir = java.nio.file.Paths.get(
+      graft.operators.Maintenance.scratchDir("graft_gate_idx"))
     val needGate = onlyOps.forall(_.contains("decontam_gate"))
     if (needGate) {
       val (gSh, gBands) =
@@ -562,8 +562,8 @@ object ScaleRehearsal {
     // staged crawl-batch files for the incremental cluster op (three
     // batches by doc_id residue) — input manufacture, outside the
     // timing, same rationale as the gate index above
-    val incrSrcDir = java.nio.file.Files
-      .createTempDirectory("graft_incr_src")
+    val incrSrcDir = java.nio.file.Paths.get(
+      graft.operators.Maintenance.scratchDir("graft_incr_src"))
     val needIncr = onlyOps.forall(_.contains("incr_cluster"))
     if (needIncr) {
       graft.streaming.StreamOps.incrClusterStage(
@@ -577,10 +577,11 @@ object ScaleRehearsal {
     var ccHashMin: DataFrame = null
     var ccStar: DataFrame = null
     // maintenance-op scratch: the landing is re-fragmented per rep
-    // inside t_synth (compaction consumes its input); each maint_gen
-    // rep gets a fresh table root (the manifest is append-only)
-    val maintDir = java.nio.file.Files
-      .createTempDirectory("graft_maint100").toString
+    // inside t_synth (compaction consumes its input); each maint_gen /
+    // export rep gets a fresh root (the manifest is append-only) —
+    // the whole tree is reclaimed at JVM exit (scratchDir hook), so
+    // reps no longer accumulate on disk across a rehearsal run
+    val maintDir = graft.operators.Maintenance.scratchDir("graft_maint100")
     var maintGenRep = 0
     var exportRep = 0
     val ops: Seq[(String, () => DataFrame)] = Seq(
@@ -1077,8 +1078,7 @@ object ScaleRehearsal {
     val bounds = ev10.agg(min(col("ts")), max(col("ts"))).head()
     val (tMin, tMax) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
     val span = tMax.getTime - tMin.getTime
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_stream10x").toString
+    val work = graft.operators.Maintenance.scratchDir("graft_stream10x")
     val src = s"$work/src"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
     val t0 = System.currentTimeMillis()

@@ -62,5 +62,17 @@ class ExportSpec extends SparkSpec {
     val maxDoc = Packing.packSequences(docs, budget)
       .agg(max("n_tokens")).head().getLong(0)
     assert(manifest.forall(_.getLong(2) < budget + maxDoc))
+
+    // the fingerprint covers CONTENT (doc_id:text), not just
+    // membership: recompute it from the raw corpus + the layout — a
+    // landed shard with a corrupted payload could not match this
+    val expFp = docs.select(col("doc_id"), col("text"))
+      .join(Packing.packSequences(docs, budget)
+        .select(col("doc_id"), col("pack_id").as("shard_id")), "doc_id")
+      .groupBy("shard_id")
+      .agg(expr(s"bit_xor(${graft.functions.Hashing.hash32Sql(
+        "concat(cast(doc_id as string), ':', text)")})").as("fp"))
+      .orderBy("shard_id").collect().map(_.getLong(1))
+    assert(manifest.map(_.getLong(3)).toSeq == expFp.toSeq)
   }
 }

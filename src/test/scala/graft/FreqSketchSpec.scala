@@ -133,6 +133,24 @@ class FreqSketchSpec extends SparkSpec {
     assert(errs._1 == 0L && errs._2 > 0L)
   }
 
+  test("x_freq_rollup precondition: the sf0.01 corpus stays in exact mode") {
+    // mirrors the query's in-plan assert_true (TierX x_freq_rollup):
+    // the oracle's item-set equality holds only while the merged
+    // per-lang sketch never purges (max error 0). Pinned HERE by name
+    // so a grown test-corpus vocabulary fails as this spec, not as an
+    // opaque query error mid-Verify
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val tok = Tables(spark, dir, "documents").select(
+      col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val err = SketchStore.buildFreqSketches(tok, Seq("lang"), "tok")
+      .agg(SketchStore.freqUnionAgg(col(SketchStore.FSketchCol)).as("fsk"))
+      .select(SketchStore.freqMaxError(col("fsk"))).head().getLong(0)
+    assert(err == 0L, "merged freq sketch left exact mode: the corpus " +
+      "vocabulary reached maxMapSize — x_freq_rollup's oracle no longer " +
+      "holds; raise maxMapSize there or shrink the vocabulary")
+  }
+
   test("nulls are skipped; empty input yields an empty item set") {
     val df = Seq[Option[String]](None, Some("a"), None).toDF("tok")
     val items = df.agg(SketchStore.freqSketchAgg(col("tok")).as("sk"))

@@ -68,6 +68,39 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.vacuum(spark, root, keepLast = 2).isEmpty)
   }
 
+  // ---- schema evolution ----
+
+  test("readGen reconciles old generations to the current schema") {
+    val root = tmp() + "/t"
+    Maintenance.commit(spark, root, Seq((1, "a")).toDF("k", "v"))
+    // gen 2 renames v -> w (mapping recorded) and adds column extra
+    Maintenance.commit(spark, root,
+      Seq((1, "a2", 9L), (2, "b", 8L)).toDF("k", "w", "extra"),
+      renames = Map("w" -> "v"))
+    // current read: as written
+    assert(Maintenance.readCurrent(spark, root).columns.toSeq ==
+      Seq("k", "w", "extra"))
+    // pre-evolution snapshot: v surfaces as w, extra as a typed null
+    val g1 = Maintenance.readGen(spark, root, 1)
+    assert(g1.columns.toSeq == Seq("k", "w", "extra"))
+    assert(g1.schema("extra").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(g1.as[(Int, String, Option[Long])].collect().toSeq ==
+      Seq((1, "a", None)))
+  }
+
+  test("rollback restores rows under the CURRENT schema (table-level " +
+    "metadata, the Iceberg shape)") {
+    val root = tmp() + "/t"
+    Maintenance.commit(spark, root, Seq((1, "good")).toDF("k", "v"))
+    Maintenance.commit(spark, root,
+      Seq((1, "bad")).toDF("k", "w"), renames = Map("w" -> "v"))
+    Maintenance.rollback(spark, root, toGen = 1)
+    val cur = Maintenance.readCurrent(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "w"))
+    assert(cur.as[(Int, String)].collect().toSeq == Seq((1, "good")))
+  }
+
   // ---- compaction ----
 
   private def listData(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -129,6 +162,56 @@ class MaintenanceSpec extends SparkSpec {
     // under its segment, the packed file lands at the pool root
     assert(spark.read.option("recursiveFileLookup", "true")
       .parquet(work).count() == ev.count() + 50)
+  }
+
+  test("compactGen: snapshot-isolated pack, pinned reader survives, " +
+    "fixpoint mints no generation, vacuum ages the original out") {
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    Maintenance.commit(spark, root, ev.repartition(6)) // 6 small files
+    val pinned = Maintenance.readGen(spark, root, 1)
+    val expected = ev.orderBy("event_id").collect().toSeq
+    val (g2, st) = Maintenance.compactGen(spark, root,
+      targetBytes = 64L << 20, minFileBytes = 4L << 20)
+    assert(g2 == 2 && st.filesRewritten == 6 && st.filesWritten == 1)
+    // the old generation's directory is untouched: the pinned reader
+    // sees its exact snapshot AFTER the pack
+    assert(pinned.orderBy("event_id").collect().toSeq == expected)
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq == expected)
+    // manifest row count rode over from the source commit (write-only)
+    assert(Maintenance.manifest(spark, root)
+      .filter(col("gen") === 2).select("n_rows")
+      .head().getLong(0) == expected.size.toLong)
+    // fixpoint: a compacted generation is NOT re-committed
+    val (g3, fix) = Maintenance.compactGen(spark, root,
+      targetBytes = 64L << 20, minFileBytes = 4L << 20)
+    assert(g3 == 2 && fix.filesRewritten == 0)
+    assert(Maintenance.currentGen(spark, root) == 2)
+    // retention reclaims the fragmented original; the pinned reader
+    // then fails LOUDLY (lazy re-read of a vacuumed dir would be empty)
+    assert(Maintenance.vacuum(spark, root, keepLast = 1) == Seq(1))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.readGen(spark, root, 1)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("compactGen refuses a rollback that crossed a schema change") {
+    val root = tmp() + "/t"
+    Maintenance.commit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").repartition(2))
+    Maintenance.commit(spark, root,
+      Seq((1, "a")).toDF("k", "w"), renames = Map("w" -> "v"))
+    Maintenance.rollback(spark, root, toGen = 1)
+    // gen 1's physical files carry the pre-rename schema; a byte-copy
+    // pack would mint a head commit that silently reverts the rename
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compactGen(spark, root,
+        targetBytes = 64L << 20, minFileBytes = 4L << 20)
+    }
+    assert(e.getMessage.contains("materialize"))
   }
 
   test("per-parent pools keep hive partition files under their path") {
