@@ -584,6 +584,8 @@ object ScaleRehearsal {
     val maintDir = graft.operators.Maintenance.scratchDir("graft_maint100")
     var maintGenRep = 0
     var exportRep = 0
+    var compactGenRep = 0
+    var schemaEvolveRep = 0
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       // sub-phase rows: candidate generation timed WITHOUT the exact
@@ -742,6 +744,49 @@ object ScaleRehearsal {
           shardTokens = 1 << 20,
           outDir = s"$maintDir/export_rep$exportRep")
       }),
+      // snapshot-isolated compaction at the same 100× byte volume as
+      // maint_compact: the 10M-event frame committed as 480 fragments
+      // into a generational root (t_synth, fresh root per rep — the
+      // manifest is append-only), then compactGen packs it as a NEW
+      // commit. Op cost = the same O(small-file bytes) coalesce write
+      // PLUS the manifest append — the delta vs the maint_compact band
+      // is the snapshot-isolation overhead, which must stay ~zero
+      "maint_compact_gen" -> (() => {
+        val root = s"$maintDir/cgen_rep$compactGenRep"
+        val (g, st) = graft.operators.Maintenance.compactGen(spark, root,
+          targetBytes = 128L << 20, minFileBytes = 8L << 20)
+        require(g == 2 && st.filesRewritten == 480,
+          s"maint_compact_gen expected 480 fragments packed: ($g, $st)")
+        spark.range(1).select(
+          lit(st.filesBefore).as("files_before"),
+          lit(st.filesRewritten).as("files_rewritten"),
+          lit(st.filesWritten).as("files_written"),
+          lit(st.bytesRewritten).as("bytes_rewritten"))
+      }),
+      // schema evolution at 100×: three day-grain state commits where
+      // commit 2 renames total -> amount and adds a column, then a
+      // reconciled time-travel read of the PRE-evolution snapshot.
+      // The evolution machinery is manifest-resolved (KB-sized,
+      // driver-side): the band must match maint_gen's commit-dominated
+      // cost — any excess is reconciliation leaking into the data path
+      "schema_evolve" -> (() => {
+        schemaEvolveRep += 1
+        val root = s"$maintDir/sev_rep$schemaEvolveRep"
+        val state = sketchEvents
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        graft.operators.Maintenance.commit(spark, root, state)
+        val evolved = state.withColumnRenamed("total", "amount")
+          .withColumn("src", lit("agg"))
+        graft.operators.Maintenance.commit(spark, root, evolved,
+          renames = Map("amount" -> "total"))
+        graft.operators.Maintenance.commit(spark, root, evolved)
+        val g1 = graft.operators.Maintenance.readGen(spark, root, 1)
+        require(g1.columns.toSeq ==
+          Seq("event_date", "event_type", "n", "amount", "src"),
+          s"reconciled pre-evolution columns wrong: ${g1.columns.toSeq}")
+        g1
+      }),
       "maint_gen" -> (() => {
         maintGenRep += 1
         val root = s"$maintDir/table_rep$maintGenRep"
@@ -788,6 +833,18 @@ object ScaleRehearsal {
         sketchEvents.repartition(480)
           .write.mode("overwrite").parquet(s"$maintDir/landing")
       }),
+      // input manufacture for the snapshot-isolated variant: commit
+      // the frame as 480 fragments into a FRESH generational root
+      // (compactGen on an already-compacted root is a fixpoint no-op)
+      "maint_compact_gen" -> (() => {
+        restoreSketch()
+        compactGenRep += 1
+        graft.operators.Maintenance.commit(spark,
+          s"$maintDir/cgen_rep$compactGenRep",
+          sketchEvents.repartition(480))
+        ()
+      }),
+      "schema_evolve" -> restoreSketch,
       "maint_gen" -> restoreSketch)
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
