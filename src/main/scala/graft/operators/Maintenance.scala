@@ -121,6 +121,14 @@ object Maintenance {
       java.util.Collections.emptyList[Row](), manifestSchema)
   }
 
+  /** Next free manifest id — ONE sequence across commits, rollbacks
+    * and stages, so a staged-but-unpublished candidate can never
+    * collide with a later commit's generation id. */
+  private def nextId(spark: SparkSession, root: String): Int = {
+    val m = manifest(spark, root).agg(max("gen")).collect()(0)
+    (if (m.isNullAt(0)) 0 else m.getInt(0)) + 1
+  }
+
   /** Latest generation carrying data (commit or rollback), or 0 on a
     * fresh root. Driver-side: the manifest is KB-sized by design. */
   def currentGen(spark: SparkSession, root: String): Int = {
@@ -143,7 +151,7 @@ object Maintenance {
   def commit(
       spark: SparkSession, root: String, df: DataFrame,
       renames: Map[String, String] = Map.empty): Int = {
-    val g = currentGen(spark, root) + 1
+    val g = nextId(spark, root)
     val obs = Observation()
     df.observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(genDir(root, g))
@@ -151,6 +159,90 @@ object Maintenance {
     appendManifest(spark, root,
       Row(g, "commit", g, n, encodeRenames(renames), df.schema.json))
     g
+  }
+
+  // ---------------------------------------------------------------
+  // Write-audit-publish (staged commits)
+  // ---------------------------------------------------------------
+
+  /** Stage a candidate generation INVISIBLY: data lands fully in an
+    * underscore-prefixed staging directory (hidden to every reader
+    * that honors the convention, including [[compactDir]]'s file walk)
+    * and the manifest records a `stage` row that [[currentGen]] /
+    * [[readGen]] / [[vacuum]] all ignore. The write-audit-publish
+    * shape (Iceberg's WAP branch, Delta's staged commit): a production
+    * ingest lands HERE, an audit job reads it back ([[readStage]]) and
+    * runs its expectation checks against the real landed bytes — not
+    * the plan that produced them — and only [[publish]] makes it the
+    * table. Readers can NEVER observe a half-audited batch; a crashed
+    * auditor leaves an orphan stage that [[abortStage]] reclaims.
+    * Returns the stage id. Row count observed on the write
+    * (same zero-re-read contract as [[commit]]). */
+  def stageCommit(
+      spark: SparkSession, root: String, df: DataFrame): Int = {
+    val id = nextId(spark, root)
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(stageDir(root, id))
+    val n = obs.get("n").asInstanceOf[Long]
+    appendManifest(spark, root,
+      Row(id, "stage", id, n, null, df.schema.json))
+    id
+  }
+
+  private def stageDir(root: String, id: Int) = f"$root/_stage_$id%08d"
+
+  /** The staged candidate, for the AUDIT job — reads the landed bytes.
+    * Throws if the stage was already published or aborted. */
+  def readStage(spark: SparkSession, root: String, stageId: Int): DataFrame = {
+    requireLiveStage(spark, root, stageId)
+    spark.read.parquet(stageDir(root, stageId))
+  }
+
+  /** Promote an audited stage to the table's next generation: ONE
+    * verified rename (the staged bytes are never rewritten) plus the
+    * manifest append — publish is O(metadata) regardless of batch
+    * size, which is the point: the expensive write happened at stage
+    * time, before anything was visible. Returns the new generation. */
+  def publish(spark: SparkSession, root: String, stageId: Int): Int = {
+    val row = requireLiveStage(spark, root, stageId)
+    val g = nextId(spark, root)
+    val fs = hadoopFs(spark, root)
+    require(fs.rename(
+      new Path(stageDir(root, stageId)), new Path(genDir(root, g))),
+      s"publish rename failed for stage $stageId; stage left intact")
+    appendManifest(spark, root,
+      Row(g, "commit", g, row.getLong(0), null, row.getString(1)))
+    g
+  }
+
+  /** Reject a staged candidate (failed audit, or an orphan from a
+    * crashed auditor): delete the staging directory, append the audit
+    * trail row. Idempotent against a missing directory. */
+  def abortStage(spark: SparkSession, root: String, stageId: Int): Unit = {
+    requireLiveStage(spark, root, stageId)
+    hadoopFs(spark, root).delete(new Path(stageDir(root, stageId)), true)
+    appendManifest(spark, root, Row(stageId, "abort", -1, 0L, null, null))
+  }
+
+  /** The stage row if `stageId` is live (staged, not yet published /
+    * aborted); loud error otherwise. Returns (n_rows, schema_json). */
+  private def requireLiveStage(
+      spark: SparkSession, root: String, stageId: Int): Row = {
+    val rows = manifest(spark, root)
+      .filter(col("gen") === stageId &&
+        col("action").isin("stage", "abort", "commit"))
+      .select("action", "n_rows", "schema_json")
+      .collect()
+    require(rows.exists(_.getString(0) == "stage"),
+      s"stage $stageId not in manifest")
+    require(!rows.exists(_.getString(0) == "abort"),
+      s"stage $stageId was aborted")
+    require(hadoopFs(spark, root)
+      .exists(new Path(stageDir(root, stageId))),
+      s"stage $stageId was already published (or its directory is gone)")
+    val r = rows.find(_.getString(0) == "stage").get
+    Row(r.getLong(1), r.getString(2))
   }
 
   /** Restore the table to `toGen` WITHOUT copying data: the new commit
@@ -166,7 +258,7 @@ object Maintenance {
         col("action").isin("commit", "rollback"))
       .select("data_gen", "n_rows").collect()
     require(m.nonEmpty, s"rollback target gen=$toGen not in manifest")
-    val g = currentGen(spark, root) + 1
+    val g = nextId(spark, root)
     appendManifest(spark, root,
       Row(g, "rollback", m(0).getInt(0), m(0).getLong(1), null, null))
     g
@@ -493,7 +585,7 @@ object Maintenance {
       s"current generation's physical schema predates the table " +
         s"schema (rollback across a schema change); " +
         "commit(readCurrent(...)) to materialize before compacting")
-    val newGen = g + 1
+    val newGen = nextId(spark, root)
     val outDir = new Path(genDir(root, newGen))
     fs.delete(outDir, true)
     val smallBytes = small.map(_.getLen).sum

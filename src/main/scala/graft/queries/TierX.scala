@@ -174,6 +174,47 @@ object TierX {
         s"keep-1 vacuum must reclaim the fragmented gen 1, got $reclaimed")
       Maintenance.readCurrent(s, root).orderBy("event_id")
     }),
+    "x_maint_wap" -> ((s, d) => {
+      // write-audit-publish: a production ingest lands its candidate
+      // state INVISIBLY (stageCommit — hidden staging dir + a manifest
+      // row every reader ignores), an AUDIT job re-reads the landed
+      // bytes and runs its expectation checks, and only a passing
+      // candidate publishes — ONE O(metadata) rename, the expensive
+      // write having happened before anything was visible. Readers can
+      // never observe a half-audited batch. Candidate A carries a
+      // corrupted slice (event_type nulled at event_id % 7 = 0): the
+      // audit counts violations on the STAGED table, the stage ABORTS,
+      // and the table provably never exposes it; the re-ingested clean
+      // candidate B audits green and publishes. Oracle: baseline +
+      // clean batch recomputed from the raw table
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val root = Maintenance.scratchDir("graft_wap") + "/table"
+      Maintenance.commit(s, root,
+        ev.filter(pmod(col("event_id"), lit(3)) === 0))
+      val corrupted = ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .withColumn("event_type",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("event_type")))
+      val base = Maintenance.readCurrent(s, root)
+      val stA = Maintenance.stageCommit(s, root,
+        base.unionByName(corrupted))
+      val badA = Maintenance.readStage(s, root, stA)
+        .filter(col("event_type").isNull).count()
+      require(badA > 0,
+        s"audit expected the injected violations to land, got $badA")
+      Maintenance.abortStage(s, root, stA)
+      require(Maintenance.currentGen(s, root) == 1,
+        "an aborted stage must never become visible")
+      val stB = Maintenance.stageCommit(s, root,
+        base.unionByName(corrupted.filter(col("event_type").isNotNull)))
+      require(Maintenance.readStage(s, root, stB)
+        .filter(col("event_type").isNull).count() == 0,
+        "the clean candidate must audit green")
+      Maintenance.publish(s, root, stB)
+      Maintenance.readCurrent(s, root).orderBy("event_id")
+    }),
     "x_maint_schema_evolve" -> ((s, d) => {
       // schema evolution on the generational table: three commits
       // where the second RENAMES value -> amount (mapping recorded in
@@ -1617,6 +1658,16 @@ object TierX {
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
         |FROM events ORDER BY event_id""".stripMargin,
+    // the published state = baseline commit + the clean candidate (the
+    // corrupted slice event_id % 7 = 0 was aborted at audit, so it
+    // must be absent) — recomputed from the raw table
+    "x_maint_wap" ->
+      """SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events
+        |WHERE event_id % 3 = 0
+        |   OR (event_id % 3 = 1 AND event_id % 7 <> 0)
+        |ORDER BY event_id""".stripMargin,
     // both snapshots recomputed from the raw table under the EVOLVED
     // schema: gen 3 is the full frame with the rename + added column
     // applied; pre-evolution gen 1 (event_id % 3 = 0) presents value

@@ -586,6 +586,7 @@ object ScaleRehearsal {
     var exportRep = 0
     var compactGenRep = 0
     var schemaEvolveRep = 0
+    var wapRep = 0
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       // sub-phase rows: candidate generation timed WITHOUT the exact
@@ -787,6 +788,25 @@ object ScaleRehearsal {
           s"reconciled pre-evolution columns wrong: ${g1.columns.toSeq}")
         g1
       }),
+      // write-audit-publish at 100×: stage the 10M-event day-grain
+      // state (the write), audit it from the landed bytes (one scan),
+      // publish (one rename + manifest append). The row's claim:
+      // lifecycle ≈ stage write + audit scan — publish must stay
+      // O(metadata) at any batch size, so the band is ~one maint_gen
+      // commit + a read, NOT three commits
+      "maint_wap" -> (() => {
+        wapRep += 1
+        val root = s"$maintDir/wap_rep$wapRep"
+        val state = sketchEvents
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+        val st = graft.operators.Maintenance.stageCommit(spark, root, state)
+        val bad = graft.operators.Maintenance.readStage(spark, root, st)
+          .filter(col("n") <= 0).count()
+        require(bad == 0, s"audit found $bad violations in staged state")
+        val g = graft.operators.Maintenance.publish(spark, root, st)
+        graft.operators.Maintenance.readGen(spark, root, g)
+      }),
       "maint_gen" -> (() => {
         maintGenRep += 1
         val root = s"$maintDir/table_rep$maintGenRep"
@@ -845,6 +865,7 @@ object ScaleRehearsal {
         ()
       }),
       "schema_evolve" -> restoreSketch,
+      "maint_wap" -> restoreSketch,
       "maint_gen" -> restoreSketch)
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()

@@ -68,6 +68,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.vacuum(spark, root, keepLast = 2).isEmpty)
   }
 
+  // ---- write-audit-publish ----
+
+  test("a staged candidate is invisible until published; publish is a " +
+    "rename, not a rewrite") {
+    val root = tmp() + "/t"
+    Maintenance.commit(spark, root, Seq((1, "a")).toDF("k", "v"))
+    val st = Maintenance.stageCommit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // invisible to every table-state reader
+    assert(Maintenance.currentGen(spark, root) == 1)
+    assert(Maintenance.readCurrent(spark, root).count() == 1)
+    // the audit job reads the landed bytes
+    assert(Maintenance.readStage(spark, root, st).count() == 2)
+    val g = Maintenance.publish(spark, root, st)
+    assert(Maintenance.currentGen(spark, root) == g)
+    assert(Maintenance.readCurrent(spark, root).count() == 2)
+    // manifest row count rode over from the stage row (write-once)
+    assert(Maintenance.manifest(spark, root)
+      .filter(col("gen") === g).select("n_rows").head().getLong(0) == 2L)
+    // the staging dir is GONE (renamed, not copied); re-publish fails
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .forall(!_.getPath.getName.startsWith("_stage_")))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.publish(spark, root, st)
+    }
+    assert(e.getMessage.contains("published"))
+  }
+
+  test("an aborted stage is reclaimed and can never publish") {
+    val root = tmp() + "/t"
+    Maintenance.commit(spark, root, Seq((1, "good")).toDF("k", "v"))
+    val st = Maintenance.stageCommit(spark, root,
+      Seq((1, "bad")).toDF("k", "v"))
+    Maintenance.abortStage(spark, root, st)
+    assert(Maintenance.currentGen(spark, root) == 1)
+    assert(Maintenance.readCurrent(spark, root)
+      .select("v").as[String].collect().toSeq == Seq("good"))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.publish(spark, root, st)
+    }
+    assert(e.getMessage.contains("aborted"))
+    // a later commit allocates past the stage's id — one id sequence
+    assert(Maintenance.commit(spark, root,
+      Seq((2, "next")).toDF("k", "v")) > st)
+  }
+
   // ---- schema evolution ----
 
   test("readGen reconciles old generations to the current schema") {
