@@ -105,11 +105,50 @@ object Maintenance {
       (kv.take(i), kv.drop(i + 1))
     }
 
+  /** Auto-checkpoint threshold: a manifest append is one tiny parquet
+    * file, so a long-lived table's log grows one FILE per commit and
+    * every `manifest()` read pays O(commits) file opens — the log
+    * itself becomes the scale bottleneck its tables exist to avoid.
+    * Past this many files the append folds the log into one file
+    * (the Delta-checkpoint shape: Delta writes a checkpoint every 10
+    * commits for exactly this reason). 64 keeps the declared
+    * maintenance queries (≤ 8 appends each) off the checkpoint path
+    * entirely while bounding any long-running loop. */
+  private val ManifestCheckpointEvery = 64
+
   private def appendManifest(
       spark: SparkSession, root: String, row: Row): Unit = {
     val df = spark.createDataFrame(
       java.util.Collections.singletonList(row), manifestSchema)
     df.coalesce(1).write.mode("append").parquet(manifestDir(root))
+    val fs = hadoopFs(spark, root)
+    val nFiles = fs.listStatus(new Path(manifestDir(root)))
+      .count(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    if (nFiles >= ManifestCheckpointEvery) checkpointManifest(spark, root)
+  }
+
+  /** Fold the commit log into ONE parquet file, preserving every row —
+    * history compaction for the log itself, auto-invoked by the
+    * appender past [[ManifestCheckpointEvery]] files and callable
+    * directly. The swap (write compacted → delete old dir → rename in)
+    * rides the table's documented SINGLE-WRITER contract: the writer
+    * that appends is the writer that checkpoints, and in-process
+    * readers serialize through the driver between operations; a
+    * production deployment makes the flip catalog-atomic exactly like
+    * the commit append itself. */
+  def checkpointManifest(spark: SparkSession, root: String): Unit = {
+    val fs = hadoopFs(spark, root)
+    val dir = new Path(manifestDir(root))
+    if (!fs.exists(dir)) return
+    val tmp = new Path(s"$root/_manifest_ckpt")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir.toString).orderBy("gen")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    require(fs.rename(tmp, dir),
+      s"manifest checkpoint rename failed for $root; the compacted " +
+        s"log is intact at $tmp — rename it to _manifest to recover")
   }
 
   /** The full commit log, oldest first. Empty frame on a fresh root. */

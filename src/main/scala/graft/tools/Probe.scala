@@ -155,6 +155,73 @@ object Probe {
       return
     }
 
+    // the commit log's own scale limit: without checkpointing, a
+    // generational table's manifest grows one parquet FILE per commit
+    // and every manifest read pays O(commits) file opens — this probe
+    // measures the real path (auto-checkpoint at 64 files) at commit
+    // 150 of a long-lived table, then measures the counterfactual's
+    // read cost a decade apart (150 vs 1500 unchecked one-row files,
+    // the extra 1350 manufactured by driver-side file copy) so the
+    // O(files) read growth is a measured slope, not an assertion.
+    if (which == "manifestscale") {
+      import graft.operators.Maintenance
+      import org.apache.spark.sql.functions._
+      val work = Maintenance.scratchDir("graft_manifestscale")
+      def now() = System.nanoTime()
+      def f(s: Double): Double = math.round(s * 1000) / 1000.0
+      // real path: 150 commits, appender auto-checkpoints
+      val root = s"$work/table"
+      val t0 = now()
+      (1 to 150).foreach { i =>
+        Maintenance.commit(spark, root,
+          spark.range(i, i + 1).select(col("id").as("k")))
+      }
+      val tCommits = (now() - t0) / 1e9
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val nFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/_manifest"))
+        .count(st => !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      val t1 = now()
+      val nRows = Maintenance.manifest(spark, root).collect().length
+      val tRead = (now() - t1) / 1e9
+      require(nRows == 150, s"history must survive checkpoints: $nRows")
+      // counterfactual: the same 150 appends, never checkpointed
+      val raw = s"$work/unchecked"
+      (1 to 150).foreach { i =>
+        spark.range(i, i + 1).select(col("id").as("k"))
+          .coalesce(1).write.mode("append").parquet(raw)
+      }
+      val t2 = now()
+      val nRaw = spark.read.parquet(raw).collect().length
+      val tRawRead = (now() - t2) / 1e9
+      require(nRaw == 150)
+      // a decade further: 1500 unchecked files (copies of the first
+      // data file — read cost depends on file COUNT, not content)
+      import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = fs.listStatus(new HPath(raw))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      (1 to 1350).foreach { i =>
+        FileUtil.copy(fs, src, fs,
+          new HPath(raw, s"part-copy$i.snappy.parquet"), false, conf)
+      }
+      val t3 = now()
+      val nRaw10 = spark.read.parquet(raw).collect().length
+      val tRawRead10 = (now() - t3) / 1e9
+      require(nRaw10 == 1500)
+      println(
+        s"""{"probe":"manifestscale","commits":150,""" +
+        s""""manifest_files":$nFiles,"read_sec":${f(tRead)},""" +
+        s""""unchecked_files":150,"unchecked_read_sec":${f(tRawRead)},""" +
+        s""""unchecked_files_10x":1500,""" +
+        s""""unchecked_read_sec_10x":${f(tRawRead10)},""" +
+        s""""commits_sec":${f(tCommits)}}""")
+      spark.stop()
+      return
+    }
+
     // compaction's selection contract at the 1000×-class table: a
     // 110M-row landing where only ~9% of the BYTES (10M rows in 480
     // sub-threshold fragments) sit under the size floor next to 480

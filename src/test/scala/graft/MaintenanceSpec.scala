@@ -68,6 +68,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(Maintenance.vacuum(spark, root, keepLast = 2).isEmpty)
   }
 
+  // ---- manifest checkpointing ----
+
+  test("the commit log checkpoints itself: files bounded, history intact") {
+    val root = tmp() + "/t"
+    (1 to 70).foreach(i =>
+      Maintenance.commit(spark, root, Seq((i, s"g$i")).toDF("k", "v")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/_manifest"))
+      .count(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    // 70 appends crossed the 64-file threshold at least once: the log
+    // holds far fewer files than commits, yet EVERY row survives
+    assert(nFiles < 64, s"log not checkpointed: $nFiles files")
+    assert(Maintenance.manifest(spark, root).count() == 70)
+    assert(Maintenance.currentGen(spark, root) == 70)
+    // time travel, rollback and vacuum all work across checkpoints
+    assert(Maintenance.readGen(spark, root, 1)
+      .select("v").as[String].collect().toSeq == Seq("g1"))
+    Maintenance.rollback(spark, root, toGen = 5)
+    assert(Maintenance.readCurrent(spark, root)
+      .select("v").as[String].collect().toSeq == Seq("g5"))
+    val reclaimed = Maintenance.vacuum(spark, root, keepLast = 3)
+    assert(reclaimed.nonEmpty && !reclaimed.contains(5))
+    // an explicit checkpoint right after is a no-op on history
+    Maintenance.checkpointManifest(spark, root)
+    assert(Maintenance.currentGen(spark, root) == 71)
+    assert(Maintenance.readCurrent(spark, root)
+      .select("v").as[String].collect().toSeq == Seq("g5"))
+  }
+
   // ---- write-audit-publish ----
 
   test("a staged candidate is invisible until published; publish is a " +
