@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -89,7 +89,14 @@ object Maintenance {
     StructField("data_gen", IntegerType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
     StructField("renames", StringType, nullable = true),
-    StructField("schema_json", StringType, nullable = true)))
+    StructField("schema_json", StringType, nullable = true),
+    // FILE-granular commits (the Iceberg-manifest shape): when
+    // non-null, the newline-joined list of data files composing this
+    // generation — possibly living in OLDER generations' directories.
+    // Copy-on-write [[merge]] commits this way so untouched files are
+    // REFERENCED, never rewritten; null = the generation is its own
+    // directory (the original directory-granular shape).
+    StructField("files", StringType, nullable = true)))
 
   private def manifestDir(root: String) = s"$root/_manifest"
   private def genDir(root: String, g: Int) = f"$root/gen_$g%08d"
@@ -104,6 +111,13 @@ object Maintenance {
       val i = kv.indexOf('=')
       (kv.take(i), kv.drop(i + 1))
     }
+
+  // newline-joined: a path cannot contain '\n', and the manifest stays
+  // one self-describing parquet column (no JSON library dependency)
+  private def encodeFiles(files: Seq[String]): String =
+    files.mkString("\n")
+  private def decodeFiles(s: String): Seq[String] =
+    if (s == null || s.isEmpty) Nil else s.split("\n").toSeq
 
   /** Auto-checkpoint threshold: a manifest append is one tiny parquet
     * file, so a long-lived table's log grows one FILE per commit and
@@ -196,8 +210,210 @@ object Maintenance {
       .write.mode("overwrite").parquet(genDir(root, g))
     val n = obs.get("n").asInstanceOf[Long]
     appendManifest(spark, root,
-      Row(g, "commit", g, n, encodeRenames(renames), df.schema.json))
+      Row(g, "commit", g, n, encodeRenames(renames), df.schema.json,
+        null))
     g
+  }
+
+  // ---------------------------------------------------------------
+  // File-level statistics, data skipping, copy-on-write merge
+  // ---------------------------------------------------------------
+
+  /** Per-generation stats sidecar (parquet, one row per file×column,
+    * harvested from footers — see [[TableStats]]). Underscore-prefixed:
+    * invisible to data readers; reclaimed with its generation. */
+  private def statsDir(root: String, g: Int) = f"$root/_stats/gen_$g%08d"
+
+  /** [[commit]] plus a footer-stats sidecar for `statsColumns`: the
+    * harvest reads O(files) KB-sized footers on executors and ZERO
+    * data pages, so a commit still writes once and re-reads nothing.
+    * The sidecar powers [[prunedReadCurrent]] (data skipping) and
+    * [[merge]] (touched-file pruning); skipping only prunes when the
+    * data is clustered by the column — pass `df` through
+    * `repartitionByRange` (or the z-order layout) first. */
+  def commitWithStats(
+      spark: SparkSession, root: String, df: DataFrame,
+      statsColumns: Seq[String],
+      renames: Map[String, String] = Map.empty): Int = {
+    val g = commit(spark, root, df, renames)
+    writeSidecar(spark, root, g,
+      TableStats.harvestDir(spark, genDir(root, g), statsColumns))
+    g
+  }
+
+  private def writeSidecar(
+      spark: SparkSession, root: String, g: Int,
+      stats: org.apache.spark.sql.Dataset[TableStats.ColStats]): Unit =
+    stats.coalesce(1).write.mode("overwrite").parquet(statsDir(root, g))
+
+  /** The stats sidecar of the generation HOLDING `gen`'s rows, if one
+    * was written ([[commitWithStats]] / [[merge]]). */
+  def statsFor(
+      spark: SparkSession, root: String,
+      gen: Int): Option[Seq[TableStats.ColStats]] = {
+    import spark.implicits._
+    val (dataGen, _) = resolveData(spark, root, gen)
+    val d = statsDir(root, dataGen)
+    if (!hadoopFs(spark, root).exists(new Path(d))) None
+    else Some(spark.read.parquet(d).as[TableStats.ColStats]
+      .collect().toSeq)
+  }
+
+  /** Data-skipping read of the current generation: resolve the
+    * inclusive range predicate `column BETWEEN lo AND hi` against the
+    * stats sidecar and plan the scan over ONLY the files whose range
+    * intersects it (all-null files skip too — BETWEEN never matches
+    * NULL). Skipping is advisory — the returned frame still needs the
+    * real filter applied (and keeps every file lacking usable stats) —
+    * so the result is always a correct superset scan, never a wrong
+    * answer. `lo`/`hi`: Long, Double or String, matching the column's
+    * harvested slot. */
+  def prunedReadCurrent(
+      spark: SparkSession, root: String, column: String,
+      lo: Any, hi: Any): TableStats.PrunedRead = {
+    val g = currentGen(spark, root)
+    val (dataGen, filesOpt) = resolveData(spark, root, g)
+    val fs = hadoopFs(spark, root)
+    val allFiles = filesOpt.getOrElse(
+      dataFiles(fs, genDir(root, dataGen)).map(_.getPath.toString))
+    val stats = statsFor(spark, root, g).getOrElse(Nil)
+    val (kept, skippedRows) =
+      TableStats.pruneFiles(stats, allFiles, column, lo, hi)
+    val df =
+      if (kept.nonEmpty) spark.read.parquet(kept: _*)
+      else {
+        // everything pruned: an empty frame under the table schema
+        val schema = spark.read.parquet(allFiles.head).schema
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+      }
+    TableStats.PrunedRead(
+      reconcileToCurrent(spark, root, df, dataGen),
+      allFiles.size, kept.size, skippedRows)
+  }
+
+  /** Copy-on-write merge outcome, driver-side metadata only. */
+  final case class MergeStats(
+      gen: Int, filesTotal: Int, filesRewritten: Int,
+      filesReferenced: Int, rowsWritten: Long)
+
+  /** MERGE `source` INTO the table ON `key` (WHEN MATCHED UPDATE SET *,
+    * WHEN NOT MATCHED INSERT * — the upsert shape), COPY-ON-WRITE:
+    *
+    *  1. Resolve which current files CAN hold a source key by joining
+    *     the source's keys against the sidecar's per-file [min,max]
+    *     ranges (broadcast — file metadata is small; the scan side is
+    *     the source). Files without usable key stats count as touched.
+    *  2. Rewrite ONLY the touched files: their non-matched rows union
+    *     the whole source, re-clustered by `key` on the way out
+    *     (`repartitionByRange`) so the NEXT merge prunes just as well.
+    *  3. Commit a FILE-GRANULAR generation: the untouched files are
+    *     referenced by path — never read, never copied — and the new
+    *     files live in the new generation's own directory. Snapshot
+    *     isolation holds as ever (old generation intact for pinned
+    *     readers; [[vacuum]] knows file-level reachability).
+    *
+    * At 100 TB this is the difference between a merge that rewrites
+    * 100 TB and one that rewrites the few GB the keys actually land
+    * in — THE reason lake formats carry file-level key ranges. Cost:
+    * O(source) for the probe + O(touched bytes) for the rewrite; the
+    * manifest append is O(metadata).
+    *
+    * Preconditions: the holding generation has a stats sidecar on
+    * `key` ([[commitWithStats]] / a previous merge), `source` has the
+    * table's exact schema, and source keys are unique (two source rows
+    * with one key would both survive — same contract as Delta MERGE,
+    * which throws on multiple matches). */
+  def merge(
+      spark: SparkSession, root: String, source: DataFrame,
+      key: String): MergeStats = {
+    val g = currentGen(spark, root)
+    val (dataGen, filesOpt) = resolveData(spark, root, g)
+    val fs = hadoopFs(spark, root)
+    val allFiles = filesOpt.getOrElse(
+      dataFiles(fs, genDir(root, dataGen)).map(_.getPath.toString))
+    val stats = statsFor(spark, root, g).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge requires a stats sidecar on '$key' — commit with " +
+          s"commitWithStats(..., statsColumns = Seq(\"$key\"))"))
+    val headJson = manifest(spark, root)
+      .filter(col("action") === "commit")
+      .select("gen", "schema_json").collect()
+      .maxBy(_.getInt(0)).getString(1)
+    def shapeOf(s: StructType) =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
+    require(headJson != null &&
+      shapeOf(DataType.fromJson(headJson).asInstanceOf[StructType]) ==
+        shapeOf(source.schema),
+      s"merge source schema must equal the table schema; table=" +
+        s"$headJson source=${source.schema.json}")
+
+    val keyStats = stats.filter(s =>
+      s.column == key && s.has_minmax).groupBy(_.file)
+    val (prunable, unprunable) =
+      allFiles.partition(keyStats.contains)
+    // per-file key ranges -> which files can a source key land in?
+    // (broadcast the KB-sized range table; scan the source once)
+    import spark.implicits._
+    val touched: Set[String] = if (prunable.isEmpty) Set.empty else {
+      val ranges = prunable.map(keyStats(_).head)
+      val touchedDs = ranges.head.typ match {
+        case "long" =>
+          val r = spark.createDataset(ranges.map(s =>
+            (s.file, s.min_long.getOrElse(Long.MaxValue),
+              s.max_long.getOrElse(Long.MinValue))))
+            .toDF("file", "mn", "mx")
+          source.select(col(key).cast("long").as("k"))
+            .join(broadcast(r),
+              col("k") >= col("mn") && col("k") <= col("mx"))
+        case "string" =>
+          val r = spark.createDataset(ranges.map(s =>
+            (s.file, s.min_str.orNull, s.max_str.orNull)))
+            .toDF("file", "mn", "mx")
+          source.select(col(key).cast("string").as("k"))
+            .join(broadcast(r),
+              col("k") >= col("mn") && col("k") <= col("mx"))
+        case t => throw new IllegalArgumentException(
+          s"merge key stats type '$t' not range-joinable")
+      }
+      touchedDs.select("file").distinct().as[String].collect().toSet
+    }
+    val rewrite = (unprunable ++ prunable.filter(touched)).sorted
+    val untouched = allFiles.filterNot(rewrite.toSet).sorted
+
+    val newGen = nextId(spark, root)
+    val outDir = genDir(root, newGen)
+    fs.delete(new Path(outDir), true)
+    val survivors =
+      if (rewrite.isEmpty) source
+      else spark.read.parquet(rewrite: _*)
+        .join(source.select(col(key)), Seq(key), "left_anti")
+        .unionByName(source)
+    val nOut = math.max(1, rewrite.size)
+    val obs = Observation()
+    survivors
+      .repartitionByRange(nOut, col(key))
+      .sortWithinPartitions(key)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(outDir)
+    val written = obs.get("n").asInstanceOf[Long]
+    val newFiles = dataFiles(fs, outDir).map(_.getPath.toString).sorted
+
+    // carried rows counted from METADATA (sidecar n_rows per file) —
+    // the untouched bytes are never re-read, which is the point
+    val perFileRows = stats.groupBy(_.file)
+      .map { case (f, ss) => (f, ss.head.n_rows) }
+    val carried = untouched.map(f => perFileRows.getOrElse(f, 0L)).sum
+    val statCols = stats.map(_.column).distinct
+    val carriedStats = stats.filter(s => untouched.contains(s.file))
+    val newStats = TableStats.harvest(spark, newFiles, statCols)
+    writeSidecar(spark, root, newGen,
+      newStats.unionByName(spark.createDataset(carriedStats)))
+    appendManifest(spark, root,
+      Row(newGen, "commit", newGen, carried + written, null, headJson,
+        encodeFiles(untouched ++ newFiles)))
+    MergeStats(newGen, allFiles.size, rewrite.size, untouched.size,
+      written)
   }
 
   // ---------------------------------------------------------------
@@ -225,7 +441,7 @@ object Maintenance {
       .write.mode("overwrite").parquet(stageDir(root, id))
     val n = obs.get("n").asInstanceOf[Long]
     appendManifest(spark, root,
-      Row(id, "stage", id, n, null, df.schema.json))
+      Row(id, "stage", id, n, null, df.schema.json, null))
     id
   }
 
@@ -251,7 +467,7 @@ object Maintenance {
       new Path(stageDir(root, stageId)), new Path(genDir(root, g))),
       s"publish rename failed for stage $stageId; stage left intact")
     appendManifest(spark, root,
-      Row(g, "commit", g, row.getLong(0), null, row.getString(1)))
+      Row(g, "commit", g, row.getLong(0), null, row.getString(1), null))
     g
   }
 
@@ -261,7 +477,7 @@ object Maintenance {
   def abortStage(spark: SparkSession, root: String, stageId: Int): Unit = {
     requireLiveStage(spark, root, stageId)
     hadoopFs(spark, root).delete(new Path(stageDir(root, stageId)), true)
-    appendManifest(spark, root, Row(stageId, "abort", -1, 0L, null, null))
+    appendManifest(spark, root, Row(stageId, "abort", -1, 0L, null, null, null))
   }
 
   /** The stage row if `stageId` is live (staged, not yet published /
@@ -299,7 +515,8 @@ object Maintenance {
     require(m.nonEmpty, s"rollback target gen=$toGen not in manifest")
     val g = nextId(spark, root)
     appendManifest(spark, root,
-      Row(g, "rollback", m(0).getInt(0), m(0).getLong(1), null, null))
+      Row(g, "rollback", m(0).getInt(0), m(0).getLong(1), null, null,
+        null))
     g
   }
 
@@ -315,17 +532,45 @@ object Maintenance {
     * Throws with the generation named if it was vacuumed — a pinned
     * reader must fail loudly, not silently read an empty dir. */
   def readGen(spark: SparkSession, root: String, gen: Int): DataFrame = {
-    val m = manifest(spark, root)
-      .filter(col("gen") === gen &&
-        col("action").isin("commit", "rollback"))
-      .select("data_gen").collect()
+    val (dataGen, files) = resolveData(spark, root, gen)
+    val fs = hadoopFs(spark, root)
+    val raw = files match {
+      case Some(fl) =>
+        // file-granular generation: its rows may live across several
+        // older directories; vacuum reclaims whole dirs, so checking
+        // the distinct PARENTS is the exact liveness test
+        fl.map(f => new Path(f).getParent).distinct.foreach { d =>
+          require(fs.exists(d),
+            s"gen=$gen references files under vacuumed directory $d")
+        }
+        spark.read.parquet(fl: _*)
+      case None =>
+        val dir = genDir(root, dataGen)
+        require(fs.exists(new Path(dir)),
+          s"gen=$gen (data_gen=$dataGen) was vacuumed; oldest retained " +
+            s"generation is recorded in the manifest's vacuum rows")
+        spark.read.parquet(dir)
+    }
+    reconcileToCurrent(spark, root, raw, dataGen)
+  }
+
+  /** Resolve `gen` through any rollback pointer to (data_gen, file
+    * list if the holding commit is file-granular). */
+  private def resolveData(
+      spark: SparkSession, root: String,
+      gen: Int): (Int, Option[Seq[String]]) = {
+    val rows = manifest(spark, root)
+      .filter(col("action").isin("commit", "rollback"))
+      .select("gen", "data_gen", "files").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val m = rows.find(_._1 == gen)
     require(m.nonEmpty, s"gen=$gen not in manifest")
-    val dataGen = m(0).getInt(0)
-    val dir = genDir(root, dataGen)
-    require(hadoopFs(spark, root).exists(new Path(dir)),
-      s"gen=$gen (data_gen=$dataGen) was vacuumed; oldest retained " +
-        s"generation is recorded in the manifest's vacuum rows")
-    reconcileToCurrent(spark, root, spark.read.parquet(dir), dataGen)
+    val dataGen = m.get._2
+    // a rollback row carries no file list of its own — the commit that
+    // WROTE data_gen does (commit rows have gen == data_gen)
+    val holder = if (dataGen == gen) m else rows.find(_._1 == dataGen)
+    val files = holder.flatMap(h => Option(h._3)).map(decodeFiles)
+    (dataGen, files.filter(_.nonEmpty))
   }
 
   /** Forward-reconcile a snapshot written at `dataGen` to the latest
@@ -360,24 +605,40 @@ object Maintenance {
     readGen(spark, root, currentGen(spark, root))
 
   /** Reclaim generation directories not reachable from the last
-    * `keepLast` commits — "reachable" RESOLVES rollback pointers, so a
+    * `keepLast` commits — "reachable" RESOLVES rollback pointers (a
     * directory an in-retention rollback still references survives even
-    * if its own commit has aged out. Appends an audit row per reclaimed
-    * directory; returns the reclaimed generation ids. */
+    * if its own commit has aged out) AND file-granular commits' file
+    * lists (a copy-on-write [[merge]] generation references untouched
+    * files inside OLDER directories, which must therefore survive as
+    * long as the merge is in retention). Appends an audit row per
+    * reclaimed directory; returns the reclaimed generation ids. */
   def vacuum(
       spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
     val rows = manifest(spark, root)
       .filter(col("action").isin("commit", "rollback"))
-      .select("gen", "data_gen").collect()
-      .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
-    val retained = rows.takeRight(keepLast).map(_._2).toSet
+      .select("gen", "data_gen", "files").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+      .sortBy(_._1)
+    val byGen = rows.map(r => (r._1, r)).toMap
     val fs = hadoopFs(spark, root)
-    val reclaimed = rows.dropRight(keepLast)
-      .map(_._2).distinct.filterNot(retained)
-      .filter(g => fs.exists(new Path(genDir(root, g))))
+    // every directory a row's data can live in: its data_gen's dir,
+    // plus — for file-granular holders — each referenced file's parent
+    def dirsOf(r: (Int, Int, String)): Seq[Path] = {
+      val holder = if (r._2 == r._1) r else byGen.getOrElse(r._2, r)
+      val base = fs.makeQualified(new Path(genDir(root, r._2)))
+      base +: decodeFiles(holder._3)
+        .map(f => fs.makeQualified(new Path(f)).getParent).distinct
+    }
+    val retainedDirs = rows.takeRight(keepLast).flatMap(dirsOf).toSet
+    val reclaimable = rows.dropRight(keepLast).flatMap(dirsOf)
+      .distinct.filterNot(retainedDirs)
+      .filter(fs.exists)
+    val reclaimed = reclaimable.map(d =>
+      d.getName.stripPrefix("gen_").toInt).sorted
+    reclaimable.foreach(fs.delete(_, true))
     reclaimed.foreach { g =>
-      fs.delete(new Path(genDir(root, g)), true)
-      appendManifest(spark, root, Row(g, "vacuum", -1, 0L, null, null))
+      fs.delete(new Path(statsDir(root, g)), true)
+      appendManifest(spark, root, Row(g, "vacuum", -1, 0L, null, null, null))
     }
     reclaimed.toSeq
   }
@@ -580,19 +841,24 @@ object Maintenance {
     * file-stream-source hazard and the crash-duplicates window) for
     * manifest-backed tables.
     *
-    * Already-at-size files are FS-copied byte-for-byte into the new
-    * generation (`FileUtil.copy` — no decode, no shuffle, no Spark
-    * job); under a file-granular manifest (the Iceberg shape) that
-    * copy is a metadata pointer — directory-granular generations keep
-    * each snapshot self-contained at the price of re-linking the
-    * at-size bytes. The new commit's row count and schema are COPIED
+    * Already-at-size files are REFERENCED in place: the new commit is
+    * file-granular (the Iceberg-manifest shape — see the manifest's
+    * `files` column), listing the at-size files where they already
+    * live next to the freshly packed outputs. Re-blocking N small
+    * files therefore costs O(small bytes) and nothing else — no
+    * FS copy of the at-size bytes, no decode, no shuffle — and
+    * [[vacuum]]'s file-level reachability keeps a referenced
+    * directory alive exactly as long as the compacted generation is
+    * in retention. The new commit's row count and schema are COPIED
     * from the source commit's manifest row: compaction re-blocks
     * bytes, never rows, so the pack is write-only (zero re-read, zero
-    * re-count). A generation with fewer than two small files is
-    * already the fixpoint: no new commit is appended (same idempotence
-    * contract as [[compactDir]] — a scheduled optimizer converges
-    * instead of minting no-op generations). Returns (the generation
-    * now holding the current state, stats). */
+    * re-count); a stats sidecar, if the source generation carried
+    * one, rides over the same way (at-size rows carried, packed files
+    * footer-harvested). A generation with fewer than two small files
+    * is already the fixpoint: no new commit is appended (same
+    * idempotence contract as [[compactDir]] — a scheduled optimizer
+    * converges instead of minting no-op generations). Returns (the
+    * generation now holding the current state, stats). */
   def compactGen(
       spark: SparkSession, root: String,
       targetBytes: Long, minFileBytes: Long): (Int, CompactStats) = {
@@ -606,7 +872,10 @@ object Maintenance {
     val dataGen = src(0).getInt(0)
     val nRows = src(0).getLong(1)
     val fs = hadoopFs(spark, root)
-    val all = dataFiles(fs, genDir(root, dataGen))
+    val all = resolveData(spark, root, g)._2 match {
+      case Some(fl) => fl.map(f => fs.getFileStatus(new Path(f)))
+      case None     => dataFiles(fs, genDir(root, dataGen))
+    }
     val small = all.filter(_.getLen < minFileBytes)
     if (small.size < 2)
       return (g, CompactStats(0, all.size.toLong, 0L, 0L, 0L))
@@ -634,19 +903,24 @@ object Maintenance {
       .parquet(small.map(_.getPath.toString): _*)
       .coalesce(nOut)
       .write.mode("overwrite").parquet(outDir.toString)
-    val written = dataFiles(fs, outDir.toString).size
-    // at-size files ride in by byte copy — names are collision-free
-    // (Spark part files carry a per-write uuid, packed outputs too)
-    val conf = spark.sparkContext.hadoopConfiguration
-    all.filterNot(_.getLen < minFileBytes).foreach { st =>
-      FileUtil.copy(
-        fs, st.getPath, fs, new Path(outDir, st.getPath.getName),
-        false, conf)
+    val packed = dataFiles(fs, outDir.toString)
+      .map(_.getPath.toString).sorted
+    val atSize = all.filterNot(_.getLen < minFileBytes)
+      .map(st => fs.makeQualified(st.getPath).toString).sorted
+    // sidecar rides over: at-size rows carried, packed files harvested
+    statsFor(spark, root, g).foreach { stats =>
+      import spark.implicits._
+      val cols = stats.map(_.column).distinct
+      val carried = stats.filter(s => atSize.contains(s.file))
+      writeSidecar(spark, root, newGen,
+        TableStats.harvest(spark, packed, cols)
+          .unionByName(spark.createDataset(carried)))
     }
     appendManifest(spark, root,
-      Row(newGen, "commit", newGen, nRows, null, schemaJson))
+      Row(newGen, "commit", newGen, nRows, null, schemaJson,
+        encodeFiles(atSize ++ packed)))
     (newGen,
       CompactStats(1, all.size.toLong, small.size.toLong,
-        written.toLong, smallBytes))
+        packed.size.toLong, smallBytes))
   }
 }

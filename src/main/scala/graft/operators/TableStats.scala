@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file column statistics, harvested from parquet FOOTERS — the
+  * data-skipping layer of the generational table.
+  *
+  * The scale problem: a 100 TB table is ~100k files, and a selective
+  * query that scans all of them to return 0.1% of the rows pays
+  * 1000× the I/O it needs. Every production table format (Iceberg
+  * manifests, Delta `stats` JSON, Hudi column_stats) answers it the
+  * same way: record each file's per-column min/max ONCE at write
+  * time, and resolve range predicates against that metadata before
+  * the scan is planned — the reference's warehouse (BigQuery,
+  * `create_looker_data_table.sql:1`) does the equivalent internally
+  * with block-range indexes.
+  *
+  * Two design choices keep this honest at scale:
+  *
+  *  1. '''Stats come from footers, not a second scan.''' The parquet
+  *     writer already computed min/max/null-count per column chunk;
+  *     harvesting reads O(files) KB-sized footers and ZERO data
+  *     pages. The harvest is distributed ([[harvest]] maps the file
+  *     list across executors), so even a 100k-file generation stats
+  *     itself in one short stage — the driver only lists the files,
+  *     which the manifest already bounds.
+  *
+  *  2. '''Skipping is advisory, scanning is authoritative.''' A
+  *     pruned read ([[PrunedRead]]) returns the SUPERSET of files
+  *     whose range intersects the predicate; the query still applies
+  *     the full filter to the rows. Files with no usable stats are
+  *     always kept — absence of metadata can never drop a row.
+  *     All-null files are skippable for a range predicate (`BETWEEN`
+  *     never matches NULL), and `null_count` makes that decision
+  *     explicit rather than accidental.
+  *
+  * Skipping only pays when values are CLUSTERED by the predicate
+  * column — the same contract as every lake format ("stats without
+  * clustering prune nothing"): commit with `repartitionByRange` (or
+  * the z-order layout, [[Layout]]) and a 1000-file generation
+  * resolves a narrow range to a handful of files.
+  */
+object TableStats {
+
+  /** One row per (file, column): file row count, nulls, and a typed
+    * min/max in exactly one of the three slots (long-backed physical
+    * types including timestamps; double-backed; UTF8 binary).
+    * `has_minmax=false` (stats absent in the footer) keeps the file
+    * unprunable, never wrong. */
+  final case class ColStats(
+      file: String, column: String, n_rows: Long, null_count: Long,
+      has_minmax: Boolean, typ: String,
+      min_long: Option[Long], max_long: Option[Long],
+      min_double: Option[Double], max_double: Option[Double],
+      min_str: Option[String], max_str: Option[String])
+
+  /** Harvest footer stats for `columns` over every parquet file under
+    * `dir`. Driver work = one listing; the footer reads run on
+    * executors. */
+  def harvestDir(
+      spark: SparkSession, dir: String,
+      columns: Seq[String]): Dataset[ColStats] = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq.sorted
+    harvest(spark, files, columns)
+  }
+
+  /** Harvest footer stats for an explicit file list — the footer reads
+    * run on executors (fresh Hadoop conf per partition; the paths
+    * carry the scheme), so a 100k-file generation stats itself in one
+    * short stage reading zero data pages. */
+  def harvest(
+      spark: SparkSession, files: Seq[String],
+      columns: Seq[String]): Dataset[ColStats] = {
+    import spark.implicits._
+    val cols = columns
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(files).repartition(slices)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.flatMap(f => statsOfFile(conf, f, cols))
+      }
+  }
+
+  /** Footer → per-column stats for one file, aggregated across its
+    * row groups (min of mins, max of maxs, summed nulls). */
+  private def statsOfFile(
+      conf: Configuration, file: String,
+      columns: Seq[String]): Seq[ColStats] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      columns.flatMap { c =>
+        val chunks = blocks.flatMap(
+          _.getColumns.asScala.find(_.getPath.toDotString == c))
+        if (chunks.isEmpty) None
+        else {
+          val prim = chunks.head.getPrimitiveType.getPrimitiveTypeName
+          val stats = chunks.map(_.getStatistics)
+          val ok = stats.forall(s => s != null && !s.isEmpty)
+          val nulls = if (ok) stats.map(_.getNumNulls).sum else 0L
+          val withVals = if (ok) stats.filter(_.hasNonNullValue) else Nil
+          val hasMm = ok && (withVals.nonEmpty || nulls == nRows)
+          def mnmx[T: Ordering](cast: Any => T): (Option[T], Option[T]) =
+            if (withVals.isEmpty) (None, None)
+            else (Some(withVals.map(s => cast(s.genericGetMin)).min),
+                  Some(withVals.map(s => cast(s.genericGetMax)).max))
+          prim match {
+            case INT32 | INT64 =>
+              val (mn, mx) = mnmx(_.asInstanceOf[Number].longValue())
+              Some(ColStats(file, c, nRows, nulls, hasMm, "long",
+                mn, mx, None, None, None, None))
+            case FLOAT | DOUBLE =>
+              val (mn, mx) = mnmx(_.asInstanceOf[Number].doubleValue())
+              Some(ColStats(file, c, nRows, nulls, hasMm, "double",
+                None, None, mn, mx, None, None))
+            case BINARY =>
+              val (mn, mx) = mnmx(
+                _.asInstanceOf[Binary].toStringUsingUTF8)
+              Some(ColStats(file, c, nRows, nulls, hasMm, "string",
+                None, None, None, None, mn, mx))
+            case _ => // boolean / int96 / fixed: unprunable, still row-counted
+              Some(ColStats(file, c, nRows, 0L, has_minmax = false,
+                "other", None, None, None, None, None, None))
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** A pruned scan: the frame over the KEPT files plus the decision
+    * counts. `rowsSkippedUpperBound` is what the metadata alone
+    * proves the scan avoided. */
+  final case class PrunedRead(
+      df: DataFrame, filesTotal: Int, filesRead: Int,
+      rowsSkipped: Long)
+
+  /** Inclusive-range prune over harvested stats: keep a file unless
+    * its [min,max] provably misses [lo,hi] or it is all-null. `lo` /
+    * `hi` must be Long, Double or String to match the harvested slot;
+    * files whose stats row is missing or `has_minmax=false` are kept. */
+  def pruneFiles(
+      stats: Seq[ColStats], allFiles: Seq[String], column: String,
+      lo: Any, hi: Any): (Seq[String], Long) = {
+    val byFile = stats.filter(_.column == column).groupBy(_.file)
+    var skippedRows = 0L
+    val kept = allFiles.filter { f =>
+      byFile.get(f).map(_.head) match {
+        case Some(s) if s.has_minmax =>
+          val allNull = s.null_count == s.n_rows
+          val disjoint = (lo, hi) match {
+            case (l: Long, h: Long) if s.typ == "long" =>
+              s.max_long.exists(_ < l) || s.min_long.exists(_ > h)
+            case (l: Double, h: Double) if s.typ == "double" =>
+              s.max_double.exists(_ < l) || s.min_double.exists(_ > h)
+            case (l: String, h: String) if s.typ == "string" =>
+              s.max_str.exists(_ < l) || s.min_str.exists(_ > h)
+            case _ => false
+          }
+          val skip = allNull || disjoint
+          if (skip) skippedRows += s.n_rows
+          !skip
+        case _ => true // no usable stats: must scan
+      }
+    }
+    (kept, skippedRows)
+  }
+}

@@ -245,6 +245,79 @@ object TierX {
         .select("gen", "event_id", "event_type", "amount", "source")
         .orderBy("gen", "event_id")
     }),
+    "x_maint_stats_skip" -> ((s, d) => {
+      // file-level data skipping (the Iceberg/Delta stats shape): the
+      // events table is committed range-clustered by event_id into 24
+      // files, commitWithStats harvesting each file's per-column
+      // min/max from parquet FOOTERS (O(files) KB-sized reads on
+      // executors, zero data pages re-scanned); a 15%-selective range
+      // read then plans its scan over ONLY the files whose range
+      // intersects the predicate — the in-query requires pin that the
+      // metadata actually pruned. Skipping is advisory (the real
+      // filter still applies; a file without usable stats is always
+      // scanned), so the oracle is simply the filtered raw table: the
+      // pruned plan must be invisible in the ANSWER and visible only
+      // in the files-read count
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val root = Maintenance.scratchDir("graft_stats_skip") + "/table"
+      Maintenance.commitWithStats(s, root,
+        ev.repartitionByRange(24, col("event_id")),
+        statsColumns = Seq("event_id", "event_type"))
+      val (lo, hi) = (maxId / 5, maxId * 7 / 20)
+      val pr = Maintenance.prunedReadCurrent(s, root, "event_id", lo, hi)
+      require(pr.filesTotal >= 20 && pr.filesRead > 0 &&
+        pr.filesRead < pr.filesTotal / 2,
+        s"stats must prune a 15% range to a file minority, got $pr")
+      require(pr.rowsSkipped > 0, s"metadata proved no skipped rows: $pr")
+      pr.df.filter(col("event_id").between(lo, hi)).orderBy("event_id")
+    }),
+    "x_maint_merge" -> ((s, d) => {
+      // copy-on-write MERGE (upsert) with stats-pruned rewrite: the
+      // events table committed range-clustered (16 files, footer-stats
+      // sidecar on the key), then a source of range-LOCALIZED updates
+      // plus brand-new keys merges in. The sidecar's per-file key
+      // ranges resolve which files CAN match (broadcast range join
+      // probed by one pass over the source); only those files rewrite
+      // — every other file is REFERENCED by the new file-granular
+      // generation, never read, never copied. The in-query requires
+      // pin the COW contract: a file minority rewritten, the pinned
+      // gen-1 reader unperturbed, and a keep-1 vacuum reclaiming
+      // NOTHING because gen 1's directory still holds referenced
+      // files. Oracle: upsert semantics recomputed in SQL (source
+      // rows win on key collision, the rest of the table carries over)
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val root = Maintenance.scratchDir("graft_merge") + "/table"
+      Maintenance.commitWithStats(s, root,
+        ev.repartitionByRange(16, col("event_id")),
+        statsColumns = Seq("event_id"))
+      val upd = ev
+        .filter(col("event_id").between(maxId / 10, maxId / 5) &&
+          pmod(col("event_id"), lit(7)) === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") * 2)
+      val ins = ev
+        .filter(col("event_id").between(maxId * 3 / 10, maxId * 2 / 5) &&
+          pmod(col("event_id"), lit(37)) === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("event_type", lit("inserted"))
+        .withColumn("value", col("value") + 1)
+      val pinnedN = Maintenance.readGen(s, root, 1).count()
+      val st = Maintenance.merge(s, root, upd.unionByName(ins), "event_id")
+      require(st.filesReferenced > st.filesRewritten,
+        s"COW merge must reference the untouched majority, got $st")
+      require(Maintenance.readGen(s, root, 1).count() == pinnedN,
+        "pinned gen-1 reader must survive the merge unperturbed")
+      require(Maintenance.vacuum(s, root, keepLast = 1).isEmpty,
+        "keep-1 vacuum must preserve gen 1: its files are referenced " +
+          "by the retained merge generation")
+      Maintenance.readCurrent(s, root).orderBy("event_id")
+    }),
     "x_maint_timetravel" -> ((s, d) => {
       // generational table lifecycle: three cumulative state commits
       // (the write-new-then-swap pattern with its manifest made
@@ -1658,6 +1731,40 @@ object TierX {
       """SELECT event_id, user_id, event_type, value,
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
         |FROM events ORDER BY event_id""".stripMargin,
+    // data skipping is advisory metadata: the pruned scan must answer
+    // exactly as the filtered raw table (the pruning is visible only
+    // in the files-read count, which the query itself asserts)
+    "x_maint_stats_skip" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events)
+        |SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events, mx
+        |WHERE event_id BETWEEN m // 5 AND 7 * m // 20
+        |ORDER BY event_id""".stripMargin,
+    // upsert semantics: source rows (localized updates + new keys)
+    // win on key collision; every other row carries over untouched
+    "x_maint_merge" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |t AS (SELECT event_id, user_id, event_type, value,
+        |             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |      FROM events),
+        |s AS (
+        |  SELECT event_id, user_id, 'updated' AS event_type,
+        |         value * 2 AS value, ts_s
+        |  FROM t, mx
+        |  WHERE event_id BETWEEN m // 10 AND m // 5 AND event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000, user_id, 'inserted',
+        |         value + 1, ts_s
+        |  FROM t, mx
+        |  WHERE event_id BETWEEN 3 * m // 10 AND 2 * m // 5
+        |    AND event_id % 37 = 0)
+        |SELECT event_id, user_id, event_type, value, ts_s FROM s
+        |UNION ALL
+        |SELECT t.event_id, t.user_id, t.event_type, t.value, t.ts_s
+        |FROM t WHERE NOT EXISTS
+        |  (SELECT 1 FROM s WHERE s.event_id = t.event_id)
+        |ORDER BY event_id""".stripMargin,
     // the published state = baseline commit + the clean candidate (the
     // corrupted slice event_id % 7 = 0 was aborted at audit, so it
     // must be absent) — recomputed from the raw table

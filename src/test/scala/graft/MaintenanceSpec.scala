@@ -100,6 +100,176 @@ class MaintenanceSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq == Seq("g5"))
   }
 
+  // ---- file stats, data skipping, copy-on-write merge ----
+
+  test("footer-stats harvest agrees with a data-scan cross-check") {
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(4, col("event_id")),
+      statsColumns = Seq("event_id", "event_type", "value"))
+    val stats = Maintenance.statsFor(spark, root, 1).get
+    // the expensive way, as the oracle: scan the data per file
+    // the two sides surface different URI spellings of the same path
+    // (file:/// vs file:/) — compare on the normalized form
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val byScan = spark.read.parquet(f"$root/gen_${1}%08d")
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("mn_id"), max("event_id").as("mx_id"),
+        min("event_type").as("mn_t"), max("event_type").as("mx_t"),
+        min("value").as("mn_v"), max("value").as("mx_v"))
+      .collect().map(r => norm(r.getString(0)) -> r).toMap
+    assert(stats.map(_.file).distinct.size == 4)
+    stats.foreach { s =>
+      val r = byScan(norm(s.file))
+      assert(s.n_rows == r.getLong(1) && s.has_minmax, s)
+      s.column match {
+        case "event_id" =>
+          assert(s.typ == "long" &&
+            s.min_long.contains(r.getLong(2)) &&
+            s.max_long.contains(r.getLong(3)), s)
+        case "event_type" =>
+          assert(s.typ == "string" &&
+            s.min_str.contains(r.getString(4)) &&
+            s.max_str.contains(r.getString(5)), s)
+        case "value" =>
+          assert(s.typ == "double" &&
+            s.min_double.contains(r.getDouble(6)) &&
+            s.max_double.contains(r.getDouble(7)), s)
+      }
+    }
+  }
+
+  test("pruned read: skips disjoint files, never drops a row, keeps " +
+    "unstatted files") {
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(8, col("event_id")),
+      statsColumns = Seq("event_id"))
+    val pr = Maintenance.prunedReadCurrent(spark, root, "event_id",
+      100L, 220L)
+    assert(pr.filesTotal == 8 && pr.filesRead < 8 && pr.filesRead > 0, pr)
+    assert(pr.rowsSkipped > 0)
+    val got = pr.df.filter(col("event_id").between(100, 220))
+      .orderBy("event_id").collect().toSeq
+    val want = ev.filter(col("event_id").between(100, 220))
+      .orderBy("event_id").collect().toSeq
+    assert(got == want)
+    // a column with no harvested stats can prune nothing
+    val noStats = Maintenance.prunedReadCurrent(spark, root,
+      "event_type", "a", "b")
+    assert(noStats.filesRead == noStats.filesTotal)
+    // a fully-disjoint range prunes everything and reads an empty frame
+    val none = Maintenance.prunedReadCurrent(spark, root, "event_id",
+      1000000L, 2000000L)
+    assert(none.filesRead == 0 && none.df.count() == 0)
+    assert(none.df.columns.toSeq ==
+      Seq("event_id", "event_type", "value"))
+  }
+
+  test("merge: COW rewrite of touched files only; references survive " +
+    "checkpoint and vacuum; full lifecycle stays correct") {
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(8, col("event_id")),
+      statsColumns = Seq("event_id"))
+    val upd = ev.filter(col("event_id").between(100, 220))
+      .withColumn("event_type", lit("updated"))
+      .withColumn("value", col("value") * 2)
+    val ins = ev.filter(col("event_id") < 5)
+      .withColumn("event_id", col("event_id") + lit(1000000L))
+      .withColumn("event_type", lit("inserted"))
+    val pinned = Maintenance.readGen(spark, root, 1)
+    val nPinned = pinned.count()
+    val st = Maintenance.merge(spark, root, upd.unionByName(ins),
+      "event_id")
+    assert(st.gen == 2 && st.filesTotal == 8, st)
+    assert(st.filesRewritten < 8 && st.filesReferenced > 0, st)
+    assert(st.filesRewritten + st.filesReferenced >= 8, st)
+    // result = upsert semantics, via the slow way
+    val want = upd.unionByName(ins).unionByName(
+        ev.join(upd.unionByName(ins).select("event_id"),
+          Seq("event_id"), "left_anti"))
+      .orderBy("event_id").collect().toSeq
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq == want)
+    // manifest n_rows was carried from metadata, not re-counted
+    assert(Maintenance.manifest(spark, root)
+      .filter(col("gen") === 2).select("n_rows").head().getLong(0) ==
+      want.size.toLong)
+    // snapshot isolation: the pinned gen-1 reader is unperturbed
+    assert(pinned.count() == nPinned)
+    // the untouched files are REFERENCED inside gen 1's directory
+    val files = Maintenance.manifest(spark, root)
+      .filter(col("gen") === 2).select("files").head().getString(0)
+    assert(files != null && files.contains(f"gen_${1}%08d"))
+    // file-level reachability: keep-1 vacuum reclaims NOTHING (gen 1
+    // still holds referenced files)
+    assert(Maintenance.vacuum(spark, root, keepLast = 1).isEmpty)
+    // the file list survives a manifest checkpoint
+    Maintenance.checkpointManifest(spark, root)
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq == want)
+    // a second, disjoint merge prunes against the MERGED sidecar
+    val upd2 = ev.filter(col("event_id").between(400, 450))
+      .withColumn("event_type", lit("updated2"))
+    val st2 = Maintenance.merge(spark, root, upd2, "event_id")
+    assert(st2.filesRewritten < st2.filesTotal && st2.filesReferenced > 0,
+      st2)
+    val want2 = upd2.unionByName(
+        Maintenance.readGen(spark, root, 2)
+          .join(upd2.select("event_id"), Seq("event_id"), "left_anti"))
+      .orderBy("event_id").collect().toSeq
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq == want2)
+    // a full re-commit then retires the references: vacuum reclaims
+    // gens 1 and 2 (gen 3's merge dir is still referenced by nothing
+    // retained once gen 4 is the only live commit... it is reclaimed
+    // too) and the old snapshots fail loudly
+    Maintenance.commit(spark, root,
+      Maintenance.readCurrent(spark, root))
+    val reclaimed = Maintenance.vacuum(spark, root, keepLast = 1)
+    assert(reclaimed == Seq(1, 2, 3), reclaimed)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.readGen(spark, root, 2).count()
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq == want2)
+  }
+
+  test("compactGen references at-size files instead of copying them") {
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    // one big partition + 5 small ones in a single commit
+    val big = ev.filter(col("event_id") < 800).coalesce(1)
+    val smalls = ev.filter(col("event_id") >= 800).repartition(5)
+    Maintenance.commit(spark, root, big.unionByName(smalls))
+    val sizes = listData(f"$root/gen_${1}%08d").map(_.getLen).sorted
+    assert(sizes.size == 6)
+    // floor chosen so exactly the 5 small files select; target = 2x
+    val floor = sizes(4) + 1
+    val (g2, st) = Maintenance.compactGen(spark, root,
+      targetBytes = floor * 2, minFileBytes = floor)
+    assert(g2 == 2 && st.filesRewritten == 5, st)
+    // the big file was NOT copied: gen 2 references it inside gen 1
+    val files = Maintenance.manifest(spark, root)
+      .filter(col("gen") === 2).select("files").head().getString(0)
+    assert(files != null && files.contains(f"gen_${1}%08d"))
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq ==
+      ev.orderBy("event_id").collect().toSeq)
+    // vacuum keeps gen 1 alive while the reference is retained
+    assert(Maintenance.vacuum(spark, root, keepLast = 1).isEmpty)
+  }
+
   // ---- write-audit-publish ----
 
   test("a staged candidate is invisible until published; publish is a " +
