@@ -353,31 +353,14 @@ object Maintenance {
     val (prunable, unprunable) =
       allFiles.partition(keyStats.contains)
     // per-file key ranges -> which files can a source key land in?
-    // (broadcast the KB-sized range table; scan the source once)
+    // Resolved WITHOUT a join by [[TableStats.touchedFiles]]: the
+    // ranges decompose into elementary segments (driver sweep), one
+    // broadcast binary search assigns each source key its segment,
+    // and a distinct over the tiny segment-id space yields the hit
+    // set — O(|source| log F), never |source| x |files|.
     import spark.implicits._
-    val touched: Set[String] = if (prunable.isEmpty) Set.empty else {
-      val ranges = prunable.map(keyStats(_).head)
-      val touchedDs = ranges.head.typ match {
-        case "long" =>
-          val r = spark.createDataset(ranges.map(s =>
-            (s.file, s.min_long.getOrElse(Long.MaxValue),
-              s.max_long.getOrElse(Long.MinValue))))
-            .toDF("file", "mn", "mx")
-          source.select(col(key).cast("long").as("k"))
-            .join(broadcast(r),
-              col("k") >= col("mn") && col("k") <= col("mx"))
-        case "string" =>
-          val r = spark.createDataset(ranges.map(s =>
-            (s.file, s.min_str.orNull, s.max_str.orNull)))
-            .toDF("file", "mn", "mx")
-          source.select(col(key).cast("string").as("k"))
-            .join(broadcast(r),
-              col("k") >= col("mn") && col("k") <= col("mx"))
-        case t => throw new IllegalArgumentException(
-          s"merge key stats type '$t' not range-joinable")
-      }
-      touchedDs.select("file").distinct().as[String].collect().toSet
-    }
+    val touched = TableStats.touchedFiles(
+      spark, source, key, prunable.map(keyStats(_).head))
     val rewrite = (unprunable ++ prunable.filter(touched)).sorted
     val untouched = allFiles.filterNot(rewrite.toSet).sorted
 

@@ -149,6 +149,105 @@ object TableStats {
       df: DataFrame, filesTotal: Int, filesRead: Int,
       rowsSkipped: Long)
 
+  /** Which files CAN hold a key of `source`'s `key` column, resolved
+    * against per-file [min,max] ranges WITHOUT a join: the scale-
+    * correct probe for copy-on-write merge.
+    *
+    * A naive formulation broadcasts the range table and non-equi-joins
+    * (`k BETWEEN mn AND mx`) — a BroadcastNestedLoopJoin costing
+    * |source| × |files| comparisons, quadratic-shaped exactly where a
+    * 100 TB merge needs it not to be. Instead the ranges decompose
+    * into ELEMENTARY SEGMENTS (boundary points + open gaps, ≤ 4F+1
+    * segments for F files): a driver-side sweep maps each segment to
+    * its covering files, one broadcast binary search assigns each
+    * source key its segment (O(log F) per key, no join, no shuffle
+    * beyond a distinct over ≤ 4F+1 segment ids), and the touched set
+    * is the union of the hit segments' file lists. Cost: O(F log F)
+    * driver + O(|source| log F) executor — the probe scales with the
+    * SOURCE, never with source × files. A global [min,max] of the
+    * source prefilters the ranges first, so a time-localized source
+    * (the common CDC shape) builds its index over a handful of files.
+    *
+    * Only files with usable min/max on `key` participate — the caller
+    * treats stat-less files as touched; all-null-key files can match
+    * no key and are never returned. */
+  def touchedFiles(
+      spark: SparkSession, source: DataFrame, key: String,
+      keyStats: Seq[ColStats]): Set[String] = {
+    import org.apache.spark.sql.functions.udf
+    import spark.implicits._
+    if (keyStats.isEmpty) return Set.empty
+    val bounds = source.agg(
+      org.apache.spark.sql.functions.min(col(key)).as("mn"),
+      org.apache.spark.sql.functions.max(col(key)).as("mx")).head()
+    if (bounds.isNullAt(0)) return Set.empty // empty / all-null source
+    keyStats.head.typ match {
+      case "long" =>
+        val rs = keyStats
+          .filter(s => s.min_long.nonEmpty && s.max_long.nonEmpty)
+          .map(s => (s.file, s.min_long.get, s.max_long.get))
+          .filter(r => r._3 >= bounds.getLong(0) &&
+            r._2 <= bounds.getLong(1))
+        if (rs.isEmpty) return Set.empty
+        val edges = rs.flatMap(r => Seq(r._2, r._3))
+          .distinct.sorted.toArray
+        val segFiles = sweepSegments(rs, edges)
+        val eb = spark.sparkContext.broadcast(edges)
+        val segOf = udf((k: Long) => {
+          val i = java.util.Arrays.binarySearch(eb.value, k)
+          if (i >= 0) 2 * i + 1 else 2 * (-i - 1)
+        })
+        val hit = source.select(segOf(col(key).cast("long")).as("seg"))
+          .filter(col("seg").isNotNull).distinct().as[Int].collect()
+        hit.iterator.filter(s => s > 0 && s < segFiles.length)
+          .flatMap(segFiles(_)).toSet
+      case "string" =>
+        val rs = keyStats
+          .filter(s => s.min_str.nonEmpty && s.max_str.nonEmpty)
+          .map(s => (s.file, s.min_str.get, s.max_str.get))
+          .filter(r => r._3 >= bounds.getString(0) &&
+            r._2 <= bounds.getString(1))
+        if (rs.isEmpty) return Set.empty
+        val edges = rs.flatMap(r => Seq(r._2, r._3))
+          .distinct.sorted.toArray
+        val segFiles = sweepSegments(rs, edges)
+        val eb = spark.sparkContext.broadcast(edges)
+        val segOf = udf((k: String) => {
+          val i = java.util.Arrays.binarySearch(
+            eb.value.asInstanceOf[Array[AnyRef]], k,
+            null.asInstanceOf[java.util.Comparator[AnyRef]])
+          if (i >= 0) 2 * i + 1 else 2 * (-i - 1)
+        })
+        val hit = source
+          .select(segOf(col(key).cast("string")).as("seg"))
+          .filter(col("seg").isNotNull).distinct().as[Int].collect()
+        hit.iterator.filter(s => s > 0 && s < segFiles.length)
+          .flatMap(segFiles(_)).toSet
+      case t => throw new IllegalArgumentException(
+        s"key stats type '$t' not range-probeable")
+    }
+  }
+
+  /** Segment → covering files. Segment layout over sorted `edges`
+    * (B values): index 2i = the OPEN gap before edges(i) (i=0 is
+    * below all ranges, i=B above all), index 2i+1 = the point
+    * edges(i). A range [mn,mx] (whose endpoints are by construction
+    * edges) covers exactly segments 2·idx(mn)+1 .. 2·idx(mx)+1.
+    * Disjoint range layouts (range-clustered commits) mark ~3
+    * segments per file; heavy overlap degrades toward O(F·B) driver
+    * work, still metadata-sized. */
+  private def sweepSegments[T](
+      rs: Seq[(String, T, T)], edges: Array[T]): Array[List[String]] = {
+    val idxOf = edges.zipWithIndex.toMap
+    val seg = Array.fill(2 * edges.length + 1)(List.empty[String])
+    rs.foreach { case (f, mn, mx) =>
+      var j = 2 * idxOf(mn) + 1
+      val last = 2 * idxOf(mx) + 1
+      while (j <= last) { seg(j) = f :: seg(j); j += 1 }
+    }
+    seg
+  }
+
   /** Inclusive-range prune over harvested stats: keep a file unless
     * its [min,max] provably misses [lo,hi] or it is all-null. `lo` /
     * `hi` must be Long, Double or String to match the harvested slot;

@@ -529,6 +529,21 @@ object ScaleRehearsal {
           col("event_type"), col("user_id"), col("value")))
       .persist()
     lazy val nSketchRows = sketchEvents.count()
+    // 100× KEYED events for the stats/merge rows: unique event_id per
+    // replica (base + replica·1e9), so the frame range-clusters into
+    // non-overlapping per-file key ranges — the layout data skipping
+    // and COW merge contractually require
+    lazy val keyedEvents = layout(
+      graft.Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        .select(col("*"),
+          explode(sequence(lit(0L), lit(99L))).as("replica"))
+        .select(
+          (col("event_id") + col("replica") * lit(1000000000L))
+            .as("event_id"),
+          col("user_id"), col("event_type"), col("value")))
+      .persist()
     // staging + the skew audit below serve ONLY the ops that read the
     // staged pair table; a selective run (SPARK_GRAFT_REHEARSAL_ONLY)
     // that excludes them must not pay the multi-minute staging write
@@ -587,6 +602,10 @@ object ScaleRehearsal {
     var compactGenRep = 0
     var schemaEvolveRep = 0
     var wapRep = 0
+    var statsHarvestRep = 0
+    var statsSkipRep = 0
+    var cowMergeRep = 0
+    var cowSource: DataFrame = null
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       // sub-phase rows: candidate generation timed WITHOUT the exact
@@ -807,6 +826,57 @@ object ScaleRehearsal {
         val g = graft.operators.Maintenance.publish(spark, root, st)
         graft.operators.Maintenance.readGen(spark, root, g)
       }),
+      // footer-stats harvest at 100×: 400 files × 10M rows, two
+      // columns — the write-side marginal cost of commitWithStats.
+      // The op reads O(files) KB-sized FOOTERS on executors and zero
+      // data pages, so its band must be file-count-shaped (seconds),
+      // never data-shaped (a 10M-row scan) — the row is the proof the
+      // stats layer stays O(metadata) as the table grows
+      "stats_harvest" -> (() => {
+        val gen1 = f"$maintDir/sh_rep$statsHarvestRep/gen_${1}%08d"
+        val stats = graft.operators.TableStats.harvestDir(
+          spark, gen1, Seq("event_id", "value"))
+        val out = stats.toDF().persist()
+        val n = out.count()
+        require(n == 800L, s"expected 400 files x 2 columns, got $n")
+        out
+      }),
+      // data skipping at 100×: a 1%-selective range over the
+      // 400-file range-clustered table must plan a ≤5% file scan —
+      // the op is the PRUNED read (sidecar resolve + file-subset
+      // scan + the real filter), so its band is O(selected bytes),
+      // and the in-op requires make a pruning regression loud
+      "stats_skip" -> (() => {
+        val root = s"$maintDir/ss_rep$statsSkipRep"
+        val lo = 42L * 1000000000L
+        val hi = lo + 999999999L
+        val pr = graft.operators.Maintenance.prunedReadCurrent(
+          spark, root, "event_id", lo, hi)
+        require(pr.filesRead > 0 && pr.filesRead * 20 <= pr.filesTotal,
+          s"1% range must prune to a <=5% file subset: $pr")
+        pr.df.filter(col("event_id").between(lo, hi))
+      }),
+      // copy-on-write merge at 100×: ~11k source rows (10k localized
+      // updates + 1k new keys, pre-staged in t_synth — a real merge
+      // is GIVEN its source) against the 10M-row table. The probe is
+      // the join-free segment index over the source; the rewrite only
+      // the intersecting file(s). Band = O(touched bytes + probe),
+      // NOT O(table): the stats row carries the file accounting so a
+      // prune regression (rewriting the world) is visible even when
+      // wall-clock noise hides it
+      "cow_merge" -> (() => {
+        val root = s"$maintDir/cm_rep$cowMergeRep"
+        val st = graft.operators.Maintenance.merge(
+          spark, root, cowSource, "event_id")
+        require(st.filesRewritten * 10 <= st.filesTotal &&
+          st.filesReferenced > 0,
+          s"COW merge must rewrite a <=10% file subset: $st")
+        spark.range(1).select(
+          lit(st.filesTotal).as("files_total"),
+          lit(st.filesRewritten).as("files_rewritten"),
+          lit(st.filesReferenced).as("files_referenced"),
+          lit(st.rowsWritten).as("rows_written"))
+      }),
       "maint_gen" -> (() => {
         maintGenRep += 1
         val root = s"$maintDir/table_rep$maintGenRep"
@@ -866,7 +936,54 @@ object ScaleRehearsal {
       }),
       "schema_evolve" -> restoreSketch,
       "maint_wap" -> restoreSketch,
-      "maint_gen" -> restoreSketch)
+      "maint_gen" -> restoreSketch,
+      // input manufacture for the stats/merge rows: restore the keyed
+      // frame, then land it range-clustered into a fresh generational
+      // root per rep (the commit IS the input — its cost, a 10M-row
+      // range shuffle + 400-file write, must not pollute the op band).
+      // stats_harvest commits WITHOUT stats (the op harvests);
+      // stats_skip / cow_merge commit WITH the event_id sidecar the
+      // op consumes.
+      "stats_harvest" -> (() => {
+        keyedEvents.persist(); keyedEvents.count()
+        statsHarvestRep += 1
+        graft.operators.Maintenance.commit(spark,
+          s"$maintDir/sh_rep$statsHarvestRep",
+          keyedEvents.repartitionByRange(400, col("event_id")))
+        ()
+      }),
+      "stats_skip" -> (() => {
+        keyedEvents.persist(); keyedEvents.count()
+        statsSkipRep += 1
+        graft.operators.Maintenance.commitWithStats(spark,
+          s"$maintDir/ss_rep$statsSkipRep",
+          keyedEvents.repartitionByRange(400, col("event_id")),
+          statsColumns = Seq("event_id"))
+        ()
+      }),
+      "cow_merge" -> (() => {
+        keyedEvents.persist(); keyedEvents.count()
+        cowMergeRep += 1
+        graft.operators.Maintenance.commitWithStats(spark,
+          s"$maintDir/cm_rep$cowMergeRep",
+          keyedEvents.repartitionByRange(400, col("event_id")),
+          statsColumns = Seq("event_id"))
+        if (cowSource == null) {
+          val lo = 42L * 1000000000L + 10000L
+          val upd = keyedEvents
+            .filter(col("event_id").between(lo, lo + 9999L))
+            .withColumn("event_type", lit("updated"))
+            .withColumn("value", col("value") * 2)
+          val ins = keyedEvents
+            .filter(col("event_id").between(lo, lo + 999L))
+            .withColumn("event_id",
+              col("event_id") + lit(1000000000000000L))
+            .withColumn("event_type", lit("inserted"))
+          cowSource = upd.unionByName(ins).persist()
+          cowSource.count()
+        }
+        ()
+      }))
     val results = runOps(spark, selectOps(ops), () => {
       docs.persist(); vecs.persist()
       docs.count(); vecs.count()
