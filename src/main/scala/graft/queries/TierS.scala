@@ -60,6 +60,13 @@ object TierS {
       // into the partition-pruned CDC state table; result must equal
       // the full-log replay (the shared CDC oracle)
       StreamOps.streamingUpsertRun(s, d).orderBy("user_id")),
+    "x_stream_cow_merge" -> ((s, d) =>
+      // streaming ingestion into the generational table: each
+      // micro-batch COW-merges (stats-pruned rewrite, file-granular
+      // commit referencing untouched files), with time travel and
+      // pinned snapshots holding mid-stream; result must equal the
+      // last-batch-wins replay of the three change batches
+      StreamOps.streamingCowMergeRun(s, d)),
     "x_incr_agg" -> ((s, d) =>
       // materialized-view maintenance: per-type (n, total) merged from
       // micro-batch partials; scaled-integer accumulation makes the
@@ -121,6 +128,44 @@ object TierS {
         |       CAST(n_versions AS BIGINT) AS n_versions
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY user_id""".stripMargin,
+    // last-batch-wins replay of the three change batches (batch 3
+    // overlaps batch 1's lower range, so ordering is load-bearing):
+    // the streamed sequence of COW merges must equal the one-shot
+    // upsert with per-key winner = highest batch
+    "x_stream_cow_merge" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |t AS (SELECT event_id, user_id, event_type, value,
+        |             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |      FROM events),
+        |s AS (
+        |  SELECT 1 AS batch, event_id, user_id, 'u1' AS event_type,
+        |         value * 2 AS value, ts_s
+        |  FROM t, mx
+        |  WHERE event_id BETWEEN m // 10 AND m // 5 AND event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, event_id, user_id, 'u2', value + 10, ts_s
+        |  FROM t, mx
+        |  WHERE event_id BETWEEN m // 2 AND m // 2 + m // 10
+        |    AND event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, event_id + 10000000, user_id, 'ins', value, ts_s
+        |  FROM t, mx
+        |  WHERE event_id <= m // 20 AND event_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 3, event_id, user_id, 'u3', value * 3, ts_s
+        |  FROM t, mx
+        |  WHERE event_id BETWEEN m // 10 AND m // 7 AND event_id % 3 = 0),
+        |w AS (SELECT event_id, user_id, event_type, value, ts_s,
+        |             row_number() OVER (PARTITION BY event_id
+        |                                ORDER BY batch DESC) AS rn
+        |      FROM s)
+        |SELECT event_id, user_id, event_type, value, ts_s
+        |FROM w WHERE rn = 1
+        |UNION ALL
+        |SELECT t.event_id, t.user_id, t.event_type, t.value, t.ts_s
+        |FROM t WHERE NOT EXISTS
+        |  (SELECT 1 FROM s WHERE s.event_id = t.event_id)
+        |ORDER BY event_id""".stripMargin,
     // shared with x_dedup_cluster BY DESIGN: incrementally maintained
     // cluster state must equal batch connected components over the
     // full corpus's MinHash pair graph — star edges are

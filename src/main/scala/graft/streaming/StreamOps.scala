@@ -433,6 +433,99 @@ object StreamOps {
         col("n_versions"))
   }
 
+  /** Streaming ingestion into the GENERATIONAL table as incremental
+    * copy-on-write merge — [[streamingUpsertRun]]'s lake-native
+    * sibling, and the composition the round-15 maintenance widening
+    * exists for. Each AvailableNow micro-batch `foreachBatch`-merges
+    * into a snapshot-isolated table ([[graft.operators.Maintenance
+    * .merge]]): the batch's keys probe the stats sidecar's per-file
+    * ranges (join-free segment index), ONLY the intersecting files
+    * rewrite, and the batch commits a new FILE-GRANULAR generation
+    * referencing every untouched file in place. Versus
+    * `mergeIntoState`'s in-place partition rewrite this buys the full
+    * table contract per batch: time travel to any pre-batch snapshot,
+    * pinned readers unperturbed mid-stream, rollback of a bad batch
+    * as a manifest pointer — while per-batch write cost stays
+    * O(batch + touched files), never O(table).
+    *
+    * Shape: the keyed events table commits range-clustered (16 files,
+    * event_id sidecar); three change batches land as one file each
+    * (two range-localized update slices + an insert slice, batch 3
+    * deliberately OVERLAPPING batch 1's lower range so a later merge
+    * must overwrite an earlier merge's rewritten content) and are
+    * consumed at `maxFilesPerTrigger=1` — three real sequential COW
+    * merges. The in-method requires pin the lake contract: four
+    * generations minted, the final generation still REFERENCES gen-1
+    * files (the untouched majority survived three merges by
+    * reference), and the pre-stream snapshot reads back intact. The
+    * DuckDB oracle replays the batches with last-batch-wins
+    * semantics — replay equivalence is the merge correctness
+    * contract, exactly as `x_stream_upsert`. */
+  def streamingCowMergeRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val ev = graft.Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+    val m = ev.agg(max("event_id")).head().getLong(0)
+    val work = Maintenance.scratchDir("graft_stream_cow")
+    val (root, src, ckpt) = (s"$work/table", s"$work/src", s"$work/ckpt")
+    Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(16, col("event_id")),
+      statsColumns = Seq("event_id"))
+    val b1 = ev
+      .filter(col("event_id").between(m / 10, m / 5) &&
+        col("event_id") % 3 === 0)
+      .withColumn("event_type", lit("u1"))
+      .withColumn("value", col("value") * 2)
+    val b2 = ev
+      .filter(col("event_id").between(m / 2, m / 2 + m / 10) &&
+        col("event_id") % 3 === 0)
+      .withColumn("event_type", lit("u2"))
+      .withColumn("value", col("value") + 10)
+      .unionByName(ev
+        .filter(col("event_id") <= m / 20 && col("event_id") % 13 === 0)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("event_type", lit("ins")))
+    val b3 = ev
+      .filter(col("event_id").between(m / 10, m / 7) &&
+        col("event_id") % 3 === 0)
+      .withColumn("event_type", lit("u3"))
+      .withColumn("value", col("value") * 3)
+    // one file per batch, landed in order (mtime order = batch order)
+    Seq(b1, b2, b3).foreach(
+      _.coalesce(1).write.mode("append").parquet(src))
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val st = Maintenance.merge(
+          batch.sparkSession, root, batch, "event_id")
+        require(st.filesReferenced > 0 &&
+          st.filesRewritten < st.filesTotal,
+          s"per-batch COW merge must reference untouched files: $st")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Maintenance.currentGen(spark, root) == 4,
+      s"three merges over the base commit must mint generations 2-4, " +
+        s"got ${Maintenance.currentGen(spark, root)}")
+    // untouched-majority files survived all three merges by REFERENCE
+    val gen4Files = Maintenance.manifest(spark, root)
+      .filter(col("gen") === 4).select("files").head().getString(0)
+    require(gen4Files != null && gen4Files.contains(f"gen_${1}%08d"),
+      "the final generation must still reference gen-1 files")
+    // the pre-stream snapshot is intact mid-history (time travel)
+    require(Maintenance.readGen(spark, root, 1).count() == ev.count(),
+      "pre-stream snapshot must read back intact after three merges")
+    Maintenance.readCurrent(spark, root).orderBy("event_id")
+  }
+
   /** Incremental aggregate maintenance — the materialized-view upkeep
     * pattern ([[streamingUpsertRun]]'s aggregate analog): per
     * event_type running (n, total) maintained across micro-batches by

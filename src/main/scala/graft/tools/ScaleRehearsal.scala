@@ -1502,8 +1502,64 @@ object ScaleRehearsal {
     val incrRows = fpIncr.getLong(2)
     spark.catalog.clearCache()
 
+    // 6) streaming COW merge at 10× (x_stream_cow_merge's shape): the
+    // 1M-row keyed table committed range-clustered into ~100 files
+    // with an event_id sidecar, then 10 id-LOCALIZED change batches
+    // (one replica band each, disjoint — merge order immaterial)
+    // foreachBatch-merge sequentially. This is monotonic-ingest CDC,
+    // the shape where the table's cluster axis and the change stream
+    // agree; the guard proves per-batch work stays file-LOCAL (every
+    // batch rewrites a ≤20% file minority and references the rest)
+    // and the table ends at generation 11 with history intact —
+    // per-batch cost O(batch + touched files), never O(table).
+    val cowRoot = s"$work/cow_table"
+    val keyed10 = ev10.select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"))
+    graft.operators.Maintenance.commitWithStats(spark, cowRoot,
+      keyed10.repartitionByRange(100, col("event_id")),
+      statsColumns = Seq("event_id"))
+    val cowSrc = s"$work/cow_src"
+    (0 until nStripes).foreach { r =>
+      keyed10.filter(
+          col("event_id") >= lit(r * 1000000000L) &&
+          col("event_id") < lit((r + 1) * 1000000000L) &&
+          col("event_id") % 3 === 0)
+        .withColumn("event_type", lit(s"u$r"))
+        .withColumn("value", col("value") * 2)
+        .coalesce(1).write.mode("append").parquet(cowSrc)
+    }
+    val cowStats = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.operators.Maintenance.MergeStats]()
+    val tCow = System.nanoTime()
+    val cowQ = spark.readStream.schema(keyed10.schema)
+      .option("maxFilesPerTrigger", "1").parquet(cowSrc)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cowStats.add(graft.operators.Maintenance.merge(
+          batch.sparkSession, cowRoot, batch, "event_id"))
+        ()
+      }
+      .option("checkpointLocation", s"$work/cow_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try cowQ.processAllAvailable() finally cowQ.stop()
+    val cowSec = (System.nanoTime() - tCow) / 1e9
+    val cowMs = {
+      import scala.jdk.CollectionConverters._
+      cowStats.asScala.toSeq
+    }
+    val cowGen = graft.operators.Maintenance.currentGen(spark, cowRoot)
+    val cowMaxRewrite =
+      if (cowMs.isEmpty) -1 else cowMs.map(_.filesRewritten).max
+    val cowMinRef =
+      if (cowMs.isEmpty) -1 else cowMs.map(_.filesReferenced).min
+
     // contracts
     val checks = Seq(
+      ("cow_merge_all_batches_landed",
+        cowMs.size == nStripes && cowGen == nStripes + 1),
+      ("cow_merge_file_local", cowMinRef > 0 &&
+        cowMs.forall(s => s.filesRewritten * 5 <= s.filesTotal)),
       ("incr_cluster_equals_batch", incrEqual),
       ("incr_cluster_label_bounded", incrRows > 0L && incrRows <= nDocs10),
       ("join_evicts", j.removed > 0L),
@@ -1528,7 +1584,8 @@ object ScaleRehearsal {
       s""""stream_timer_sessions":{"sec":${math.round(ts.secs * 100) / 100.0},"state_peak":${ts.peak},"state_final":${ts.fin},"state_removed":${ts.removed},"rocksdb_bytes":${ts.rocksBytes}}""",
       s""""stream_upsert":{"sec":${math.round(uSec * 100) / 100.0},"state_rows":$uRows,"n_keys":$nUsers}""",
       s""""stream_sketch":{"sec":${math.round(sSec * 100) / 100.0},"state_rows":$sRows,"n_groups":$nGroups,"n_events_merged":$sEvents,"state_bytes":$sBytes,"batches":$sGen}""",
-      s""""stream_incr_cluster":{"sec":${math.round(cSec * 100) / 100.0},"batches":5,"label_rows":$incrRows,"n_docs":$nDocs10,"cc_equal":$incrEqual}""")
+      s""""stream_incr_cluster":{"sec":${math.round(cSec * 100) / 100.0},"batches":5,"label_rows":$incrRows,"n_docs":$nDocs10,"cc_equal":$incrEqual}""",
+      s""""stream_cow_merge":{"sec":${math.round(cowSec * 100) / 100.0},"batches":$nStripes,"gens":$cowGen,"files_total_final":${if (cowMs.isEmpty) -1 else cowMs.last.filesTotal},"max_files_rewritten":$cowMaxRewrite,"min_files_referenced":$cowMinRef}""")
       .mkString("{", ",", "}")
     val line =
       s"""{"rehearsal":"stream10x","sf":"$sfDir","n_events":$nRows,"n_users":$nUsers,"stripes":$nStripes,"partitions":32,"ops":$qs,"state_guard":"${if (bad.isEmpty) "PASS" else "FAIL"}"}"""

