@@ -364,15 +364,122 @@ object Maintenance {
     val rewrite = (unprunable ++ prunable.filter(touched)).sorted
     val untouched = allFiles.filterNot(rewrite.toSet).sorted
 
-    val newGen = nextId(spark, root)
-    val outDir = genDir(root, newGen)
-    fs.delete(new Path(outDir), true)
     val survivors =
       if (rewrite.isEmpty) source
       else spark.read.parquet(rewrite: _*)
         .join(source.select(col(key)), Seq(key), "left_anti")
         .unionByName(source)
-    val nOut = math.max(1, rewrite.size)
+    val (newGen, written) = commitCow(spark, root, rewrite, untouched,
+      survivors, key, headJson, stats)
+    MergeStats(newGen, allFiles.size, rewrite.size, untouched.size,
+      written)
+  }
+
+  /** Copy-on-write delete outcome, driver-side metadata only. */
+  final case class DeleteStats(
+      gen: Int, filesTotal: Int, filesRewritten: Int,
+      filesReferenced: Int, rowsDeleted: Long)
+
+  /** DELETE the `key`s in `keys` from the table, COPY-ON-WRITE — the
+    * right-to-be-forgotten job a training-data lake runs on demand.
+    * Same file-pruned shape as [[merge]]: the delete set's keys probe
+    * the sidecar's per-file ranges (join-free segment index), ONLY
+    * the files that can hold a doomed key rewrite (their surviving
+    * rows re-clustered by `key`), and the new generation REFERENCES
+    * every other file in place — at 100 TB a 1k-key purge rewrites
+    * the few files those keys live in, never the table. A purge of
+    * ABSENT keys is a FIXPOINT two ways (the scheduled-purge
+    * idempotence contract): keys outside every file range are proven
+    * absent by the stats alone (free), and keys inside a range but
+    * not in the data are caught when the rewrite deletes zero rows —
+    * the commit is then ELIDED (Delta's empty-DELETE shape: the probe
+    * cost is paid once, generation churn never). Rows deleted is
+    * accounted from sidecar metadata (touched-file row counts minus
+    * surviving rows) — zero re-read of untouched bytes.
+    *
+    * Snapshot-isolation caveat, stated plainly: older generations
+    * still CONTAIN the purged rows until [[vacuum]] ages them out —
+    * a compliance pipeline runs `delete` then a retention vacuum,
+    * exactly as Delta's VACUUM-after-DELETE contract. */
+  def delete(
+      spark: SparkSession, root: String, keys: DataFrame,
+      key: String): DeleteStats = {
+    val g = currentGen(spark, root)
+    val (dataGen, filesOpt) = resolveData(spark, root, g)
+    val fs = hadoopFs(spark, root)
+    val allFiles = filesOpt.getOrElse(
+      dataFiles(fs, genDir(root, dataGen)).map(_.getPath.toString))
+    val stats = statsFor(spark, root, g).getOrElse(
+      throw new IllegalArgumentException(
+        s"delete requires a stats sidecar on '$key' — commit with " +
+          s"commitWithStats(..., statsColumns = Seq(\"$key\"))"))
+    val headJson = manifest(spark, root)
+      .filter(col("action") === "commit")
+      .select("gen", "schema_json").collect()
+      .maxBy(_.getInt(0)).getString(1)
+    val keySet = keys.select(col(key))
+    val keyStats = stats.filter(s =>
+      s.column == key && s.has_minmax).groupBy(_.file)
+    val (prunable, unprunable) =
+      allFiles.partition(keyStats.contains)
+    val touched = TableStats.touchedFiles(
+      spark, keySet, key, prunable.map(keyStats(_).head))
+    val rewrite = (unprunable ++ prunable.filter(touched)).sorted
+    if (rewrite.isEmpty)
+      return DeleteStats(g, allFiles.size, 0, allFiles.size, 0L)
+    val untouched = allFiles.filterNot(rewrite.toSet).sorted
+    val survivors = spark.read.parquet(rewrite: _*)
+      .join(keySet, Seq(key), "left_anti")
+    val (newGen, written, newFiles) =
+      writeCow(spark, root, rewrite.size, survivors, key)
+    val perFileRows = stats.groupBy(_.file)
+      .map { case (f, ss) => (f, ss.head.n_rows) }
+    val rewriteRows = rewrite.map(f => perFileRows.getOrElse(f, 0L)).sum
+    if (written == rewriteRows) {
+      // the stats prune is a SUPERSET (a file's range can contain a
+      // doomed key that is not actually present); when the rewrite
+      // deleted nothing, ELIDE the commit — the candidate directory
+      // is reclaimed, no manifest row lands, and the purge stays a
+      // fixpoint (Delta's empty-DELETE elision). The probe cost was
+      // paid; generation churn was not.
+      fs.delete(new Path(genDir(root, newGen)), true)
+      return DeleteStats(g, allFiles.size, 0, allFiles.size, 0L)
+    }
+    finalizeCow(spark, root, newGen, newFiles, untouched, written,
+      headJson, stats)
+    DeleteStats(newGen, allFiles.size, rewrite.size, untouched.size,
+      rewriteRows - written)
+  }
+
+  /** Shared copy-on-write tail: land `survivors` re-clustered by
+    * `key` as the new generation's own files, carry the untouched
+    * files' sidecar rows + row counts from METADATA (never re-read),
+    * harvest the new files' footers, and append the file-granular
+    * commit. Returns (new generation, rows written). */
+  private def commitCow(
+      spark: SparkSession, root: String, rewrite: Seq[String],
+      untouched: Seq[String], survivors: DataFrame, key: String,
+      headJson: String,
+      stats: Seq[TableStats.ColStats]): (Int, Long) = {
+    val (newGen, written, newFiles) =
+      writeCow(spark, root, rewrite.size, survivors, key)
+    finalizeCow(spark, root, newGen, newFiles, untouched, written,
+      headJson, stats)
+    (newGen, written)
+  }
+
+  /** COW write half: land `survivors` into the candidate generation's
+    * directory. No manifest row yet — the caller may still ELIDE the
+    * commit (empty delete), in which case the directory is simply
+    * reclaimed and the unreferenced id is reused by the next commit. */
+  private def writeCow(
+      spark: SparkSession, root: String, nRewrite: Int,
+      survivors: DataFrame, key: String): (Int, Long, Seq[String]) = {
+    val fs = hadoopFs(spark, root)
+    val newGen = nextId(spark, root)
+    val outDir = genDir(root, newGen)
+    fs.delete(new Path(outDir), true)
+    val nOut = math.max(1, nRewrite)
     val obs = Observation()
     survivors
       .repartitionByRange(nOut, col(key))
@@ -380,8 +487,17 @@ object Maintenance {
       .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(outDir)
     val written = obs.get("n").asInstanceOf[Long]
-    val newFiles = dataFiles(fs, outDir).map(_.getPath.toString).sorted
+    (newGen, written,
+      dataFiles(fs, outDir).map(_.getPath.toString).sorted)
+  }
 
+  /** COW finalize half: sidecar carry-over + the file-granular
+    * manifest append (the visibility flip). */
+  private def finalizeCow(
+      spark: SparkSession, root: String, newGen: Int,
+      newFiles: Seq[String], untouched: Seq[String], written: Long,
+      headJson: String, stats: Seq[TableStats.ColStats]): Unit = {
+    import spark.implicits._
     // carried rows counted from METADATA (sidecar n_rows per file) —
     // the untouched bytes are never re-read, which is the point
     val perFileRows = stats.groupBy(_.file)
@@ -395,8 +511,6 @@ object Maintenance {
     appendManifest(spark, root,
       Row(newGen, "commit", newGen, carried + written, null, headJson,
         encodeFiles(untouched ++ newFiles)))
-    MergeStats(newGen, allFiles.size, rewrite.size, untouched.size,
-      written)
   }
 
   // ---------------------------------------------------------------

@@ -318,6 +318,50 @@ object TierX {
           "by the retained merge generation")
       Maintenance.readCurrent(s, root).orderBy("event_id")
     }),
+    "x_maint_delete" -> ((s, d) => {
+      // copy-on-write DELETE — the right-to-be-forgotten job a
+      // training-data lake runs on demand: a localized purge set (a
+      // 5% id band, every 5th key) plus keys that do not exist probes
+      // the stats sidecar, ONLY the files that can hold a doomed key
+      // rewrite, and the new generation references the rest. The
+      // in-query requires pin the COW contract (file minority
+      // rewritten, metadata-accounted delete count) and the FIXPOINT
+      // contract (a second purge of now-absent keys mints NO
+      // generation — the scheduled-purge idempotence). Snapshot
+      // isolation means the pre-delete generation still holds the
+      // purged rows until vacuum — asserted, because that caveat IS
+      // the compliance pipeline's vacuum-after-delete step. Oracle:
+      // the raw table minus the purge set
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val root = Maintenance.scratchDir("graft_delete") + "/table"
+      Maintenance.commitWithStats(s, root,
+        ev.repartitionByRange(16, col("event_id")),
+        statsColumns = Seq("event_id"))
+      val (lo, hi) = (maxId * 6 / 10, maxId * 6 / 10 + maxId / 20)
+      val doomed = ev
+        .filter(col("event_id").between(lo, hi) &&
+          pmod(col("event_id"), lit(5)) === 0)
+        .select("event_id")
+      val st = Maintenance.delete(s, root, doomed, "event_id")
+      require(st.filesReferenced > st.filesRewritten &&
+        st.filesRewritten > 0,
+        s"COW delete must rewrite only the purge band's files, got $st")
+      require(st.rowsDeleted == doomed.count(),
+        s"metadata-accounted delete count wrong: $st")
+      // snapshot isolation: the purged rows survive in gen 1 until a
+      // retention vacuum — the documented vacuum-after-delete step
+      require(Maintenance.readGen(s, root, 1).count() ==
+        st.rowsDeleted + Maintenance.readCurrent(s, root).count(),
+        "pre-delete snapshot must still hold the purged rows")
+      // fixpoint: purging the now-absent keys mints NO generation
+      val again = Maintenance.delete(s, root, doomed, "event_id")
+      require(again.gen == st.gen && again.filesRewritten == 0,
+        s"second purge of absent keys must be a no-op, got $again")
+      Maintenance.readCurrent(s, root).orderBy("event_id")
+    }),
     "x_maint_timetravel" -> ((s, d) => {
       // generational table lifecycle: three cumulative state commits
       // (the write-new-then-swap pattern with its manifest made
@@ -1764,6 +1808,16 @@ object TierX {
         |SELECT t.event_id, t.user_id, t.event_type, t.value, t.ts_s
         |FROM t WHERE NOT EXISTS
         |  (SELECT 1 FROM s WHERE s.event_id = t.event_id)
+        |ORDER BY event_id""".stripMargin,
+    // the delete is invisible except for the purged band: the raw
+    // table minus the 5%-band %5 keys
+    "x_maint_delete" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events)
+        |SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events, mx
+        |WHERE NOT (event_id BETWEEN 6 * m // 10 AND 6 * m // 10 + m // 20
+        |           AND event_id % 5 = 0)
         |ORDER BY event_id""".stripMargin,
     // the published state = baseline commit + the clean candidate (the
     // corrupted slice event_id % 7 = 0 was aborted at audit, so it

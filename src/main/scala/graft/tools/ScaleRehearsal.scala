@@ -606,6 +606,8 @@ object ScaleRehearsal {
     var statsSkipRep = 0
     var cowMergeRep = 0
     var cowSource: DataFrame = null
+    var cowDeleteRep = 0
+    var cowDoomed: DataFrame = null
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "ppjoin" -> (() => Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
       // sub-phase rows: candidate generation timed WITHOUT the exact
@@ -877,6 +879,25 @@ object ScaleRehearsal {
           lit(st.filesReferenced).as("files_referenced"),
           lit(st.rowsWritten).as("rows_written"))
       }),
+      // copy-on-write DELETE at 100× (the right-to-be-forgotten job):
+      // a pre-staged ~3.3k-key localized purge set against the
+      // 10M-row table — probe + rewrite of only the band's file(s) +
+      // file-granular commit. Band = cow_merge minus the union (the
+      // same lifecycle constants), and the stats row's file
+      // accounting makes a prune regression loud
+      "cow_delete" -> (() => {
+        val root = s"$maintDir/cd_rep$cowDeleteRep"
+        val st = graft.operators.Maintenance.delete(
+          spark, root, cowDoomed, "event_id")
+        require(st.filesRewritten * 10 <= st.filesTotal &&
+          st.filesReferenced > 0 && st.rowsDeleted > 0,
+          s"COW delete must purge a <=10% file subset: $st")
+        spark.range(1).select(
+          lit(st.filesTotal).as("files_total"),
+          lit(st.filesRewritten).as("files_rewritten"),
+          lit(st.filesReferenced).as("files_referenced"),
+          lit(st.rowsDeleted).as("rows_deleted"))
+      }),
       "maint_gen" -> (() => {
         maintGenRep += 1
         val root = s"$maintDir/table_rep$maintGenRep"
@@ -981,6 +1002,23 @@ object ScaleRehearsal {
             .withColumn("event_type", lit("inserted"))
           cowSource = upd.unionByName(ins).persist()
           cowSource.count()
+        }
+        ()
+      }),
+      "cow_delete" -> (() => {
+        keyedEvents.persist(); keyedEvents.count()
+        cowDeleteRep += 1
+        graft.operators.Maintenance.commitWithStats(spark,
+          s"$maintDir/cd_rep$cowDeleteRep",
+          keyedEvents.repartitionByRange(400, col("event_id")),
+          statsColumns = Seq("event_id"))
+        if (cowDoomed == null) {
+          val lo = 17L * 1000000000L + 50000L
+          cowDoomed = keyedEvents
+            .filter(col("event_id").between(lo, lo + 9999L) &&
+              col("event_id") % 3 === 0)
+            .select("event_id").persist()
+          cowDoomed.count()
         }
         ()
       }))

@@ -244,6 +244,49 @@ class MaintenanceSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq == want2)
   }
 
+  test("delete: COW purge of touched files only; absent-key purge is " +
+    "a fixpoint; snapshot isolation holds until vacuum") {
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(8, col("event_id")),
+      statsColumns = Seq("event_id"))
+    val doomed = ev.filter(col("event_id").between(300, 360) &&
+      col("event_id") % 2 === 0).select("event_id")
+    val nDoomed = doomed.count()
+    val st = Maintenance.delete(spark, root, doomed, "event_id")
+    assert(st.gen == 2 && st.filesRewritten < 8 &&
+      st.filesReferenced > 0, st)
+    assert(st.rowsDeleted == nDoomed, st)
+    val want = ev.join(doomed, Seq("event_id"), "left_anti")
+      .orderBy("event_id").collect().toSeq
+    assert(Maintenance.readCurrent(spark, root)
+      .orderBy("event_id").collect().toSeq == want)
+    // snapshot isolation: gen 1 still holds the purged rows
+    assert(Maintenance.readGen(spark, root, 1).count() ==
+      want.size + nDoomed)
+    // fixpoint: the keys are gone, a re-purge mints no generation
+    val again = Maintenance.delete(spark, root, doomed, "event_id")
+    assert(again.gen == 2 && again.filesRewritten == 0 &&
+      again.rowsDeleted == 0, again)
+    assert(Maintenance.currentGen(spark, root) == 2)
+    // a delete wholly outside every file range is also a fixpoint
+    val ghost = Maintenance.delete(spark, root,
+      spark.range(5000000, 5000010).select(col("id").as("event_id")),
+      "event_id")
+    assert(ghost.filesRewritten == 0 && ghost.gen == 2, ghost)
+    // compliance completion: materialize + vacuum retires the old
+    // generation that still physically held the purged rows
+    Maintenance.commit(spark, root,
+      Maintenance.readCurrent(spark, root))
+    assert(Maintenance.vacuum(spark, root, keepLast = 1) == Seq(1, 2))
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.readGen(spark, root, 1).count()
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("compactGen references at-size files instead of copying them") {
     val root = tmp() + "/t"
     val ev = Tables(spark, sf, "events")
