@@ -292,6 +292,52 @@ object Maintenance {
       allFiles.size, kept.size, skippedRows)
   }
 
+  /** The current generation as a PLANNER-SKIPPING scan: a
+    * `HadoopFsRelation` over [[graft.plans.StatsPrunedFileIndex]], so
+    * Spark's own `FileSourceStrategy` resolves every pushed-down
+    * predicate the user writes — `=`, ranges, `IN`, `startsWith`,
+    * through `AND`/`OR`, wherever the filter sits — against the
+    * footer-stats sidecar at planning time and scans only the files
+    * that can match. [[prunedReadCurrent]] is the explicit one-range
+    * API; THIS is the table behaving like a lake table (Delta/Iceberg
+    * hand Spark the same seam). Returns the frame plus the index,
+    * whose `lastDecision` records (total, kept) of the most recent
+    * planning. Requires the holding generation to carry a stats
+    * sidecar and to be at the table's current physical schema. */
+  def readCurrentSkipping(
+      spark: SparkSession,
+      root: String): (DataFrame, graft.plans.StatsPrunedFileIndex) = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val g = currentGen(spark, root)
+    val (dataGen, filesOpt) = resolveData(spark, root, g)
+    val fs = hadoopFs(spark, root)
+    val files = filesOpt
+      .map(_.map(f => fs.getFileStatus(new Path(f))))
+      .getOrElse(dataFiles(fs, genDir(root, dataGen)))
+    val stats = statsFor(spark, root, g).getOrElse(
+      throw new IllegalArgumentException(
+        s"readCurrentSkipping requires a stats sidecar — commit with " +
+          "commitWithStats(...)"))
+    val dataSchema = spark.read
+      .parquet(files.head.getPath.toString).schema
+    val headJson = manifest(spark, root)
+      .filter(col("action") === "commit")
+      .select("gen", "schema_json").collect()
+      .maxBy(_.getInt(0)).getString(1)
+    require(headJson == null ||
+      DataType.fromJson(headJson).asInstanceOf[StructType]
+        .fieldNames.toSeq == dataSchema.fieldNames.toSeq,
+      "readCurrentSkipping requires the physical schema at the " +
+        "table's current schema (no pending reconciliation); " +
+        "commit(readCurrent(...)) to materialize first")
+    val index = new graft.plans.StatsPrunedFileIndex(files, stats)
+    val rel = HadoopFsRelation(
+      index, StructType(Nil), dataSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+    (spark.baseRelationToDataFrame(rel), index)
+  }
+
   /** Copy-on-write merge outcome, driver-side metadata only. */
   final case class MergeStats(
       gen: Int, filesTotal: Int, filesRewritten: Int,

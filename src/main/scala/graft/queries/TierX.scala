@@ -274,6 +274,38 @@ object TierX {
       require(pr.rowsSkipped > 0, s"metadata proved no skipped rows: $pr")
       pr.df.filter(col("event_id").between(lo, hi)).orderBy("event_id")
     }),
+    "x_maint_stats_auto" -> ((s, d) => {
+      // data skipping integrated AT THE PLANNER (x_maint_stats_skip's
+      // API variant made table behavior): readCurrentSkipping wraps
+      // the generation in a HadoopFsRelation over a FileIndex that
+      // resolves Spark's own pushed-down predicates against the
+      // footer-stats sidecar — the user just writes .filter(...), on
+      // any statted column, and FileSourceStrategy hands the
+      // predicate to the index at planning time (the Delta/Iceberg
+      // seam). The in-query requires pin BOTH prunings: the 15% range
+      // plans a file-minority scan, and a point lookup plans a
+      // ONE-file scan. Oracle: the filtered raw table — planner
+      // pruning must be invisible in the answer
+      val ev = Tables(s, d, "events").select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+      val maxId = ev.agg(max("event_id")).head().getLong(0)
+      val root = Maintenance.scratchDir("graft_stats_auto") + "/table"
+      Maintenance.commitWithStats(s, root,
+        ev.repartitionByRange(24, col("event_id")),
+        statsColumns = Seq("event_id", "event_type"))
+      val (df, idx) = Maintenance.readCurrentSkipping(s, root)
+      // point lookup: the planner must touch ONE file
+      require(df.filter(col("event_id") === maxId / 2).count() == 1 &&
+        idx.lastDecision._2 == 1,
+        s"point lookup must plan a one-file scan, got ${idx.lastDecision}")
+      val (lo, hi) = (maxId * 3 / 5, maxId * 3 / 4)
+      val out = df.filter(col("event_id").between(lo, hi))
+      require(out.count() > 0 &&
+        idx.lastDecision._2 < idx.lastDecision._1 / 2,
+        s"15% range must plan a file-minority scan, got ${idx.lastDecision}")
+      out.orderBy("event_id")
+    }),
     "x_maint_merge" -> ((s, d) => {
       // copy-on-write MERGE (upsert) with stats-pruned rewrite: the
       // events table committed range-clustered (16 files, footer-stats
@@ -1784,6 +1816,15 @@ object TierX {
         |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
         |FROM events, mx
         |WHERE event_id BETWEEN m // 5 AND 7 * m // 20
+        |ORDER BY event_id""".stripMargin,
+    // planner pruning must be invisible in the answer: the filtered
+    // raw table, exactly as the explicit-API variant
+    "x_maint_stats_auto" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events)
+        |SELECT event_id, user_id, event_type, value,
+        |       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events, mx
+        |WHERE event_id BETWEEN 3 * m // 5 AND 3 * m // 4
         |ORDER BY event_id""".stripMargin,
     // upsert semantics: source rows (localized updates + new keys)
     // win on key collision; every other row carries over untouched

@@ -171,6 +171,45 @@ class MaintenanceSpec extends SparkSpec {
       Seq("event_id", "event_type", "value"))
   }
 
+  test("planner-integrated skipping: pushed-down predicates of any " +
+    "shape prune files; answers equal the full scan") {
+    import graft.operators.Maintenance
+    val root = tmp() + "/t"
+    val ev = Tables(spark, sf, "events")
+      .select("event_id", "event_type", "value")
+    Maintenance.commitWithStats(spark, root,
+      ev.repartitionByRange(8, col("event_id")),
+      statsColumns = Seq("event_id", "event_type"))
+    val (df, idx) = Maintenance.readCurrentSkipping(spark, root)
+    def kept(): Int = idx.lastDecision._2
+    // inclusive range through Spark's own pushdown
+    assert(df.filter(col("event_id").between(100, 220))
+      .count() == ev.filter(col("event_id").between(100, 220)).count())
+    assert(kept() > 0 && kept() < 8, idx.lastDecision)
+    // equality resolves to ONE file
+    assert(df.filter(col("event_id") === 500).count() == 1)
+    assert(kept() == 1, idx.lastDecision)
+    // IN across distant values keeps exactly their two files
+    assert(df.filter(col("event_id").isin(3, 997)).count() == 2)
+    assert(kept() == 2, idx.lastDecision)
+    // OR of two ranges unions the decisions
+    assert(df.filter(col("event_id") < 50 || col("event_id") > 950)
+      .count() ==
+      ev.filter(col("event_id") < 50 || col("event_id") > 950).count())
+    assert(kept() == 2, idx.lastDecision)
+    // a predicate on an UNSTATTED column prunes nothing, loses nothing
+    val vCut = ev.agg(max("value")).head().getDouble(0) / 2
+    assert(df.filter(col("value") > vCut).count() ==
+      ev.filter(col("value") > vCut).count())
+    assert(kept() == 8, idx.lastDecision)
+    // the filter still prunes when it sits under a join
+    val dim = Seq((150L, "a"), (980L, "b")).toDF("event_id", "tag")
+    val joined = df.filter(col("event_id").between(100, 200))
+      .join(broadcast(dim), Seq("event_id"), "inner")
+    assert(joined.count() == 1)
+    assert(kept() < 8, idx.lastDecision)
+  }
+
   test("merge: COW rewrite of touched files only; references survive " +
     "checkpoint and vacuum; full lifecycle stays correct") {
     val root = tmp() + "/t"
