@@ -208,6 +208,18 @@ class MaintenanceSpec extends SparkSpec {
       .join(broadcast(dim), Seq("event_id"), "inner")
     assert(joined.count() == 1)
     assert(kept() < 8, idx.lastDecision)
+    // the index composes with COW: after a merge the current
+    // generation is FILE-GRANULAR (references into gen 1 + new
+    // files) and skipping still plans point lookups over the merged
+    // sidecar — including for a brand-new inserted key
+    val src = ev.filter(col("event_id") === 500)
+      .withColumn("event_id", lit(2000000L))
+    Maintenance.merge(spark, root, src, "event_id")
+    val (df2, idx2) = Maintenance.readCurrentSkipping(spark, root)
+    assert(df2.filter(col("event_id") === 2000000L).count() == 1)
+    assert(idx2.lastDecision._2 == 1, idx2.lastDecision)
+    assert(df2.filter(col("event_id") === 3).count() == 1)
+    assert(idx2.lastDecision._2 == 1, idx2.lastDecision)
   }
 
   test("merge: COW rewrite of touched files only; references survive " +
