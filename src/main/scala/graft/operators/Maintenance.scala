@@ -101,6 +101,79 @@ object Maintenance {
   private def manifestDir(root: String) = s"$root/_manifest"
   private def genDir(root: String, g: Int) = f"$root/gen_$g%08d"
 
+  /** One manifest row, driver-side. The log is KB-sized METADATA by
+    * design, so reading it must never launch a cluster job: every
+    * internal consumer goes through [[manifestEntries]], which reads
+    * the parquet log directly on the driver (the Delta/Iceberg shape —
+    * their log readers are driver-local too). Before this, each
+    * `currentGen`/`resolveData`/`statsFor` call planned and ran a full
+    * Spark job over a few-KB file; a single COW merge paid ~8 of them,
+    * pure fixed overhead at any scale (guide §1.2: remove work that
+    * isn't the computation). */
+  private final case class ManifestEntry(
+      gen: Int, action: String, dataGen: Int, nRows: Long,
+      renames: String, schemaJson: String, files: String)
+
+  private def manifestFiles(
+      fs: FileSystem, root: String): Seq[Path] = {
+    val dir = new Path(manifestDir(root))
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath).sortBy(_.getName).toSeq
+  }
+
+  /** The full commit log, oldest first, read ON THE DRIVER (no Spark
+    * job): O(files) KB-sized parquet reads via parquet-hadoop, exactly
+    * how the footer-stats harvest already reads footers. Reads both
+    * Spark-written files (the checkpointed log) and the driver-written
+    * appends — one physical schema either way. */
+  private def manifestEntries(
+      spark: SparkSession, root: String): Seq[ManifestEntry] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val fs = hadoopFs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Seq.newBuilder[ManifestEntry]
+    manifestFiles(fs, root).foreach { p =>
+      val reader =
+        ParquetReader.builder(new GroupReadSupport(), p).withConf(conf)
+          .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def opt(f: String): String =
+            if (g.getFieldRepetitionCount(f) == 0) null
+            else g.getString(f, 0)
+          out += ManifestEntry(
+            g.getInteger("gen", 0), g.getString("action", 0),
+            g.getInteger("data_gen", 0), g.getLong("n_rows", 0),
+            opt("renames"), opt("schema_json"), opt("files"))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result().sortBy(_.gen)
+  }
+
+  /** The manifest's physical parquet schema — byte-compatible with
+    * what Spark writes for [[manifestSchema]], so driver-written
+    * appends and Spark-written checkpoints interleave freely. */
+  private lazy val manifestMessageType =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message spark_schema {
+        |  required int32 gen;
+        |  required binary action (UTF8);
+        |  required int32 data_gen;
+        |  required int64 n_rows;
+        |  optional binary renames (UTF8);
+        |  optional binary schema_json (UTF8);
+        |  optional binary files (UTF8);
+        |}""".stripMargin)
+
   private def encodeRenames(m: Map[String, String]): String =
     if (m.isEmpty) null
     else m.toSeq.sorted.map { case (n, o) => s"$n=$o" }.mkString(";")
@@ -130,16 +203,42 @@ object Maintenance {
     * entirely while bounding any long-running loop. */
   private val ManifestCheckpointEvery = 64
 
+  /** Append one commit row as one tiny parquet file, written DIRECTLY
+    * on the driver (parquet-hadoop), not as a Spark job: a manifest
+    * append is O(metadata) by contract, and the old
+    * `createDataFrame(..).coalesce(1).write` spent a full job
+    * (plan + task + committer round trip) per commit to land ~200
+    * bytes. The file name embeds gen + a uuid so appends never
+    * collide; readers (Spark and [[manifestEntries]]) just see one
+    * more file of the same schema. */
   private def appendManifest(
       spark: SparkSession, root: String, row: Row): Unit = {
-    val df = spark.createDataFrame(
-      java.util.Collections.singletonList(row), manifestSchema)
-    df.coalesce(1).write.mode("append").parquet(manifestDir(root))
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
     val fs = hadoopFs(spark, root)
-    val nFiles = fs.listStatus(new Path(manifestDir(root)))
-      .count(st => !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-    if (nFiles >= ManifestCheckpointEvery) checkpointManifest(spark, root)
+    val dir = new Path(manifestDir(root))
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val file = new Path(dir, f"append-${row.getInt(0)}%08d-$tag.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(file, conf))
+      .withType(manifestMessageType)
+      .build()
+    try {
+      val grp = new SimpleGroupFactory(manifestMessageType).newGroup()
+      grp.append("gen", row.getInt(0))
+      grp.append("action", row.getString(1))
+      grp.append("data_gen", row.getInt(2))
+      grp.append("n_rows", row.getLong(3))
+      if (!row.isNullAt(4)) grp.append("renames", row.getString(4))
+      if (!row.isNullAt(5)) grp.append("schema_json", row.getString(5))
+      if (!row.isNullAt(6)) grp.append("files", row.getString(6))
+      writer.write(grp)
+    } finally writer.close()
+    if (manifestFiles(fs, root).size >= ManifestCheckpointEvery)
+      checkpointManifest(spark, root)
   }
 
   /** Fold the commit log into ONE parquet file, preserving every row —
@@ -165,30 +264,32 @@ object Maintenance {
         s"log is intact at $tmp — rename it to _manifest to recover")
   }
 
-  /** The full commit log, oldest first. Empty frame on a fresh root. */
+  /** The full commit log, oldest first, as a DataFrame (public
+    * surface). Built from the driver-local rows — a LocalRelation, so
+    * downstream actions never re-scan the log's files. Empty frame on
+    * a fresh root. */
   def manifest(spark: SparkSession, root: String): DataFrame = {
-    val fs = hadoopFs(spark, root)
-    if (fs.exists(new Path(manifestDir(root))))
-      spark.read.parquet(manifestDir(root)).orderBy("gen")
-    else spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), manifestSchema)
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[Row] = manifestEntries(spark, root)
+      .map(e => Row(e.gen, e.action, e.dataGen, e.nRows, e.renames,
+        e.schemaJson, e.files): Row).asJava
+    spark.createDataFrame(rows, manifestSchema)
   }
 
   /** Next free manifest id — ONE sequence across commits, rollbacks
     * and stages, so a staged-but-unpublished candidate can never
     * collide with a later commit's generation id. */
   private def nextId(spark: SparkSession, root: String): Int = {
-    val m = manifest(spark, root).agg(max("gen")).collect()(0)
-    (if (m.isNullAt(0)) 0 else m.getInt(0)) + 1
+    val es = manifestEntries(spark, root)
+    (if (es.isEmpty) 0 else es.map(_.gen).max) + 1
   }
 
   /** Latest generation carrying data (commit or rollback), or 0 on a
     * fresh root. Driver-side: the manifest is KB-sized by design. */
   def currentGen(spark: SparkSession, root: String): Int = {
-    val gens = manifest(spark, root)
-      .filter(col("action").isin("commit", "rollback"))
-      .agg(max("gen")).collect()(0)
-    if (gens.isNullAt(0)) 0 else gens.getInt(0)
+    val gens = manifestEntries(spark, root)
+      .filter(e => e.action == "commit" || e.action == "rollback")
+    if (gens.isEmpty) 0 else gens.map(_.gen).max
   }
 
   /** Write `df` as the next immutable generation, then append the
@@ -247,16 +348,18 @@ object Maintenance {
     stats.coalesce(1).write.mode("overwrite").parquet(statsDir(root, g))
 
   /** The stats sidecar of the generation HOLDING `gen`'s rows, if one
-    * was written ([[commitWithStats]] / [[merge]]). */
+    * was written ([[commitWithStats]] / [[merge]]). Driver-local read
+    * — the sidecar is O(files×columns) metadata, consulted on every
+    * skipping read and COW probe; a cluster job per consult was pure
+    * fixed overhead. */
   def statsFor(
       spark: SparkSession, root: String,
       gen: Int): Option[Seq[TableStats.ColStats]] = {
-    import spark.implicits._
     val (dataGen, _) = resolveData(spark, root, gen)
     val d = statsDir(root, dataGen)
     if (!hadoopFs(spark, root).exists(new Path(d))) None
-    else Some(spark.read.parquet(d).as[TableStats.ColStats]
-      .collect().toSeq)
+    else Some(TableStats.readSidecarLocal(
+      spark.sparkContext.hadoopConfiguration, d))
   }
 
   /** Data-skipping read of the current generation: resolve the
@@ -321,10 +424,7 @@ object Maintenance {
           "commitWithStats(...)"))
     val dataSchema = spark.read
       .parquet(files.head.getPath.toString).schema
-    val headJson = manifest(spark, root)
-      .filter(col("action") === "commit")
-      .select("gen", "schema_json").collect()
-      .maxBy(_.getInt(0)).getString(1)
+    val headJson = headCommitSchemaJson(spark, root)
     require(headJson == null ||
       DataType.fromJson(headJson).asInstanceOf[StructType]
         .fieldNames.toSeq == dataSchema.fieldNames.toSeq,
@@ -382,10 +482,7 @@ object Maintenance {
       throw new IllegalArgumentException(
         s"merge requires a stats sidecar on '$key' — commit with " +
           s"commitWithStats(..., statsColumns = Seq(\"$key\"))"))
-    val headJson = manifest(spark, root)
-      .filter(col("action") === "commit")
-      .select("gen", "schema_json").collect()
-      .maxBy(_.getInt(0)).getString(1)
+    val headJson = headCommitSchemaJson(spark, root)
     def shapeOf(s: StructType) =
       s.fields.toSeq.map(f => (f.name, f.dataType))
     require(headJson != null &&
@@ -459,10 +556,7 @@ object Maintenance {
       throw new IllegalArgumentException(
         s"delete requires a stats sidecar on '$key' — commit with " +
           s"commitWithStats(..., statsColumns = Seq(\"$key\"))"))
-    val headJson = manifest(spark, root)
-      .filter(col("action") === "commit")
-      .select("gen", "schema_json").collect()
-      .maxBy(_.getInt(0)).getString(1)
+    val headJson = headCommitSchemaJson(spark, root)
     val keySet = keys.select(col(key))
     val keyStats = stats.filter(s =>
       s.column == key && s.has_minmax).groupBy(_.file)
@@ -627,20 +721,18 @@ object Maintenance {
     * aborted); loud error otherwise. Returns (n_rows, schema_json). */
   private def requireLiveStage(
       spark: SparkSession, root: String, stageId: Int): Row = {
-    val rows = manifest(spark, root)
-      .filter(col("gen") === stageId &&
-        col("action").isin("stage", "abort", "commit"))
-      .select("action", "n_rows", "schema_json")
-      .collect()
-    require(rows.exists(_.getString(0) == "stage"),
+    val rows = manifestEntries(spark, root)
+      .filter(e => e.gen == stageId &&
+        Set("stage", "abort", "commit")(e.action))
+    require(rows.exists(_.action == "stage"),
       s"stage $stageId not in manifest")
-    require(!rows.exists(_.getString(0) == "abort"),
+    require(!rows.exists(_.action == "abort"),
       s"stage $stageId was aborted")
     require(hadoopFs(spark, root)
       .exists(new Path(stageDir(root, stageId))),
       s"stage $stageId was already published (or its directory is gone)")
-    val r = rows.find(_.getString(0) == "stage").get
-    Row(r.getLong(1), r.getString(2))
+    val r = rows.find(_.action == "stage").get
+    Row(r.nRows, r.schemaJson)
   }
 
   /** Restore the table to `toGen` WITHOUT copying data: the new commit
@@ -651,14 +743,13 @@ object Maintenance {
     * restores ROWS, and [[readGen]] presents them under the current
     * schema like any other old snapshot. */
   def rollback(spark: SparkSession, root: String, toGen: Int): Int = {
-    val m = manifest(spark, root)
-      .filter(col("gen") === toGen &&
-        col("action").isin("commit", "rollback"))
-      .select("data_gen", "n_rows").collect()
+    val m = manifestEntries(spark, root)
+      .filter(e => e.gen == toGen &&
+        (e.action == "commit" || e.action == "rollback"))
     require(m.nonEmpty, s"rollback target gen=$toGen not in manifest")
     val g = nextId(spark, root)
     appendManifest(spark, root,
-      Row(g, "rollback", m(0).getInt(0), m(0).getLong(1), null, null,
+      Row(g, "rollback", m.head.dataGen, m.head.nRows, null, null,
         null))
     g
   }
@@ -702,10 +793,9 @@ object Maintenance {
   private def resolveData(
       spark: SparkSession, root: String,
       gen: Int): (Int, Option[Seq[String]]) = {
-    val rows = manifest(spark, root)
-      .filter(col("action").isin("commit", "rollback"))
-      .select("gen", "data_gen", "files").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val rows = manifestEntries(spark, root)
+      .filter(e => e.action == "commit" || e.action == "rollback")
+      .map(e => (e.gen, e.dataGen, e.files))
     val m = rows.find(_._1 == gen)
     require(m.nonEmpty, s"gen=$gen not in manifest")
     val dataGen = m.get._2
@@ -721,19 +811,17 @@ object Maintenance {
   private def reconcileToCurrent(
       spark: SparkSession, root: String,
       raw: DataFrame, dataGen: Int): DataFrame = {
-    val commits = manifest(spark, root)
-      .filter(col("action") === "commit")
-      .select("gen", "renames", "schema_json")
-      .collect().sortBy(_.getInt(0))
+    val commits = manifestEntries(spark, root)
+      .filter(_.action == "commit").sortBy(_.gen)
     if (commits.isEmpty) return raw
     var out = raw
-    commits.filter(_.getInt(0) > dataGen).foreach { c =>
-      decodeRenames(c.getString(1)).foreach { case (nw, old) =>
+    commits.filter(_.gen > dataGen).foreach { c =>
+      decodeRenames(c.renames).foreach { case (nw, old) =>
         if (out.columns.contains(old))
           out = out.withColumnRenamed(old, nw)
       }
     }
-    val headJson = commits.last.getString(2)
+    val headJson = commits.last.schemaJson
     if (headJson == null) return out // legacy rows without schema
     val target = DataType.fromJson(headJson).asInstanceOf[StructType]
     if (out.schema.fieldNames.toSeq == target.fieldNames.toSeq) out
@@ -741,6 +829,13 @@ object Maintenance {
       if (out.columns.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
+  }
+
+  /** The latest commit's schema_json — the table's CURRENT schema. */
+  private def headCommitSchemaJson(
+      spark: SparkSession, root: String): String = {
+    val commits = manifestEntries(spark, root).filter(_.action == "commit")
+    if (commits.isEmpty) null else commits.maxBy(_.gen).schemaJson
   }
 
   /** Current table state = [[readGen]] of [[currentGen]]. */
@@ -757,10 +852,9 @@ object Maintenance {
     * reclaimed directory; returns the reclaimed generation ids. */
   def vacuum(
       spark: SparkSession, root: String, keepLast: Int): Seq[Int] = {
-    val rows = manifest(spark, root)
-      .filter(col("action").isin("commit", "rollback"))
-      .select("gen", "data_gen", "files").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val rows = manifestEntries(spark, root)
+      .filter(e => e.action == "commit" || e.action == "rollback")
+      .map(e => (e.gen, e.dataGen, e.files))
       .sortBy(_._1)
     val byGen = rows.map(r => (r._1, r)).toMap
     val fs = hadoopFs(spark, root)
@@ -1006,14 +1100,14 @@ object Maintenance {
       spark: SparkSession, root: String,
       targetBytes: Long, minFileBytes: Long): (Int, CompactStats) = {
     requireConvergent(targetBytes, minFileBytes)
-    val g = currentGen(spark, root)
-    val src = manifest(spark, root)
-      .filter(col("gen") === g &&
-        col("action").isin("commit", "rollback"))
-      .select("data_gen", "n_rows").collect()
-    require(src.nonEmpty, s"no current generation under $root")
-    val dataGen = src(0).getInt(0)
-    val nRows = src(0).getLong(1)
+    val entries = manifestEntries(spark, root)
+    val dataRows = entries
+      .filter(e => e.action == "commit" || e.action == "rollback")
+    require(dataRows.nonEmpty, s"no current generation under $root")
+    val g = dataRows.map(_.gen).max
+    val src = dataRows.find(_.gen == g).get
+    val dataGen = src.dataGen
+    val nRows = src.nRows
     val fs = hadoopFs(spark, root)
     val all = resolveData(spark, root, g)._2 match {
       case Some(fl) => fl.map(f => fs.getFileStatus(new Path(f)))
@@ -1022,12 +1116,10 @@ object Maintenance {
     val small = all.filter(_.getLen < minFileBytes)
     if (small.size < 2)
       return (g, CompactStats(0, all.size.toLong, 0L, 0L, 0L))
-    val commits = manifest(spark, root)
-      .filter(col("action") === "commit")
-      .select("gen", "schema_json").collect().sortBy(_.getInt(0))
-    val schemaJson = commits.find(_.getInt(0) == dataGen)
-      .map(_.getString(1)).orNull
-    val headJson = commits.last.getString(1)
+    val commits = entries.filter(_.action == "commit").sortBy(_.gen)
+    val schemaJson = commits.find(_.gen == dataGen)
+      .map(_.schemaJson).orNull
+    val headJson = commits.last.schemaJson
     // a rollback across a schema change leaves the current rows
     // physically under the OLD names (readGen reconciles on read); a
     // byte-copy pack of those files would mint a head commit whose

@@ -142,6 +142,49 @@ object TableStats {
     } finally reader.close()
   }
 
+  /** Driver-local read of a stats sidecar directory (parquet rows of
+    * [[ColStats]], written by Spark): the sidecar is O(files×columns)
+    * METADATA, so consulting it must not launch a cluster job — same
+    * contract as the manifest log's driver-local reader. */
+  def readSidecarLocal(
+      conf: Configuration, dir: String): Seq[ColStats] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }).map(_.getPath).sortBy(_.getName).toSeq
+    val out = Seq.newBuilder[ColStats]
+    files.foreach { p =>
+      val reader =
+        ParquetReader.builder(new GroupReadSupport(), p).withConf(conf)
+          .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          def has(f: String) = g.getFieldRepetitionCount(f) > 0
+          def optLong(f: String) =
+            if (has(f)) Some(g.getLong(f, 0)) else None
+          def optDouble(f: String) =
+            if (has(f)) Some(g.getDouble(f, 0)) else None
+          def optStr(f: String) =
+            if (has(f)) Some(g.getString(f, 0)) else None
+          out += ColStats(
+            g.getString("file", 0), g.getString("column", 0),
+            g.getLong("n_rows", 0), g.getLong("null_count", 0),
+            g.getBoolean("has_minmax", 0), g.getString("typ", 0),
+            optLong("min_long"), optLong("max_long"),
+            optDouble("min_double"), optDouble("max_double"),
+            optStr("min_str"), optStr("max_str"))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out.result()
+  }
+
   /** A pruned scan: the frame over the KEPT files plus the decision
     * counts. `rowsSkippedUpperBound` is what the metadata alone
     * proves the scan avoided. */

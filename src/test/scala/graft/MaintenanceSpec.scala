@@ -100,6 +100,36 @@ class MaintenanceSpec extends SparkSpec {
       .select("v").as[String].collect().toSeq == Seq("g5"))
   }
 
+  test("driver-written appends and Spark-written checkpoints are one " +
+      "physical schema: either reader sees the same log") {
+    val root = tmp() + "/t"
+    // driver-side appends (commit writes the log row via parquet-hadoop)
+    Maintenance.commit(spark, root,
+      Seq((1, "a")).toDF("k", "v"))
+    Maintenance.commit(spark, root,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    // fold into ONE Spark-written file, then append more driver rows on
+    // top, so the log holds both writers' files side by side
+    Maintenance.checkpointManifest(spark, root)
+    Maintenance.rollback(spark, root, toGen = 1)
+    Maintenance.commit(spark, root,
+      Seq((3, "c")).toDF("k", "v"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("gen", "action", "data_gen", "n_rows", "renames",
+        "schema_json", "files")
+      .orderBy("gen").collect().toSeq
+    // the driver-local reader (what every operator consults) and a raw
+    // Spark scan of the mixed directory agree row-for-row
+    val local = canon(Maintenance.manifest(spark, root))
+    val viaSpark = canon(spark.read.parquet(s"$root/_manifest"))
+    assert(local == viaSpark)
+    assert(local.map(r => (r.getInt(0), r.getString(1))) ==
+      Seq((1, "commit"), (2, "commit"), (3, "rollback"), (4, "commit")))
+    // nullable columns survive both writers: commits carry schema_json,
+    // the rollback row is all-null in the optional fields
+    assert(local.count(_.isNullAt(5)) == 1)
+  }
+
   // ---- file stats, data skipping, copy-on-write merge ----
 
   test("footer-stats harvest agrees with a data-scan cross-check") {
