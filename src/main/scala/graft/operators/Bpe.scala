@@ -81,11 +81,21 @@ object Bpe {
   def train(vocab: DataFrame, iterations: Int): Seq[Merge] = {
     require(iterations >= 1 && iterations <= 64,
       s"iterations must be in [1, 64], got $iterations")
+    // Each iteration runs ONE job: the argmax aggregate, whose scan is
+    // also what materializes the current round's persisted vocabulary
+    // (the first action on a persisted frame populates its cache, and
+    // the aggregate reads every partition). The former explicit
+    // `count()` per round was a second materialization-only job — and
+    // it also paid for applying the LAST merge to the vocabulary,
+    // which no caller reads (train returns only the merge table). The
+    // parent round's cache is released only AFTER the child's argmax
+    // has populated the child's cache, so the child computes from
+    // cached parent partitions, never from the re-derived base plan.
     var words = vocab
       .select(col("word"), col("freq"), charSyms(col("word")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    words.count()
     val merges = Seq.newBuilder[Merge]
+    var prev: Option[DataFrame] = None
     var it = 1L
     var done = false
     while (it <= iterations && !done) {
@@ -95,6 +105,8 @@ object Bpe {
         .groupBy("pair").agg(sum("freq").as("w"))
         .orderBy(col("w").desc, col("pair"))
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (top.isEmpty) done = true
       else {
         val m = Merge(it, top(0).getString(0),
@@ -103,12 +115,12 @@ object Bpe {
         val next = words
           .withColumn("syms", applyMerge(col("syms"), m))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        words.unpersist()
+        prev = Some(words)
         words = next
         it += 1
       }
     }
+    prev.foreach(_.unpersist())
     words.unpersist()
     merges.result()
   }

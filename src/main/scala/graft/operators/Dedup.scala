@@ -893,14 +893,16 @@ object Dedup {
       // halves the round count for the same result. Labels only ever
       // decrease, so "no change across two steps vs the round start"
       // remains a sound fixpoint test (l2 == l0 forces l1 == l0).
-      // prev rides along into the checkpoint so the convergence check
-      // is a join-free filter-count — 2 jobs per round, not 3.
-      val next = Lineage.truncate(
+      // prev rides along into the checkpoint, and the convergence
+      // check is an OBSERVED aggregate of the checkpoint job itself
+      // ([[Lineage.truncateObserved]]) — 1 job per round, not 2.
+      val (next, m) = Lineage.truncateObserved(
         step(step(labels))
-          .join(labels.withColumnRenamed("label", "prev"), "id"))
-      val changed = next.filter(col("label") =!= col("prev")).count()
+          .join(labels.withColumnRenamed("label", "prev"), "id"),
+        sum(when(col("label") =!= col("prev"), 1L).otherwise(0L))
+          .as("changed"))
       labels = next.select("id", "label")
-      converged = changed == 0
+      converged = m("changed") == null || m("changed") == 0L
       iter += 1
     }
     require(converged, s"clusters: no fixpoint after $maxIter rounds")
@@ -971,28 +973,33 @@ object Dedup {
     // Checkpointing truncates the plan to the materialized partitions,
     // and upgrades to fault-tolerant `checkpoint()` (survives executor
     // loss) whenever a checkpoint dir is configured.
-    var edges = Lineage.truncate(
-      canon(pairs.select(col("d1").as("a"), col("d2").as("b"))))
-    var edgeCount = edges.count()
+    val (edges0, m0) = Lineage.truncateObserved(
+      canon(pairs.select(col("d1").as("a"), col("d2").as("b"))),
+      count(lit(1)).as("n"))
+    var edges = edges0
+    var edgeCount = m0("n").asInstanceOf[Long]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = Lineage.truncate( // eager: materialized before the diff
-        canon(smallStar(canon(largeStar(edges)))))
       // both sides are distinct sets (canon ends in distinct), so
-      // equality <=> |next| == |edges| AND next ⊆ edges. One left join
-      // measures both in a SINGLE job: count(1) is |next|, and
-      // count(_prev) is the subset-membership count (edges is distinct,
-      // so the join never duplicates) — 2 jobs per round total
-      // (checkpoint + this aggregate), down from 3 with a separate
-      // count() + exceptAll().count()
-      val probe = next
-        .join(edges.withColumn("_prev", lit(1)), Seq("lo", "hi"), "left")
-        .agg(count(lit(1)).as("n"), count(col("_prev")).as("shared"))
-        .head()
-      val nextCount = probe.getLong(0)
-      converged = nextCount == edgeCount && probe.getLong(1) == nextCount
-      edges = next
+      // equality <=> |next| == |edges| AND next ⊆ edges. The left join
+      // against the previous round rides INTO the checkpoint (edges is
+      // distinct on (lo, hi), so it never duplicates rows), and both
+      // counts — count(1) = |next|, count(_prev) = subset membership —
+      // are OBSERVED aggregates of the checkpoint job itself
+      // ([[Lineage.truncateObserved]]): 1 job per round, down from 2
+      // (checkpoint + probe aggregate), down from 3 with a separate
+      // count() + exceptAll().count(). The materialized rows carry the
+      // transient _prev flag; the select back to (lo, hi) is a lazy
+      // projection over the checkpointed partitions, not a job.
+      val (nextFull, m) = Lineage.truncateObserved(
+        canon(smallStar(canon(largeStar(edges))))
+          .join(edges.withColumn("_prev", lit(1)), Seq("lo", "hi"), "left"),
+        count(lit(1)).as("n"), count(col("_prev")).as("shared"))
+      val nextCount = m("n").asInstanceOf[Long]
+      converged = nextCount == edgeCount &&
+        m("shared").asInstanceOf[Long] == nextCount
+      edges = nextFull.select("lo", "hi")
       edgeCount = nextCount
       iter += 1
     }

@@ -113,14 +113,17 @@ object GraphRank {
       var iter = 0
       var converged = false
       while (iter < iterations && !converged) {
-        // prev rides into the checkpoint so the fixpoint probe is a
-        // join-free filter-count (the Dedup.clusters shape): 1 barrier
-        // + 1 tiny count per round, each over node-sized frames
-        val probed = Lineage.truncate(
+        // prev rides into the checkpoint and the fixpoint probe is an
+        // OBSERVED aggregate of the checkpoint job itself (the
+        // Dedup.clusters shape, [[Lineage.truncateObserved]]): 1 job
+        // per round, not a barrier + a separate tiny count
+        val (probed, m) = Lineage.truncateObserved(
           round(ranks)
             .join(ranks.withColumnRenamed("r_e9", "prev"), "id")
-            .select(col("id"), col("r_e9"), col("prev")))
-        converged = probed.filter(col("r_e9") =!= col("prev")).count() == 0
+            .select(col("id"), col("r_e9"), col("prev")),
+          sum(when(col("r_e9") =!= col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+        converged = m("changed") == null || m("changed") == 0L
         ranks = probed.select("id", "r_e9")
         iter += 1
       }

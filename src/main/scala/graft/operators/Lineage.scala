@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Lineage truncation for iterative operators (connected components,
   * PageRank): both flavors of checkpoint cut the logical plan at a
@@ -32,4 +32,39 @@ object Lineage {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
     else df.localCheckpoint()
+
+  /** [[truncate]] plus observed aggregate metrics collected from the
+    * SAME materialization job. Iterative loops need both "materialize
+    * this round" and "did anything change" every round; running the
+    * convergence aggregate as its own action doubles the round's job
+    * count (and its fixed scheduling cost — the dominant cost of a
+    * small round, and pure overhead at any scale). `observe` plants a
+    * CollectMetrics node under the checkpoint, and both checkpoint
+    * flavors execute through `withAction`, so the metrics arrive on the
+    * listener bus as a side effect of the one job (verified on this
+    * Spark version by `Probe obscheck`). The listener bus is async —
+    * if the metrics somehow fail to arrive (a future Spark changing the
+    * checkpoint action path), fall back to computing the same
+    * aggregates from the materialized frame: one extra job, identical
+    * values, never a hang. */
+  def truncateObserved(
+      df: DataFrame, metrics: Column*): (DataFrame, Map[String, Any]) = {
+    val obs = new org.apache.spark.sql.Observation
+    val cp = truncate(df.observe(obs, metrics.head, metrics.tail: _*))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tWait = System.nanoTime()
+    val m =
+      try Await.result(Future(obs.get), 120.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          val row = cp.agg(metrics.head, metrics.tail: _*).head()
+          row.schema.fieldNames.zipWithIndex
+            .map { case (n, i) => n -> row.get(i) }.toMap
+      }
+    if (sys.env.contains("GRAFT_DEBUG_OBS"))
+      System.err.println(f"[truncateObserved] wait ${(System.nanoTime() - tWait) / 1e6}%.0f ms")
+    (cp, m)
+  }
 }

@@ -605,42 +605,42 @@ object TierR {
     * (≤ |users| rows) against the dimension on `user_id` — the frontier
     * SHRINKS as chains end; nothing is ever quadratic. */
   private val rScd2Chain: Q = (s, d) => {
-    // UnionLoopExec re-executes the recursive CTE's referenced plan at
-    // EVERY recursion level, so without materialization the full SCD2
-    // window build would run up to 25× (measured ~10 s at sf0.1 vs ~1 s
-    // checkpointed). localCheckpoint stages the dimension once — the
-    // cluster-scale shape too: build the dimension, persist it, then
-    // walk the chains against materialized rows. The BROADCAST(c) hint
-    // below broadcasts the recursion FRONTIER (≤ |users| rows, shrinking
-    // as chains end) at every level, so the materialized dimension is
-    // never reshuffled — measured 2× over the per-level shuffle join at
-    // sf0.1. At a key cardinality too big to broadcast the hint comes
-    // off and each level reverts to a partitioned equi-join.
+    // Version-chain walk over the SCD2 dimension. Through round 14 the
+    // Spark side ran this as a WITH RECURSIVE chain join (anchor at
+    // min(eff_from), frontier-broadcast step on eff_from = eff_to,
+    // depth cap 25) — up to 25 sequential broadcast-join levels, ~85
+    // Spark jobs, and a localCheckpoint to keep UnionLoopExec from
+    // re-executing the dimension build per level. But [[ChangeCapture
+    // .scd2]]'s contract makes the walk order-derivable WITHOUT
+    // recursion: intervals per key tile the time axis gaps-free
+    // (eff_to(k) = eff_from(k+1), last eff_to NULL — ChangeCaptureSpec
+    // pins it), so following eff_from = eff_to from the earliest
+    // interval visits the key's intervals exactly in eff_from order,
+    // and the chain position IS row_number() over eff_from. The DuckDB
+    // oracle has ALWAYS stated the query this way (ver = row_number,
+    // WHERE ver <= 25) — five rounds of oracle equality against the
+    // recursive form already certify the equivalence; this just makes
+    // the Spark plan match the oracle's shape: the dimension build
+    // plus ONE window pass and the declared sort, no per-level
+    // barriers, no checkpoint. The depth cap carries over as ver <= 25
+    // (the recursion emitted the anchor at ver 1 and stepped only
+    // while c.ver < 25, i.e. rows with ver ≤ 25).
     graft.operators.ChangeCapture.scd2(
       Tables(s, d, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
       keyCols = Seq("user_id"),
       orderCols = Seq("ts", "event_id"),
       attrCols = Seq("event_type"))
-      .localCheckpoint()
-      .createOrReplaceTempView("graft_scd2_dim")
-    s.sql("""
-      WITH RECURSIVE chain(user_id, event_type, eff_from, eff_to, ver) AS (
-        SELECT s.user_id, s.event_type, s.eff_from, s.eff_to, 1
-        FROM graft_scd2_dim s
-        JOIN (SELECT user_id, min(eff_from) AS f0
-              FROM graft_scd2_dim GROUP BY user_id) h
-          ON s.user_id = h.user_id AND s.eff_from = h.f0
-        UNION ALL
-        SELECT /*+ BROADCAST(c) */
-               n.user_id, n.event_type, n.eff_from, n.eff_to, c.ver + 1
-        FROM chain c JOIN graft_scd2_dim n
-          ON n.user_id = c.user_id AND n.eff_from = c.eff_to
-        WHERE c.ver < 25)
-      SELECT user_id, CAST(ver AS BIGINT) AS ver, event_type,
-             date_format(eff_from, 'yyyy-MM-dd HH:mm:ss') AS eff_from_s,
-             date_format(eff_to, 'yyyy-MM-dd HH:mm:ss') AS eff_to_s
-      FROM chain ORDER BY user_id, ver""")
+      .select(col("user_id"), col("event_type"), col("eff_from"),
+        col("eff_to"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("eff_from"))
+          .cast("long").as("ver"))
+      .filter(col("ver") <= 25)
+      .select(col("user_id"), col("ver"), col("event_type"),
+        date_format(col("eff_from"), "yyyy-MM-dd HH:mm:ss").as("eff_from_s"),
+        date_format(col("eff_to"), "yyyy-MM-dd HH:mm:ss").as("eff_to_s"))
+      .orderBy("user_id", "ver")
   }
 
   /** Point-in-time (as-of) lookup against the SCD2 dimension — the

@@ -29,6 +29,184 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // micro-batch anatomy of a bounded streaming query: per-batch
+    // durationMs breakdown (trigger, addBatch, state commit) straight
+    // from StreamingQueryProgress — where the seconds of a
+    // state-store-bound query actually go. `Probe streamprofile
+    // x_stream_join_full` runs the named registry query twice (cold +
+    // steady) and prints every batch's progress line.
+    if (which == "streamprofile") {
+      val qname = args(1)
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            println(s"[streamprofile] batch=${p.batchId} " +
+              s"rows=${p.numInputRows} durationMs=${p.durationMs} " +
+              s"stateOps=${p.stateOperators.map(s =>
+                s"rowsTotal=${s.numRowsTotal} commitMs=${s.commitTimeMs}")
+                .mkString(";")}")
+          }
+        })
+      (1 to 2).foreach { rep =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(qname)(spark, sfDir)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[streamprofile] rep $rep total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
+    // fixed-overhead census: Spark JOB and task counts per declared
+    // query, one warm execution each. A query whose time is "many tiny
+    // jobs" (collects, per-operation metadata work, iterative loops)
+    // amplifies per-job fixed cost that plan shape can't show — the
+    // signal that found the maintenance-family metadata jobs. Usage:
+    //   Probe jobcount [substr]   (optional name filter)
+    if (which == "jobcount") {
+      val filter = args.lift(1).getOrElse("")
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet()
+            tasks.addAndGet(e.stageInfos.map(_.numTasks).sum)
+          }
+        })
+      val sel = graft.SparkEntry.queries.filter(_._1.contains(filter))
+      val rows = sel.map { case (name, fn) =>
+        // warm pass (codegen/JIT) at the same dir, untimed and uncounted
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        Thread.sleep(200) // let queued listener events drain
+        val (j0, k0) = (jobs.get, tasks.get)
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+        } catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200)
+        spark.catalog.clearCache()
+        (name, if (ok) jobs.get - j0 else -1, tasks.get - k0, sec)
+      }.toSeq
+      rows.sortBy(-_._2).foreach { case (n, j, k, s) =>
+        println(f"[jobcount] $n%-28s jobs=$j%4d tasks=$k%6d sec=$s%7.2f")
+      }
+      println(f"[jobcount] TOTAL queries=${rows.size} jobs=${rows.map(_._2).sum} sec=${rows.map(_._4).sum}%.1f")
+      spark.stop()
+      return
+    }
+
+    // job-level anatomy of ONE query: every Spark job's id, duration,
+    // task count and call site, in order, for a warm execution. Shows
+    // where a high-jobcount query's jobs come from (AQE stages,
+    // checkpoints, collects, loop rounds). Usage: Probe jobtrace <query>
+    if (which == "jobtrace") {
+      val qname = args(1)
+      case class J(id: Int, t0: Long, tasks: Int, site: String)
+      val started = new java.util.concurrent.ConcurrentHashMap[Int, J]
+      val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            started.put(e.jobId, J(e.jobId, e.time,
+              e.stageInfos.map(_.numTasks).sum,
+              Option(e.properties)
+                .flatMap(p => Option(p.getProperty("callSite.short")))
+                .getOrElse("?")))
+          override def onJobEnd(
+              e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val j = started.get(e.jobId)
+            if (j != null) lines.add(
+              f"[jobtrace] job=${j.id}%4d t0=${j.t0}%d ms=${e.time - j.t0}%6d " +
+                f"tasks=${j.tasks}%5d site=${j.site}")
+          }
+        })
+      val fn = graft.SparkEntry.queries(qname)
+      // warm pass
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache(); Thread.sleep(300); lines.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      lines.forEach(l => println(l))
+      println(f"[jobtrace] $qname total $sec%.2f s, ${lines.size} jobs")
+      spark.stop()
+      return
+    }
+
+    // API check: does Dataset.localCheckpoint()'s materialization
+    // deliver observe() metrics through the Observation listener on
+    // this Spark version? (If yes, iterative loops can fold their
+    // convergence count into the checkpoint job — 1 job/round, not 2.)
+    if (which == "obscheck") {
+      import org.apache.spark.sql.functions._
+      val df = spark.range(100).toDF("id")
+        .withColumn("label", col("id") % 10)
+        .withColumn("prev", col("id") % 7)
+      val obs = new org.apache.spark.sql.Observation
+      val t0 = System.nanoTime()
+      val cp = df.observe(obs,
+        sum(when(col("label") =!= col("prev"), 1L).otherwise(0L))
+          .as("changed")).localCheckpoint()
+      println(s"[obscheck] checkpointed ${cp.schema.fieldNames.mkString(",")}")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val m = try Await.result(Future(obs.get), 5.seconds)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        Map("TIMEOUT" -> -1L) }
+      println(f"[obscheck] metrics=$m after ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
+    // A/B: does fanning the 1-task documents scan out to the cores
+    // before the heavy row-local shingle/minhash pass pay for its
+    // exchange? (testdata files are single-row-group parquet — every
+    // scan is 1 task regardless of maxPartitionBytes)
+    if (which == "fanout") {
+      import org.apache.spark.sql.functions._
+      val d = sfDir
+      def docs = graft.Tables(spark, d, "documents")
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "cluster_base" -> (() =>
+          graft.operators.Dedup.clusters(
+            graft.operators.Dedup.nearDupMinHash(docs, k = 3, threshold = 0.8))),
+        "cluster_fan32" -> (() =>
+          graft.operators.Dedup.clusters(
+            graft.operators.Dedup.nearDupMinHash(
+              docs.repartition(32), k = 3, threshold = 0.8))),
+        "near_base" -> (() =>
+          graft.operators.Dedup.nearDupJaccard(docs, k = 3, threshold = 0.8)),
+        "near_fan32" -> (() =>
+          graft.operators.Dedup.nearDupJaccard(
+            docs.repartition(32), k = 3, threshold = 0.8)))
+      variants.foreach { case (n, f) =>
+        // warm
+        try f().write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => println(s"[fanout] $n FAILED: $e") }
+        spark.catalog.clearCache()
+        val t = time(3) { () =>
+          val df = f(); spark.catalog.clearCache(); df
+        }
+        println(f"[fanout] $n%-16s $t%.2f s")
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
+
     // plan-shape check: does the prefix join reuse the df groupBy's
     // exchange of the exploded shingle frame?
     if (which == "ppjoinplan") {
@@ -533,6 +711,13 @@ object Probe {
       val plan = qe.get().explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       println("[probe] metrics=" + graft.Bench.planMetrics(plan))
+      // optional third arg: write the full executed (AQE-final) plan to
+      // a file — the per-query before/after evidence the optimization
+      // rounds commit under plans/
+      args.lift(2).foreach { out =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(out), plan)
+        println(s"[probe] plan written to $out")
+      }
       spark.stop()
       return
     }

@@ -313,10 +313,13 @@ class TierRSpec extends SparkSpec {
     }
   }
 
-  test("r_scd2_chain: recursive CTE runs UnionLoop and assigns dense versions") {
+  test("r_scd2_chain: one window pass (no recursion) assigns dense versions") {
     val out = q("r_scd2_chain")
-    // the declarative plan really runs Spark's recursive-CTE operator
-    assert(out.queryExecution.executedPlan.toString.contains("UnionLoop"))
+    // the chain walk is a single row_number window over the gaps-free
+    // SCD2 tiling — no recursive-CTE operator, no per-level join rounds
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("UnionLoop"))
+    assert("Window \\[".r.findAllIn(plan).nonEmpty)
     val df = out.persist()
     // versions are dense 1..n per user, no gaps or duplicates, capped
     // by the explicit depth guard
