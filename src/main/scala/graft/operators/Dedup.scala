@@ -362,11 +362,18 @@ object Dedup {
       k: Int = 8,
       maxDf: Int = 10,
       minShared: Int = 3): DataFrame = {
-    // span-hash frame feeds both the df aggregate and both join sides
-    val spans = shingles(docs, k)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), Hashing.hash32(col("s")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // span-hash frame feeds both the df aggregate and both join sides.
+    // Eager truncation, NOT persist: AQE launches those consumer
+    // stages CONCURRENTLY, and concurrent actions racing a cold cache
+    // each recompute the whole shingle+hash pass (jobtrace measured
+    // FOUR simultaneous 2.25 s single-task jobs at sf0.1 — the same
+    // pass, four times). truncate materializes it once; fanOut spreads
+    // the heavy row-local pass across the cluster (no-op at scale,
+    // see [[Lineage.fanOut]]).
+    val spans = Lineage.truncate(
+      shingles(Lineage.fanOut(docs), k)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+        .select(col("doc_id"), Hashing.hash32(col("s")).as("h")))
     // shingles() already dedups spans per doc, so count(1) = doc freq
     val keep = spans.groupBy("h")
       .agg(count(lit(1)).as("df"))
@@ -404,16 +411,19 @@ object Dedup {
       k: Int = 8,
       maxDf: Int = 10,
       minRun: Int = 2): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val toks = Lineage.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
     // positions are 1-based span starts; no array_distinct here — a
     // span repeated inside one doc occupies several diagonals and each
-    // must align independently
-    val pos = toks.filter(size(col("w")) >= k)
+    // must align independently. truncate + fanOut for the same
+    // measured reasons as [[sharedSpans]]: concurrent consumer stages
+    // raced the cold cache, and the positional explode is a heavy
+    // row-local pass on the scan's few splits.
+    val pos = Lineage.truncate(toks.filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(w) - ${k - 1}), " +
           s"i -> concat_ws(' ', slice(w, i, $k)))")).as(Seq("p", "s")))
-      .select(col("doc_id"), col("p"), Hashing.hash32(col("s")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("p"), Hashing.hash32(col("s")).as("h")))
     val keep = pos.select("doc_id", "h").distinct()
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -733,8 +743,13 @@ object Dedup {
     // null-text docs are dropped, matching the aggregate form's
     // contract (explode of a null token array emits nothing); without
     // the filter the fused expression would emit a NULL-fingerprint
-    // row — an observable row-count change for downstream consumers
-    docs.filter(col("text").isNotNull)
+    // row — an observable row-count change for downstream consumers.
+    // fanOut: the fused tokenize+hash+majority expression is the
+    // heaviest row-local pass in the engine and sits directly on the
+    // corpus scan — jobtrace measured it as ONE 4.0 s single-task job
+    // at sf0.1 (the scan's split count) while 31 cores idled; at scale
+    // the scan has more splits than cores and fanOut is a no-op
+    Lineage.fanOut(docs.filter(col("text").isNotNull))
       .select(col("doc_id"),
         graft.expressions.SimHashWords.of(col("text"))
           .getField("sim_lo").as("simhash"))
@@ -1036,8 +1051,9 @@ object Dedup {
     * pigeonhole blocks are ~9 bits wide instead of ~4-5, so block
     * buckets are ~20× more selective at identical plan shape. */
   def simHashes64(docs: DataFrame): DataFrame =
-    docs
-      .filter(col("text").isNotNull) // same null-doc contract as simHashes
+    // fanOut: same measured serial-scan rationale as [[simHashes]]
+    Lineage.fanOut(
+      docs.filter(col("text").isNotNull)) // same null-doc contract
       .select(col("doc_id"),
         graft.expressions.SimHashWords.of(col("text")).as("w"))
       .select(col("doc_id"),

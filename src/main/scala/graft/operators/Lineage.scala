@@ -33,6 +33,29 @@ object Lineage {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** Scale-adaptive fan-out for a heavy ROW-LOCAL pass whose input
+    * scan under-parallelizes the cluster. A parquet scan's task count
+    * is bounded by the input's split structure (row groups / files);
+    * when a corpus lands as few big splits, every per-row computation
+    * chained before the first exchange (sketching, tokenizing,
+    * resample weighting) runs on those few tasks while the rest of the
+    * cluster idles. This helper repartitions up to the session's
+    * default parallelism ONLY when the planned scan has fewer
+    * partitions — at production scale a table has orders of magnitude
+    * more splits than cores, the condition is false, and this is a
+    * no-op (no exchange added). The partition-count read plans the
+    * frame but runs no job.
+    *
+    * Use ONLY where the downstream per-row work measurably dominates
+    * the shuffle this adds (see the `Probe fanout` negative result for
+    * cheap-pass inputs: an exchange the pass doesn't amortize is a net
+    * loss). Row order is not preserved; callers are aggregates/joins
+    * whose results are order-independent. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** [[truncate]] plus observed aggregate metrics collected from the
     * SAME materialization job. Iterative loops need both "materialize
     * this round" and "did anything change" every round; running the

@@ -82,7 +82,11 @@ object Stats {
         sum(col(s"w$j") * col("q")).as(s"s$j"))
     }
     val stackArgs = lanes.map(j => s"$j, n$j, s$j").mkString(", ")
-    df.select(col(keyCol), col(valueCol),
+    // fanOut: the (row × chunk) md5 + lane-decode pass is heavy
+    // row-local work chained straight onto the input scan — jobtrace
+    // measured it as one 2.8 s single-task job at sf0.1 (the scan's
+    // split count); no-op at scale (see [[Lineage.fanOut]])
+    Lineage.fanOut(df).select(col(keyCol), col(valueCol),
         explode(expr(s"sequence(0, ${chunks - 1})")).as("c"))
       .withColumn("h", md5(concat(
         lit("boot:"), col("c").cast("string"),
