@@ -463,7 +463,12 @@ object TextAnalysis {
           lit(1d) - size(array_distinct(grams)).cast("double")
             / size(grams), 4))
     }
-    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // fanOut: the gram transform + array_distinct per row is a heavy
+    // row-local pass on the scan's few splits (jobtrace: two ~0.9 s
+    // single-task jobs — the range-sort sample pass and the main pass
+    // each ran it serially); no-op at scale (see [[Lineage.fanOut]])
+    Lineage.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
@@ -735,7 +740,13 @@ object TextAnalysis {
   def boilerplateStrip(
       docs: DataFrame, n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2, s"invalid strip: n=$n minDocs=$minDocs")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("wd"))
+    // fanOut: the positional gram explode below is a heavy row-local
+    // pass on the scan's few splits, and it feeds two consumers (the
+    // df aggregate and the coverage join), each of which re-runs it
+    // serially without this (jobtrace: several 0.3-0.7 s single-task
+    // jobs); no-op at scale (see [[Lineage.fanOut]])
+    val toks = Lineage.fanOut(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("wd"))
     val gramPos = toks
       .filter(size(col("wd")) >= n)
       .select(col("doc_id"),

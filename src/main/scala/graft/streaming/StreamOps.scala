@@ -927,33 +927,45 @@ object StreamOps {
         // downstream actions (endpoints, frontier, the CC loop's own
         // checkpointed rounds), and a cache lookup that misses re-runs
         // the probe + verify chain once per action; truncation makes
-        // every consumer read the materialized partitions
-        val newPairs = graft.operators.Lineage.truncate(
+        // every consumer read the materialized partitions. The pair
+        // count rides the SAME job as an observed aggregate: delta
+        // below is empty iff newPairs is (starEdges derives from
+        // newPairs via ends -> touched — zero pairs means zero
+        // endpoints means zero frontier), so this one metric replaces
+        // a per-batch delta.isEmpty action that re-ran the whole
+        // frontier join just to test emptiness
+        val (newPairs, mNP) = graft.operators.Lineage.truncateObserved(
           Dedup.pairsWithinAndAgainstIndex(shB, bandsB,
             earlier("sh", shB.schema), earlier("bands", bandsB.schema))
-            .select(col("d1"), col("d2")))
+            .select(col("d1"), col("d2")),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+        val noNewPairs = mNP("n").asInstanceOf[Long] == 0L
         lap("pairs (cross probe + within)")
         val prior =
           if (batchId == 0) empty(labelSchema)
           else s.read.schema(labelSchema)
             .parquet(s"$work/labels/gen_${batchId - 1}")
-        val ends = newPairs.select(col("d1").as("doc_id"))
-          .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
-        // touched is referenced three times (frontier, carry-over
-        // anti-join) over parquet+checkpoint inputs — tiny, truncate it
-        // too so each use is a read, not a re-join
-        val touched = graft.operators.Lineage.truncate(
-          prior.join(ends, "doc_id").select(col("rep_id")).distinct())
-        val starEdges = prior.join(touched, "rep_id")
-          .filter(col("doc_id") =!= col("rep_id"))
-          .select(col("doc_id").as("d1"), col("rep_id").as("d2"))
-        val delta = newPairs.unionByName(starEdges)
-        val resolved =
-          if (delta.isEmpty) prior
-          else prior.join(touched, Seq("rep_id"), "left_anti")
+        // the frontier frames only exist when the batch produced pairs
+        // — on an empty batch the prior generation carries over as-is
+        // and no frontier job runs at all
+        val resolved = if (noNewPairs) prior else {
+          val ends = newPairs.select(col("d1").as("doc_id"))
+            .unionByName(newPairs.select(col("d2").as("doc_id"))).distinct()
+          // touched is referenced three times (frontier, carry-over
+          // anti-join) over parquet+checkpoint inputs — tiny, truncate
+          // it too so each use is a read, not a re-join
+          val touched = graft.operators.Lineage.truncate(
+            prior.join(ends, "doc_id").select(col("rep_id")).distinct())
+          val starEdges = prior.join(touched, "rep_id")
+            .filter(col("doc_id") =!= col("rep_id"))
+            .select(col("doc_id").as("d1"), col("rep_id").as("d2"))
+          val delta = newPairs.unionByName(starEdges)
+          prior.join(touched, Seq("rep_id"), "left_anti")
             .select("doc_id", "rep_id", "cluster_size")
             .unionByName(
               Dedup.clusters(delta).select("doc_id", "rep_id", "cluster_size"))
+        }
         lap("frontier CC resolved")
         resolved.coalesce(1).write.mode("overwrite")
           .parquet(s"$work/labels/gen_$batchId")
