@@ -501,7 +501,13 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
-    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    // eager truncation, NOT persist: the shingle frame feeds the band
+    // build and BOTH verify sides, and AQE runs those stages
+    // concurrently — concurrent stages racing a cold cache each
+    // recompute the shingle pass (the §4 sharedSpans finding; the old
+    // jobtrace showed the same concurrent single-task jobs here).
+    // Storage is the same MEMORY_AND_DISK the persist used.
+    val sh = Lineage.truncate(shingles(docs, k))
     verifyJaccard(minHashCandidatesFrom(sh, numHashes, bands), sh, sh, threshold)
   }
 
@@ -1219,6 +1225,11 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 31], got $maxHamming")
     // both join sides derive from the same sketch frame
+    // persist, NOT eager truncation: the truncate variant was A/B'd
+    // (r15 §6) and measured 1.03-1.05× — after fanOut the sketch rows
+    // are cheap to recompute, so the eager barrier costs more than the
+    // cold-cache race it prevents (unlike the string-array shingle
+    // frame in nearDupMinHash, where truncate wins)
     val hs = simHashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
     // Single-block r+1 pigeonhole, measured as the right choice HERE:
     // at sf0.1 this query truly outputs 1.49M pairs (12% of all doc

@@ -48,4 +48,42 @@ class LineageSpec extends SparkSpec {
     assert(cut.queryExecution.optimizedPlan.toString
       .contains("LogicalRDD"))
   }
+
+  test("truncateObserved: metrics ride the checkpoint job and match a recount") {
+    // runs after the suite set a checkpoint dir, so this pins the
+    // RELIABLE flavor's metric delivery; the local flavor is exercised
+    // by every CC/star loop in the suite (and was probed directly by
+    // `Probe obscheck`)
+    val df = Seq((1L, 1L), (2L, 5L), (3L, 3L)).toDF("id", "label")
+      .withColumn("prev", col("id"))
+    val (cp, m) = Lineage.truncateObserved(df,
+      sum(when(col("label") =!= col("prev"), 1L).otherwise(0L))
+        .as("changed"),
+      count(lit(1)).as("n"))
+    assert(m("n") == 3L && m("changed") == 1L)
+    // the returned frame is the materialized one, same rows
+    assert(cp.count() == 3L)
+    // empty input: sum-metric is null (the callers' documented contract)
+    val (cpE, mE) = Lineage.truncateObserved(
+      df.filter(col("id") < 0L),
+      sum(when(col("label") =!= col("prev"), 1L).otherwise(0L))
+        .as("changed"))
+    assert(cpE.count() == 0L && mE("changed") == null)
+  }
+
+  test("pageRank probeFixpoint path converges and equals the fixed form") {
+    // 2-cycle: uniform rank is stationary, so the fixpoint probe
+    // detects convergence on round 1 and the adaptive path must give
+    // the same stationary ranks the fixed-iterations form does
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "r_e9").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = ranks(graft.operators.GraphRank.pageRank(
+      cyc, iterations = 5))
+    val probed = ranks(graft.operators.GraphRank.pageRank(
+      cyc, iterations = 5, probeFixpoint = true))
+    assert(probed == fixed)
+    assert(probed == Map(1L -> 500000000L, 2L -> 500000000L))
+  }
 }
